@@ -1,13 +1,171 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory (one entry per
+  * SURVEY §2 operator family); `oracleSql` carries the DuckDB-runnable
+  * twin for the hash-compare correctness gate. Column names are aliased
+  * identically on both sides (the driver sorts columns by name before
+  * hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q05(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => f(Tables(spark, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> q(Relational.q01),
+    "q02_agg" -> q(Relational.q02),
+    "q03_groupby_having" -> q(Relational.q03),
+    "q04_join" -> q(Relational.q04),
+    "q05_multijoin" -> q(Relational.q05),
+    "q06_outer_chain" -> q(Relational.q06),
+    "q07_window_rank" -> q(Relational.q07),
+    "q08_pivot" -> q(Relational.q08),
+    "q09_distinct" -> q(Relational.q09),
+    "q10_strings" -> q(Relational.q10),
+    "q11_intersect" -> q(Relational.q11),
+    "q11b_except" -> q(Relational.q11b),
+    "q12_topk" -> q(Relational.q12),
+    "q13_dates" -> q(Relational.q13),
+    "q14_tumbling" -> q(Relational.q14),
+    "q15_sessionize" -> q(Relational.q15),
+    "q16_semi" -> q(Relational.q16),
+    "q16b_anti" -> q(Relational.q16b),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       ROUND(AVG(l_discount), 4) AS avg_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_groupby_having" ->
+      """SELECT event_type AS site, user_id, ROUND(SUM(value), 2) AS pageviews
+        |FROM events
+        |GROUP BY event_type, user_id
+        |HAVING SUM(value) > 50
+        |ORDER BY site, user_id""".stripMargin,
+    "q04_join" ->
+      """SELECT o.o_orderkey, c.c_name, ROUND(o.o_totalprice, 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q05_multijoin" ->
+      """SELECT n.n_name, COUNT(*) AS orders_cnt,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey  = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+    "q06_outer_chain" ->
+      """WITH clicks AS (SELECT user_id, ROUND(SUM(value),2) AS click_v FROM events WHERE event_type='click' GROUP BY user_id),
+        |     views  AS (SELECT user_id, ROUND(SUM(value),2) AS view_v  FROM events WHERE event_type='view'  GROUP BY user_id),
+        |     buys   AS (SELECT user_id, ROUND(SUM(value),2) AS buy_v   FROM events WHERE event_type='purchase' GROUP BY user_id)
+        |SELECT u.user_id,
+        |       COALESCE(click_v, 0.0) AS click_v,
+        |       COALESCE(view_v, 0.0)  AS view_v,
+        |       COALESCE(buy_v, 0.0)   AS buy_v
+        |FROM clicks u
+        |FULL OUTER JOIN views USING (user_id)
+        |FULL OUTER JOIN buys  USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT event_type, event_id,
+        |       ROUND(CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE)
+        |             / COUNT(*) OVER (PARTITION BY event_type), 6) AS rank_norm
+        |FROM events
+        |WHERE user_id < 50
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q08_pivot" ->
+      """SELECT user_id,
+        |       ROUND(SUM(CASE WHEN event_type='click'    THEN value ELSE 0.0 END), 2) AS pageviews_click,
+        |       MAX(CASE WHEN event_type='click'    THEN 1.0 ELSE 0.0 END) AS exists_click,
+        |       ROUND(SUM(CASE WHEN event_type='view'     THEN value ELSE 0.0 END), 2) AS pageviews_view,
+        |       MAX(CASE WHEN event_type='view'     THEN 1.0 ELSE 0.0 END) AS exists_view,
+        |       ROUND(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END), 2) AS pageviews_purchase,
+        |       MAX(CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END) AS exists_purchase
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q09_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q10_strings" ->
+      """SELECT p_partkey,
+        |       UPPER(p_brand) AS brand_u,
+        |       REPLACE(p_name, ' ', '_') AS name_us,
+        |       'Q' || CAST(p_partkey AS VARCHAR) AS qid,
+        |       SUBSTR(p_type, 1, 5) AS type5,
+        |       LENGTH(p_name) AS name_len
+        |FROM part
+        |WHERE p_type LIKE '%ARD'
+        |ORDER BY p_partkey""".stripMargin,
+    "q11_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+    "q11b_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k""".stripMargin,
+    "q12_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q13_dates" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |       COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE EXTRACT(YEAR FROM ts) = 2024 AND EXTRACT(MONTH FROM ts) = 1
+        |GROUP BY CAST(date_trunc('day', ts) AS DATE)
+        |ORDER BY d""".stripMargin,
+    "q14_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w, event_type""".stripMargin,
+    "q15_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(1 + SUM(new_sess) AS BIGINT) AS sessions, COUNT(*) AS events
+        |FROM flagged
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 5
+        |ORDER BY user_id""".stripMargin,
+    "q16_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q16b_anti" ->
+      """SELECT COUNT(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+  )
 }

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface of the engine (SURVEY.md §2.2–§2.7).
+  *
+  * Every query here is the Catalyst-visible rebuild of a mechanism the
+  * reference implements with typed lambdas or RDD code, so predicate
+  * pushdown / column pruning / whole-stage codegen apply end-to-end:
+  *  - scans+filters (reference DataGatherer.scala:37-59,78-98)
+  *  - equi/outer joins (DataGatherer.scala:48, ScorePredictor.scala:47)
+  *  - group-by aggregation (DataGatherer.scala:70-73)
+  *  - window rank (FeatureExtractor.scala:35-75)
+  *  - long→wide pivot (FeatureExtractor.scala:85-103)
+  *  - set ops / semi-anti / top-k (engine capabilities, SURVEY §2.3/§2.6/§2.7)
+  *
+  * Scale notes: dimension joins (region/nation) are explicitly
+  * broadcast; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew handling; no driver-side collect anywhere.
+  */
+object Relational {
+
+  /** Q01 — date-range scan + filter + project; filters push into the
+    * parquet scan (reference P1/P5 made Column-form, DataGatherer.scala:94).
+    */
+  def q01(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
+        && col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 — TPC-H-Q1-style aggregate; Catalyst plans partial+final
+    * HashAggregate (reference A1 family, DataGatherer.scala:70-73). */
+  def q02(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q03 — group-by-sum with HAVING, the pageview_hourly shape
+    * (reference S4/A1, DataGatherer.scala:68-74). */
+  def q03(t: Tables): DataFrame =
+    t.events
+      .groupBy("event_type", "user_id")
+      .agg(sum("value").as("pv"))
+      .filter(col("pv") > 50)
+      .select(
+        col("event_type").as("site"), col("user_id"),
+        round(col("pv"), 2).as("pageviews"))
+      .orderBy("site", "user_id")
+
+  /** Q04 — equi inner join USING (reference J1, DataGatherer.scala:48);
+    * the dimension-side filter prunes before the shuffle. */
+  def q04(t: Tables): DataFrame =
+    t.orders
+      .join(
+        t.customer.filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
+
+  /** Q05 — 5-way join incl. region/nation dims (reference J1/J4);
+    * tiny dims broadcast explicitly, fact joins shuffle on keys. */
+  def q05(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("orders_cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("n_name")
+
+  /** Q06 — full-outer-join reduce chain + COALESCE fill (reference
+    * J2/J3, ScorePredictor.scala:47). Kept as the literal join-chain for
+    * parity; see [[graft.ml.Scoring]] for the union+pivot rewrite that
+    * replaces an N-deep chain at scale. */
+  def q06(t: Tables): DataFrame = {
+    def leg(eventType: String, alias: String): DataFrame =
+      t.events.filter(col("event_type") === eventType)
+        .groupBy("user_id")
+        .agg(round(sum("value"), 2).as(alias))
+    val clicks = leg("click", "click_v")
+    val views = leg("view", "view_v")
+    val buys = leg("purchase", "buy_v")
+    clicks
+      .join(views, Seq("user_id"), "full_outer")
+      .join(buys, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("click_v"), lit(0.0)).as("click_v"),
+        coalesce(col("view_v"), lit(0.0)).as("view_v"),
+        coalesce(col("buy_v"), lit(0.0)).as("buy_v"))
+      .orderBy("user_id")
+  }
+
+  /** Q07 — normalized popularity rank: row_number / partition count,
+    * deterministic tiebreak by id. This is the Catalyst form of the
+    * reference's custom partitioner + secondary sort + stateful
+    * mapPartitions (FeatureExtractor.scala:35-75): one shuffle by
+    * `event_type`, in-partition sort, no driver round-trip for counts
+    * (reference shipped a countByValue map through a closure,
+    * FeatureExtractor.scala:51,69). */
+  def q07(t: Tables): DataFrame = {
+    val part = Window.partitionBy("event_type")
+    val w = part.orderBy("value", "event_id")
+    t.events
+      .filter(col("user_id") < 50)
+      .select(
+        col("event_type"), col("event_id"),
+        round(
+          row_number().over(w).cast("double") / count(lit(1)).over(part), 6)
+          .as("rank_norm"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Q08 — long→wide pivot with exists flags + 0.0 fill, the Catalyst
+    * rewrite of the reference's manual row-assembly pivot
+    * (FeatureExtractor.scala:85-103; fill semantics :96-99). */
+  def q08(t: Tables): DataFrame = {
+    val sites = Seq("click", "view", "purchase")
+    val wide = t.events
+      .groupBy("user_id")
+      .pivot("event_type", sites)
+      .agg(
+        sum("value").as("pageviews"),
+        max(lit(1.0)).as("exists"))
+      .na.fill(0.0)
+    wide.select(
+      col("user_id") +:
+        sites.flatMap(s => Seq(
+          round(col(s"${s}_pageviews"), 2).as(s"pageviews_$s"),
+          col(s"${s}_exists").as(s"exists_$s"))): _*)
+      .orderBy("user_id")
+  }
+
+  /** Q09 — distinct + sort; the site-list query (reference A3,
+    * JobRunner.scala:50) kept distributed until the (bounded) collect
+    * the caller may do for schema definition. */
+  def q09(t: Tables): DataFrame =
+    t.events.select("event_type").distinct().orderBy("event_type")
+
+  /** Q10 — scalar string surface (reference P1/P2 + documented upstream
+    * SQL, DataGatherer.scala:94-98, ArgParser.scala:37-43). */
+  def q10(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_type").like("%ARD"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        translate(col("p_name"), " ", "_").as("name_us"),
+        concat(lit("Q"), col("p_partkey").cast("string")).as("qid"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** Q11 — INTERSECT (set-op surface, SURVEY §2.7). */
+  def q11(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("k"))
+      .intersect(t.supplier.select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q11b — EXCEPT: high-balance customers outside the BUILDING segment
+    * (the natural FK-shaped variants are all empty in the testdata —
+    * every customer orders, every nation has suppliers). */
+  def q11b(t: Tables): DataFrame =
+    t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      .except(
+        t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q12 — global top-k → TakeOrderedAndProject, no full sort
+    * (SURVEY O3). */
+  def q12(t: Tables): DataFrame =
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+
+  /** Q13 — date functions; year/month predicates prune before the
+    * aggregate (scalar table §2.8, X4). */
+  def q13(t: Tables): DataFrame =
+    t.events
+      .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("v"))
+      .orderBy("d")
+
+  /** Q14 — tumbling-window batch equivalent (§2.9); the streaming twin
+    * lives in [[graft.streaming.EventsStreaming]]. */
+  def q14(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("w", "event_type")
+
+  /** Q15 — gap-based sessionization via lag + running sum (§2.9):
+    * batch-oracle-able form of session windows. One shuffle by
+    * user_id serves both the window and the final aggregate. */
+  def q15(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = 30L * 60 * 1000 * 1000
+    t.events
+      .select(
+        col("user_id"),
+        when(
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > gapMicros, 1).otherwise(0).as("new_sess"))
+      .groupBy("user_id")
+      .agg(
+        (lit(1) + sum("new_sess")).cast("long").as("sessions"),
+        count(lit(1)).as("events"))
+      .filter(col("events") >= 5)
+      .orderBy("user_id")
+  }
+
+  /** Q16 — EXISTS as left-semi join (the reference uses inner-USING-join
+    * J1 as an existence filter, DataGatherer.scala:48; made explicit). */
+  def q16(t: Tables): DataFrame =
+    t.customer
+      .join(
+        t.orders.filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Q16b — NOT EXISTS as left-anti join + count. */
+  def q16b(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("all declared queries run and return rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      // every query except the possibly-empty q01 filter should hit rows
+      if (name != "q01_scan_filter") assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q07 rank_norm is in (0,1] and monotone in value within site") {
+    val r = Relational.q07(tables)
+    val bad = r.filter(col("rank_norm") <= 0 || col("rank_norm") > 1).count()
+    assert(bad == 0)
+    // max rank per site is exactly 1.0 (row_number == count on the max row)
+    val maxes = r.groupBy("event_type").agg(max("rank_norm").as("m"))
+      .filter(col("m") < 0.999999).count()
+    assert(maxes == 0)
+  }
+
+  test("q08 pivot: exists flags are 0/1 and pageviews 0 when absent") {
+    val r = Relational.q08(tables)
+    for (s <- Seq("click", "view", "purchase")) {
+      assert(r.filter(!col(s"exists_$s").isin(0.0, 1.0)).count() == 0)
+      assert(r.filter(col(s"exists_$s") === 0.0 &&
+        col(s"pageviews_$s") =!= 0.0).count() == 0)
+    }
+  }
+
+  test("q12 top-k returns exactly k rows in descending order") {
+    val rows = Relational.q12(tables).collect()
+    assert(rows.length == 10)
+    val totals = rows.map(_.getDouble(1))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q06 outer chain covers the union of user ids") {
+    val r = Relational.q06(tables)
+    val expected = tables.events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select("user_id").distinct().count()
+    assert(r.count() == expected)
+  }
+
+  test("q15 sessions are at least 1 and at most the event count") {
+    val r = Relational.q15(tables)
+    assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
+      .count() == 0)
+  }
+}
