@@ -39,7 +39,61 @@ object SparkEntry {
     "q15_sessionize" -> q(Relational.q15),
     "q16_semi" -> q(Relational.q16),
     "q16b_anti" -> q(Relational.q16b),
+    "q17_dedup_exact" -> q(t => Dedup.exactDupGroups(t.documents)),
+    "q17b_dedup_prefix" -> q(t => Dedup.prefixDupGroups(t.documents)),
+    "q19_ngram_jaccard" -> q(t => Dedup.ngramJaccardPairs(t.documents)),
+    "q20_minhash_lsh" -> q(t => Dedup.minhashNearDups(t.documents)),
+    "q21_simhash" -> q(t => Dedup.simhash(t.documents)),
+    "q18_text_stats" -> q(t => TextAnalysis.statsByLang(t.documents)),
+    "q22_token_counts" -> q(t => TextAnalysis.tokenCounts(t.documents)),
+    "q23_quality" -> q(t => TextAnalysis.qualityScore(t.documents)),
+    "q24_langid" -> q(t => TextAnalysis.langIdByMarkers(t.documents)),
+    "q25_fingerprint" -> q(t => TextAnalysis.fingerprint(t.documents)),
+    "q26_cosine_topk" -> q(t => Similarity.cosineTopK(t.embeddings)),
   )
+
+  /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */
+  private val duckShingles =
+    "list_distinct([array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)])"
+
+  private def minhashOracle: String = {
+    val mhDefs = (0 until 16)
+      .map(i => s"min(md5('$i:'||shingle)) AS mh$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL ")
+    val eqSum = (0 until 16)
+      .map(i => s"(CASE WHEN x.mh$i=y.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+       |sig AS (SELECT doc_id, $mhDefs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |         FROM bands a JOIN bands b
+       |           ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id),
+       |est AS (SELECT doc_i, doc_j,
+       |          ROUND(CAST($eqSum AS DOUBLE)/16, 4) AS est_jac
+       |        FROM cand JOIN sig x ON x.doc_id=doc_i
+       |                  JOIN sig y ON y.doc_id=doc_j)
+       |SELECT doc_i, doc_j, est_jac FROM est WHERE est_jac >= 0.5
+       |ORDER BY doc_i, doc_j""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val high = "('8','9','a','b','c','d','e','f')"
+    val sums = (0 until 32).map(b =>
+      s"SUM(CASE WHEN substr(h,${b + 1},1) IN $high THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
+       |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -167,5 +221,92 @@ object SparkEntry {
     "q16b_anti" ->
       """SELECT COUNT(*) AS cnt FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY md5(text)
+        |HAVING COUNT(*) > 1
+        |ORDER BY h""".stripMargin,
+    "q17b_dedup_prefix" ->
+      """SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS h,
+        |       COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY 1
+        |HAVING COUNT(*) > 1
+        |ORDER BY h""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+         |           FROM idx a JOIN idx b
+         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
+         |FROM shared
+         |JOIN sizes si ON si.doc_id = doc_i
+         |JOIN sizes sj ON sj.doc_id = doc_j
+         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q20_minhash_lsh" -> minhashOracle,
+    "q21_simhash" -> simhashOracle,
+    "q18_text_stats" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+        |       CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+        |       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q23_quality" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(n_chars AS DOUBLE)/len(t), 4) AS chars_per_token,
+        |       ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS DOUBLE)/len(t), 4) AS stopword_ratio
+        |FROM (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q24_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS lang_true, string_split(text,' ') AS t FROM documents),
+        |sc AS (SELECT doc_id, lang_true,
+        |  CAST(len(list_filter(t, x -> x IN ('der','die','das'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','of'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(t, x -> x IN ('el','la','de'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(t, x -> x IN ('le','la','et'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(t, x -> x IN ('de','le','shi'))) AS BIGINT) AS score_zh
+        |FROM s)
+        |SELECT doc_id, lang_true,
+        |  CASE WHEN score_de = g THEN 'de' WHEN score_en = g THEN 'en'
+        |       WHEN score_es = g THEN 'es' WHEN score_fr = g THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  score_de, score_en, score_es, score_fr, score_zh
+        |FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS g FROM sc)
+        |ORDER BY doc_id""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q26_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, e AS cv FROM v),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))), 6) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |rk AS (SELECT qid, cid, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |       FROM scored)
+        |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
   )
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface (SURVEY
+  * §2.10 X1/X2): exact, prefix-key, n-gram Jaccard, MinHash+LSH, and
+  * SimHash near-dup detection over the `documents` table.
+  *
+  * Scale design (the point of every operator here):
+  *  - NOTHING does a cross join. Candidate generation is always an
+  *    equi-join on a derived key (hash, shingle, LSH band, SimHash
+  *    band), so Spark shuffles on that key and the work is proportional
+  *    to matching pairs, not |docs|².
+  *  - All hashes are md5 (Catalyst-native, codegen'd) so a SQL oracle
+  *    can reproduce them bit-for-bit; nothing depends on JVM hashCode.
+  *  - Every stage is a plain projection / groupBy / join — AQE handles
+  *    skewed shingle keys (stopword-heavy shingles) by splitting.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (n consecutive whitespace
+    * tokens joined by a space), empty array when the document is
+    * shorter than n tokens. Guarded: Spark's `sequence(1, x)` DESCENDS
+    * for x < 1, so the short-document case must short-circuit.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** q17 — exact dedup: group documents by full-text md5, report groups
+    * with >1 member and the keeper (min doc_id) — the hash-groupBy
+    * formulation that scales (shuffle on the 128-bit hash, never on the
+    * text itself; at 100 TB the text column is pruned away before the
+    * shuffle). */
+  def exactDupGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** q17b — prefix-key dedup: same hash-groupBy over the first
+    * `prefixTokens` tokens — catches boilerplate-prefix duplicates that
+    * full-text hashing misses. */
+  def prefixDupGroups(documents: DataFrame, prefixTokens: Int = 5): DataFrame =
+    documents
+      .groupBy(
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, prefixTokens)))
+          .as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** Exploded distinct (doc_id, shingle) inverted index. */
+  private def shingleIndex(documents: DataFrame, n: Int): DataFrame =
+    documents.select(
+      col("doc_id"),
+      explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+
+  /** q19 — exact n-gram Jaccard near-dup pairs ≥ `minJaccard`, via the
+    * inverted-index candidate join:
+    * |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * Cost is Σ_shingle df(shingle)² — proportional to actual shingle
+    * sharing, not |docs|²; at 100 TB the hot (stopword) shingles are
+    * the skew keys AQE splits, and a `df(shingle) ≤ limit` filter can
+    * cap them (not applied here so the oracle stays exact). */
+  def ngramJaccardPairs(
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(documents, n)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_i")
+        .withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j")
+        .withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .select(
+        col("doc_i"), col("doc_j"),
+        round(col("shared").cast("double")
+          / (col("n_i") + col("n_j") - col("shared")), 4).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** MinHash signature columns mh0..mh{k-1}: per permutation i the
+    * signature is min(md5("i:" ++ shingle)) — string-min over a keyed
+    * md5 is a valid minwise family and, unlike seeded murmur, is
+    * reproducible in any engine with md5. One groupBy produces all k
+    * components (map-side partial min, no extra shuffles). */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame =
+    shingleIndex(documents, 3)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")): _*)
+
+  /** q20 — MinHash+LSH near-dup pairs: band the k-component signature
+    * into `bands` bands of k/bands rows, bucket-join on (band, band
+    * key), then estimate Jaccard as the fraction of equal signature
+    * components. The band join is the 100 TB path: candidate count is
+    * driven by collisions, and the signature (k md5 strings) is ~500
+    * bytes/doc regardless of document size. */
+  def minhashNearDups(
+      documents: DataFrame, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(documents, k).cache()
+    val bandKeys = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+      }: _*)).as(Seq("band", "bkey")))
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    val eq = (0 until k).map(i =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("x"), col("doc_i") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_j") === col("y.doc_id"))
+      .select(
+        col("doc_i"), col("doc_j"),
+        round(eq.cast("double") / k, 4).as("est_jac"))
+      .filter(col("est_jac") >= minEstJaccard)
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** q21 — 32-bit SimHash fingerprint from the hex digits of per-token
+    * md5: bit b is the sign of Σ_tokens (±1 by the high bit of hex digit
+    * b). Token multiplicity weights naturally (explode keeps dups).
+    * Integer arithmetic end-to-end → bit-identical in any md5-capable
+    * engine. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val perTok = documents.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val sums = perTok.groupBy("doc_id").agg(
+      sum(when(substring(col("h"), 1, 1).isin(highHex: _*), 1)
+        .otherwise(-1)).as("s0"),
+      (1 until 32).map(b =>
+        sum(when(substring(col("h"), b + 1, 1).isin(highHex: _*), 1)
+          .otherwise(-1)).as(s"s$b")): _*)
+    val fp = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup candidates: docs whose fingerprints agree on at
+    * least one of four 8-bit bands (bucket equi-join — the standard
+    * Hamming-ball index), verified by true Hamming distance ≤ maxDist.
+    * Spark-side only (bit_count is engine-specific). */
+  def simhashNearDups(documents: DataFrame, maxDist: Int = 6): DataFrame = {
+    val fp = simhash(documents)
+    val bandsOf = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("bkey"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array(bandsOf: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_i", "doc_j")
+  }
+}

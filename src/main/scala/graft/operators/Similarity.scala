@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §2.10 X2):
+  * brute-force cosine top-k as the exact baseline and a random-
+  * hyperplane LSH bucketed variant as the 100 TB scale path.
+  *
+  * Vector math is pure Catalyst (`zip_with` + `aggregate` on
+  * ARRAY<DOUBLE>): codegen'd, no UDFs, no MLlib Vector boxing. Sums run
+  * left-to-right in index order, so results are deterministic and
+  * reproducible in any engine that evaluates the same order.
+  */
+object Similarity {
+
+  /** Float embedding → ARRAY<DOUBLE> (all math in double: float
+    * accumulation drifts and would break cross-engine comparison). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** q26 — exact cosine top-k: for each query vector (`vec_id` ∈
+    * queryIds), the k nearest other vectors by cosine.
+    *
+    * Plan shape: the (tiny) query set is broadcast against the corpus —
+    * a map-side nested loop over each corpus partition, then a top-k
+    * window per query id. At 1000 executors this is embarrassingly
+    * parallel over the corpus and shuffles only |queries|·|corpus-
+    * partition winners| rows into the final window.
+    * Ordering ties broken by vec_id; ordering key is the cosine rounded
+    * to 6 decimals so the ranking (not just the output) is reproducible
+    * across engines.
+    */
+  def cosineTopK(
+      embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = embeddings
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(
+        col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
+    * deterministic ±1 hyperplane derived from xxhash64(i, dim) — no
+    * stored projection matrix, any executor can recompute it. */
+  def hyperplaneSig(v: Column, dim: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * when(pmod(xxhash64(lit(i), j), lit(2)) === 0, 1.0)
+            .otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Approximate NN via LSH bucketing: vectors sharing a signature
+    * band become candidates; exact cosine re-ranks candidates only.
+    * The scale path — candidate count is collision-driven, the corpus
+    * is never crossed with itself. Recall is tested against
+    * [[cosineTopK]] in SimilaritySpec. */
+  def lshCosineTopK(
+      embeddings: DataFrame, dim: Int = 64, queryMaxId: Long = 10,
+      k: Int = 5, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val sig = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"),
+      hyperplaneSig(asDouble(col("embedding")), dim, bits).as("sig"))
+    val banded = sig.select(
+      col("vec_id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    val q = banded.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("band"), col("bkey"))
+    val cand = banded.as("c")
+      .join(broadcast(q),
+        col("c.band") === q("band") && col("c.bkey") === q("bkey")
+          && col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("c.vec_id").as("cid"),
+        col("c.v").as("cv"))
+      .distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    cand
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (X1's embedding flavor):
+    * all pairs with cosine ≥ minCos among LSH band collisions —
+    * near-dup detection without the |corpus|² cross join. */
+  def embeddingNearDups(
+      embeddings: DataFrame, dim: Int = 64, minCos: Double = 0.95,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val sig = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"),
+      hyperplaneSig(asDouble(col("embedding")), dim, bits).as("sig"))
+    val banded = sig.select(
+      col("vec_id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("vec_i"), col("vec_j"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_i", "vec_j")
+  }
+}

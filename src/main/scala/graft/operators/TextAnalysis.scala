@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY
+  * §2.10 X3): token statistics, quality scoring, marker-based language
+  * ID, and document fingerprinting over the `documents` table.
+  *
+  * All operators are pure Column expressions (codegen-friendly, no
+  * UDFs); each is a single map-side projection or one groupBy — they
+  * scale linearly with document count and never collect to the driver.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** q18 — per-language corpus stats (SURVEY Q18). */
+  def statsByLang(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"))
+      .orderBy("lang")
+
+  /** q22 — token counting: total and distinct whitespace tokens per
+    * document (the BPE-ish regex variant is [[tokenCountRegex]]). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long")
+          .as("n_unique"))
+      .orderBy("doc_id")
+
+  /** BPE-ish sub-word token count: splits on word/non-word boundaries
+    * with a regex (library surface; unit-tested, not oracle-declared —
+    * regex escaping is not portable across engines per SURVEY §2.11). */
+  def tokenCountRegex(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0))
+
+  /** q23 — quality scoring: length / mean-token-length / stopword
+    * ratio, the heuristics a pretraining filter applies per document. */
+  def qualityScore(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    documents
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        round(col("n_chars") / nTok, 4).as("chars_per_token"),
+        round(
+          size(filter(toks, t => array_contains(stopArr, t))) / nTok, 4)
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q24 — marker-token language ID: score each language by marker-token
+    * hits, predict the argmax (ties broken by language name). The marker
+    * lists are the deterministic stand-in for learned n-gram profiles —
+    * the scoring plumbing (per-language score columns → argmax) is what
+    * a profile-based classifier uses.
+    */
+  def langIdByMarkers(
+      documents: DataFrame,
+      markers: Map[String, Seq[String]] = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "la", "de"),
+        "fr" -> Seq("le", "la", "et"),
+        "zh" -> Seq("de", "le", "shi"))): DataFrame = {
+    val toks = tokens(col("text"))
+    val langs = markers.keys.toSeq.sorted
+    val scored = documents.select(
+      col("doc_id") +: col("lang").as("lang_true") +: langs.map { l =>
+        val arr = array(markers(l).map(lit): _*)
+        size(filter(toks, t => array_contains(arr, t))).cast("long")
+          .as(s"score_$l")
+      }: _*)
+    // argmax with deterministic tiebreak: first language (sorted) with
+    // the maximal score wins
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val out = scored.withColumn("pred_lang",
+      langs.foldLeft(lit("und")) { (acc, l) =>
+        when(acc =!= "und", acc)
+          .otherwise(when(col(s"score_$l") === maxScore, lit(l))
+            .otherwise(lit("und")))
+      })
+    out.select(
+      col("doc_id") +: col("lang_true") +: col("pred_lang") +:
+        langs.map(l => col(s"score_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** q25 — document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text. The rolling-hash shingle fingerprint (content-
+    * defined chunking flavor) is [[rollingFingerprint]], Spark-side only.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " "))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Polynomial rolling hash over the token stream (base 31, mod 2^61-1
+    * via Long arithmetic) — a locality-insensitive whole-document
+    * fingerprint computed without leaving codegen: `aggregate` over the
+    * token array with xxhash64 per token. Unit-tested; not
+    * oracle-declared (xxhash64 is Spark-specific).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = 1000000007L // keep acc*31+h < 2^35: no ANSI-mode overflow
+    aggregate(
+      transform(tokens(text), t => pmod(xxhash64(t), lit(p))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(p)))
+  }
+}

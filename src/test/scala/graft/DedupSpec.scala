@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n consecutive tokens, short docs yield empty") {
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("exact dedup finds planted duplicates and keeps min id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "unique text here"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDupGroups(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n") == 3 && got(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) == 1.0)
+  }
+
+  test("minhash est_jac approximates true jaccard on near-dup docs") {
+    val docs = tables.documents
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select($"doc_i", $"doc_j").as[(Long, Long)].collect().toSet
+    val est = Dedup.minhashNearDups(docs, 16, 4, 0.5)
+      .select($"doc_i", $"doc_j").as[(Long, Long)].collect().toSet
+    // LSH with 16 perms is approximate: require substantial overlap
+    val recall = (exact & est).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.6, s"minhash recall $recall too low (exact=${exact.size}, est=${est.size})")
+  }
+
+  test("simhash: identical docs identical, hamming 0 in near-dups") {
+    val docs = Seq(
+      (1L, "spark scala engine test"), (2L, "spark scala engine test"),
+      (3L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs).collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val nd = Dedup.simhashNearDups(docs, 0).collect()
+    assert(nd.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(
+        Similarity.asDouble(col("a")), Similarity.asDouble(col("b")))
+        .as("cos"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("cosineTopK returns k neighbors per query, self excluded") {
+    val r = Similarity.cosineTopK(tables.embeddings, 10, 5)
+    val byQ = r.groupBy("qid").agg(count(lit(1)).as("n"),
+      max(when(col("qid") === col("cid"), 1).otherwise(0)).as("self"))
+    assert(byQ.filter(col("n") =!= 5 || col("self") === 1).count() == 0)
+  }
+
+  test("LSH topk recall vs brute force") {
+    val exact = Similarity.cosineTopK(tables.embeddings, 10, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosineTopK(tables.embeddings, 64, 10, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 16-bit/4-band LSH on random-ish embeddings: expect moderate recall
+    assert(recall >= 0.3, s"LSH recall $recall (approx=${approx.size})")
+    info(s"LSH recall@5 = $recall")
+  }
+
+  test("embeddingNearDups emits only high-cosine collision pairs") {
+    val r = Similarity.embeddingNearDups(tables.embeddings, 64, 0.9)
+    assert(r.filter(col("cos") < 0.9).count() == 0)
+  }
+}

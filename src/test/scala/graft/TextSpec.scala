@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCounts: totals and uniques") {
+    val docs = Seq((1L, "a b a c"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(docs).collect()
+    assert(got(0).getLong(1) == 4 && got(0).getLong(2) == 3)
+    assert(got(1).getLong(1) == 1 && got(1).getLong(2) == 1)
+  }
+
+  test("tokenCountRegex splits on non-word runs") {
+    val got = Seq("foo_bar, baz!! qux123")
+      .toDF("t").select(TextAnalysis.tokenCountRegex(col("t")))
+      .as[Int].head()
+    assert(got == 4) // foo_bar has _ as non-word: foo, bar, baz, qux123
+  }
+
+  test("qualityScore: stopword ratio correct") {
+    val docs = Seq((1L, "the cat and the hat", 19L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.qualityScore(docs).head()
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Double]("stopword_ratio") == 0.6) // the, and, the
+  }
+
+  test("langId predicts the language whose markers dominate") {
+    val docs = Seq(
+      (1L, "der hund und die katze das haus", "de"),
+      (2L, "the cat of a house the dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdByMarkers(docs).collect()
+    assert(got(0).getAs[String]("pred_lang") == "de")
+    assert(got(1).getAs[String]("pred_lang") == "en")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs).select("fingerprint")
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("rollingFingerprint distinguishes token order") {
+    val got = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t"))).as[Long].collect()
+    assert(got(0) != got(1) && got(0) == got(2))
+  }
+}
