@@ -50,6 +50,13 @@ object SparkEntry {
     "q24_langid" -> q(t => TextAnalysis.langIdByMarkers(t.documents)),
     "q25_fingerprint" -> q(t => TextAnalysis.fingerprint(t.documents)),
     "q26_cosine_topk" -> q(t => Similarity.cosineTopK(t.embeddings)),
+    "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
+    // ML queries: seeded but float/model-dependent — rows-only checks
+    // (SURVEY §2.11 "non-declared"), no oracleSql entries.
+    "ml_score_matrix" -> ((s, dir) =>
+      graft.ml.Ranker.pipeline(s, Tables(s, dir).events)),
+    "ml_rmse_report" -> ((s, dir) =>
+      graft.ml.Ranker.rmseReport(Tables(s, dir).events)),
   )
 
   /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */
@@ -308,5 +315,26 @@ object SparkEntry {
         |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
         |FROM rk WHERE rk <= 5
         |ORDER BY qid, rk""".stripMargin,
+    "q27_feature_matrix" -> {
+      val sites = Seq("click", "error", "purchase", "signup", "view")
+      val cols = sites.map(s =>
+        s"""  ROUND(SUM(CASE WHEN site='$s' THEN pageviews ELSE 0 END), 2) AS pageviews_$s,
+           |  ROUND(SUM(CASE WHEN site='$s' THEN rank ELSE 0 END), 6) AS rank_$s,
+           |  MAX(CASE WHEN site='$s' THEN 1.0 ELSE 0.0 END) AS exists_$s""".stripMargin)
+        .mkString(",\n")
+      s"""WITH parsed AS (
+         |  SELECT CAST(user_id AS VARCHAR) || '-' ||
+         |         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS id,
+         |         event_type AS site, SUM(value) AS pageviews
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT id, site, pageviews,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY site ORDER BY pageviews, id) AS DOUBLE)
+         |           / COUNT(*) OVER (PARTITION BY site) AS rank
+         |  FROM parsed)
+         |SELECT id,
+         |$cols
+         |FROM ranked GROUP BY id ORDER BY id""".stripMargin
+    },
   )
 }
