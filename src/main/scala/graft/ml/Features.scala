@@ -77,12 +77,16 @@ object Features {
     parsed.select("site").distinct().orderBy("site")
       .collect().map(_.getString(0)).toSeq
 
-  /** Full feature stage for the events proxy domain. */
-  def featureMatrix(events: DataFrame): (DataFrame, Seq[String]) = {
-    val parsed = parse(events)
+  /** Full feature stage over any long-form `(id, site, pageviews)`
+    * frame (the reference's parsed data, Utils.scala:12). */
+  def featureMatrixFromParsed(parsed: DataFrame): (DataFrame, Seq[String]) = {
     val sites = siteList(parsed)
     (pivotFeatures(ranked(parsed), sites), sites)
   }
+
+  /** Full feature stage for the events proxy domain. */
+  def featureMatrix(events: DataFrame): (DataFrame, Seq[String]) =
+    featureMatrixFromParsed(parse(events))
 
   /** q27 — oracle-facing feature matrix with declared rounding
     * (pageviews 2dp, rank 6dp) and total ordering. */

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{Readers, Writers}
+import org.apache.spark.sql.functions._
+
+/** Reference-domain fixtures (FIXTURES.md B1–B3) + reader/writer specs. */
+object Fixtures {
+  // 8 items × up to 6 sites, some missing combos, one malformed row
+  val sites = Seq("enwiki", "dewiki", "frwiki", "eswiki", "itwiki", "ptwiki")
+
+  def sitelinksTsv: String = {
+    val rows = for {
+      q <- 1 to 8
+      (s, i) <- sites.zipWithIndex
+      if (q + i) % 3 != 0 // holes: items missing in some sites
+    } yield s"Q$q\t$s\tTitle_${q}_$s"
+    // malformed = MORE columns than the schema (fewer just reads as
+    // nulls in permissive CSV; extra columns trip DROPMALFORMED)
+    ("id\tsite\ttitle" +: rows :+ "BAD\tROW\tWITH\tTOO\tMANY\tCOLS")
+      .mkString("\n")
+  }
+
+  def pagecountsSsv: String = {
+    val rows = for {
+      q <- 1 to 8
+      (s, i) <- sites.zipWithIndex
+      if (q + i) % 4 != 0 // different holes: zero-view articles exist
+    } yield {
+      val z = s.stripSuffix("wiki") + ".z"
+      s"$z Title_${q}_$s ${(q * 10 + i).toDouble}"
+    }
+    // non-.z rows that the project-total filter must drop:
+    val nonTotals = Seq("en Title_1_enwiki 999", "de Title_2_dewiki 999")
+    (rows ++ nonTotals).mkString("\n")
+  }
+
+  def rawDataTsv: String = {
+    // leading unnamed index column like the reference's checked-in
+    // lite fixture (header starts with a tab)
+    val rows = for {
+      q <- 1 to 8
+      (s, i) <- sites.zipWithIndex
+      if (q + i) % 3 != 0
+    } yield s"${q * 10 + i}\tQ$q\t$s\tTitle_${q}_$s\t${(q * 10 + i).toDouble}"
+    ("\tid\tsite\ttitle\tpageviews" +: rows).mkString("\n")
+  }
+
+  def write(dir: String): (String, String, String) = {
+    val sl = s"$dir/sitelinks.tsv"
+    val pc = s"$dir/pagecounts"
+    val rd = s"$dir/rawdata.tsv"
+    Files.writeString(java.nio.file.Paths.get(sl), sitelinksTsv)
+    Files.writeString(java.nio.file.Paths.get(pc), pagecountsSsv)
+    Files.writeString(java.nio.file.Paths.get(rd), rawDataTsv)
+    (sl, pc, rd)
+  }
+}
+
+class IoSpec extends SparkSpec {
+
+  lazy val dir: String = Files.createTempDirectory("graft-io").toString
+  lazy val (slPath, pcPath, rdPath) = Fixtures.write(dir)
+
+  test("sitelinks TSV: header honored, malformed row dropped") {
+    val ds = Readers.sitelinks(spark, slPath)
+    // collect (all columns) on purpose: with CSV column pruning a
+    // count() reads no columns and DROPMALFORMED never sees the bad row
+    val rows = ds.collect()
+    assert(rows.length == Fixtures.sitelinksTsv.linesIterator.size - 2)
+    assert(rows.forall(_.id.startsWith("Q")))
+  }
+
+  test("pagecounts: space-separated, .z filter + wiki rewrite") {
+    val pc = Readers.pagecounts(spark, pcPath)
+    val totals = Readers.projectTotals(pc)
+    assert(totals.filter(!col("site").endsWith("wiki")).count() == 0)
+    assert(totals.count() == pc.count() - 2) // the two non-.z rows
+  }
+
+  test("parseRaw: inner join drops zero-view articles") {
+    val parsed = Readers.parseRaw(spark, slPath, pcPath)
+    val sl = Readers.sitelinks(spark, slPath).count()
+    assert(parsed.count() > 0 && parsed.count() < sl)
+    // every surviving row has a positive pageview count
+    assert(parsed.filter(col("pageviews") <= 0).count() == 0)
+  }
+
+  test("rawData TSV tolerates the leading unnamed index column") {
+    val ds = Readers.rawData(spark, rdPath)
+    assert(ds.columns.toSeq == Seq("id", "site", "title", "pageviews"))
+    assert(ds.count() == Fixtures.rawDataTsv.linesIterator.size - 1)
+  }
+
+  test("badRecords surfaces the malformed row permissively") {
+    val bad = Readers.badRecords(
+      spark, slPath, Readers.sitelinkSchema, "\t")
+    assert(bad.count() == 1)
+  }
+
+  test("parquet round-trip and ErrorIfExists semantics") {
+    val out = s"$dir/parsed_parquet"
+    val parsed = Readers.parseRaw(spark, slPath, pcPath).toDF()
+    Writers.parquet(parsed, out)
+    val back = Readers.parsedParquet(spark, out)
+    assert(back.count() == parsed.count())
+    intercept[Exception](Writers.parquet(parsed, out))
+  }
+
+  test("csv sink: single-file mode writes exactly one part file") {
+    val out = s"$dir/csv_single"
+    Writers.csv(
+      Readers.parseRaw(spark, slPath, pcPath).toDF(), out, singleFile = true)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    assert(parts(0).getName.endsWith(".csv.bz2"))
+  }
+}
