@@ -51,6 +51,10 @@ object SparkEntry {
     "q25_fingerprint" -> q(t => TextAnalysis.fingerprint(t.documents)),
     "q26_cosine_topk" -> q(t => Similarity.cosineTopK(t.embeddings)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
+    "q28_session_window" -> q(t =>
+      graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
+    "q29_media_stats" -> q(t => Multimodal.mediaStats(t.documents)),
+    "q30_frame_sample" -> q(t => Multimodal.frameSample(t.documents)),
     // ML queries: seeded but float/model-dependent — rows-only checks
     // (SURVEY §2.11 "non-declared"), no oracleSql entries.
     "ml_score_matrix" -> ((s, dir) =>
@@ -336,5 +340,37 @@ object SparkEntry {
          |$cols
          |FROM ranked GROUP BY id ORDER BY id""".stripMargin
     },
+    // session_window semantics: an event extends the session while
+    // ts < prev_end (= prev_ts + gap), so a NEW session starts when the
+    // gap is >= 30 minutes — hence >= here vs q15's strict >.
+    "q28_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(1 + SUM(new_sess) AS BIGINT) AS sessions, COUNT(*) AS events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // documents.text is pure ASCII (verified per-SF), so DuckDB varchar
+    // md5/substring equal Spark's binary md5/substring over UTF-8 bytes.
+    "q29_media_stats" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q30_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |       CAST(octet_length(encode(substring(text, CAST(i*16+1 AS BIGINT), 16))) AS BIGINT) AS frame_bytes,
+        |       md5(substring(text, CAST(i*16+1 AS BIGINT), 16)) AS frame_hash
+        |FROM documents, range(0, 4) t(i)
+        |WHERE octet_length(encode(substring(text, CAST(i*16+1 AS BIGINT), 16))) > 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
   )
 }

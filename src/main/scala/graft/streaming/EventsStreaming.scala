@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table (SURVEY §2.9 —
+  * absent in the reference, declared as an engine extension): tumbling /
+  * sliding / session windows with watermarks, and streaming dedup.
+  *
+  * Every transform here is written against a plain DataFrame so the SAME
+  * function body serves batch (`spark.read`) and streaming
+  * (`spark.readStream`) inputs — batch-vs-stream parity is asserted in
+  * StreamingSpec by running both paths over the same parquet.
+  *
+  * Scale: windowed aggregations shuffle on (window, key); watermarks
+  * bound state. Session windows keep per-key state until
+  * watermark + gap — at 100 TB the watermark delay is the knob that
+  * caps state store size.
+  */
+object EventsStreaming {
+
+  /** Spark-side schema of the events table after ts normalization
+    * (needed by readStream, which cannot infer). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour counts per event type (streaming twin of Q14). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("w"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Sliding 1-hour/30-minute counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+
+  /** Gap-based sessions per user via `session_window` — the engine-native
+    * form whose batch semantics are locked against the lag+running-sum
+    * formulation (q28 oracle; boundary: a gap of exactly 30m starts a
+    * new session, hence `>=` in the oracle). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Sessions-per-user summary (batch form, comparable to Q15). */
+  def sessionsPerUser(events: DataFrame): DataFrame =
+    sessionCounts(events)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"), sum("n").cast("long").as("events"))
+      .orderBy("user_id")
+
+  /** Streaming dedup on event_id within the watermark. */
+  def dedupped(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Launch a streaming query over a parquet directory into a memory
+    * sink; caller drives it with processAllAvailable() (the local test
+    * harness — a production sink would be kafka/delta/parquet). */
+  def runToMemory(
+      spark: SparkSession, parquetDir: String, queryName: String,
+      transform: DataFrame => DataFrame,
+      watermark: Option[(String, String)] = Some("ts" -> "1 hour"),
+      outputMode: String = "complete"): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(eventsSchema)
+      .parquet(parquetDir)
+    val src = watermark.fold(raw) { case (c, d) => raw.withWatermark(c, d) }
+    transform(src).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.EventsStreaming
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch-vs-stream equivalence (SURVEY §5.2.6): the same transform body
+  * run over `spark.read` and `spark.readStream` on the same parquet
+  * must agree. */
+class StreamingSpec extends SparkSpec {
+
+  // streaming file source wants a directory of parquet part-files with
+  // a declared schema; write the normalized events once
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream").toString + "/events"
+    tables.events.write.parquet(dir)
+    dir
+  }
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def runStream(
+      name: String, transform: DataFrame => DataFrame): DataFrame = {
+    val q = EventsStreaming.runToMemory(spark, eventsDir, name, transform)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: stream == batch") {
+    val batch = EventsStreaming.tumblingCounts(
+      spark.read.parquet(eventsDir))
+    val stream = runStream("tumbling", EventsStreaming.tumblingCounts)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("sliding window: stream == batch") {
+    val batch = EventsStreaming.slidingCounts(spark.read.parquet(eventsDir))
+    val stream = runStream("sliding", EventsStreaming.slidingCounts)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("session windows: stream == batch == lag formulation") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val batch = EventsStreaming.sessionsPerUser(batchDf)
+    // streaming session_window needs update/complete mode + watermark
+    val q = EventsStreaming.runToMemory(
+      spark, eventsDir, "sessions",
+      df => EventsStreaming.sessionCounts(df), Some("ts" -> "31 days"),
+      "complete")
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"), sum("n").cast("long").as("events"))
+    assert(canon(stream) == canon(batch))
+    // and the lag+running-sum batch formulation agrees (q28 oracle shape)
+    val lagForm = Relational2.sessionsViaLag(batchDf)
+    assert(canon(lagForm) == canon(batch.orderBy("user_id")))
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val doubled = tables.events.unionAll(tables.events)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-stream2").toString + "/events"
+    doubled.write.parquet(dir2)
+    val q = EventsStreaming.runToMemory(
+      spark, dir2, "dedup", EventsStreaming.dedupped,
+      watermark = None, outputMode = "append")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup").count() == tables.events.count())
+  }
+}
+
+/** Batch lag+running-sum sessionization with session_window boundary
+  * semantics (>= gap ⇒ new session) — the q28 oracle twin. */
+object Relational2 {
+  import org.apache.spark.sql.expressions.Window
+  def sessionsViaLag(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = 30L * 60 * 1000 * 1000
+    events
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          >= gapMicros, 1).otherwise(0).as("new_sess"))
+      .groupBy("user_id")
+      .agg((lit(1) + sum("new_sess")).cast("long").as("sessions"),
+        count(lit(1)).as("events"))
+      .orderBy("user_id")
+  }
+}
