@@ -3,26 +3,34 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table registry over the driver-generated parquet testdata
-  * (`TESTDATA.md`): loads each table from `<dir>/<name>.parquet` and
-  * registers a same-named temp view so both the DataFrame operator
-  * surface and `spark.sql` can reach it.
+  * (`TESTDATA.md`): lazy accessors per table, so a query pays the
+  * parquet-footer/schema read only for the tables it actually touches.
   *
   * Scale posture: loads are plain parquet scans — Catalyst handles
-  * column pruning + predicate pushdown; nothing is cached or
-  * collected here. At 100 TB these would be partitioned tables /
-  * catalog entries; the accessor shape stays identical.
+  * column pruning + predicate pushdown; nothing is cached or collected
+  * here. At 100 TB these would be partitioned tables / catalog
+  * entries; the accessor shape stays identical.
   */
-final case class Tables(
-    region: DataFrame,
-    nation: DataFrame,
-    customer: DataFrame,
-    supplier: DataFrame,
-    part: DataFrame,
-    orders: DataFrame,
-    lineitem: DataFrame,
-    events: DataFrame,
-    documents: DataFrame,
-    embeddings: DataFrame)
+final class Tables(spark: SparkSession, dir: String) {
+  lazy val region: DataFrame = Tables.load(spark, dir, "region")
+  lazy val nation: DataFrame = Tables.load(spark, dir, "nation")
+  lazy val customer: DataFrame = Tables.load(spark, dir, "customer")
+  lazy val supplier: DataFrame = Tables.load(spark, dir, "supplier")
+  lazy val part: DataFrame = Tables.load(spark, dir, "part")
+  lazy val orders: DataFrame = Tables.load(spark, dir, "orders")
+  lazy val lineitem: DataFrame = Tables.load(spark, dir, "lineitem")
+  lazy val events: DataFrame = Tables.load(spark, dir, "events")
+  lazy val documents: DataFrame = Tables.load(spark, dir, "documents")
+  lazy val embeddings: DataFrame = Tables.load(spark, dir, "embeddings")
+
+  /** Register every table as a same-named temp view (for `spark.sql`
+    * users; forces all schema reads). */
+  def registerViews(): Tables = {
+    Tables.names.foreach(n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n))
+    this
+  }
+}
 
 object Tables {
   val names: Seq[String] = Seq(
@@ -56,16 +64,6 @@ object Tables {
     }
   }
 
-  /** Load all tables and register temp views named after them. */
-  def apply(spark: SparkSession, dir: String): Tables = {
-    val m = names.map { n =>
-      val df = load(spark, dir, n)
-      df.createOrReplaceTempView(n)
-      n -> df
-    }.toMap
-    Tables(
-      m("region"), m("nation"), m("customer"), m("supplier"), m("part"),
-      m("orders"), m("lineitem"), m("events"), m("documents"),
-      m("embeddings"))
-  }
+  def apply(spark: SparkSession, dir: String): Tables =
+    new Tables(spark, dir)
 }
