@@ -19,7 +19,16 @@ object Similarity {
     * accumulation drifts and would break cross-engine comparison). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Dot product via the native codegen'd [[graft.functions.VectorDot]]
+    * expression — one fused loop, no intermediate array. Identical
+    * index-ascending summation order to [[dotHof]], so results are
+    * bit-equal (asserted in SimilaritySpec). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vec_dot(a, b)
+
+  /** Higher-order-function formulation (`zip_with` + `aggregate`) —
+    * kept as the pure-built-ins reference implementation. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -40,14 +49,19 @@ object Similarity {
     */
   def cosineTopK(
       embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    // norms precomputed per vector (not per pair): |q|+|c| sqrt loops
+    // instead of 2·|q|·|c|; numerically identical to inline norms
     val q = embeddings.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = embeddings
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(
         col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
     scored
@@ -86,26 +100,28 @@ object Similarity {
     val sig = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v"),
       hyperplaneSig(asDouble(col("embedding")), dim, bits).as("sig"))
+      .withColumn("n", norm(col("v")))
     val banded = sig.select(
-      col("vec_id"), col("v"),
+      col("vec_id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
     val q = banded.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"),
         col("band"), col("bkey"))
     val cand = banded.as("c")
       .join(broadcast(q),
         col("c.band") === q("band") && col("c.bkey") === q("bkey")
           && col("c.vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("c.vec_id").as("cid"),
-        col("c.v").as("cv"))
+      .select(col("qid"), col("qv"), col("qn"), col("c.vec_id").as("cid"),
+        col("c.v").as("cv"), col("c.n").as("cn"))
       .distinct()
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
     cand
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "cid", "cos", "rk")
@@ -123,8 +139,9 @@ object Similarity {
     val sig = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("v"),
       hyperplaneSig(asDouble(col("embedding")), dim, bits).as("sig"))
+      .withColumn("n", norm(col("v")))
     val banded = sig.select(
-      col("vec_id"), col("v"),
+      col("vec_id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
@@ -133,10 +150,12 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
       .select(col("vec_i"), col("vec_j"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy("vec_i", "vec_j")
   }
