@@ -1,0 +1,100 @@
+package graft
+
+import graft.ml.Features
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based suite (SURVEY §5.2.3): invariants over generated
+  * long-form (id, site, pageviews) frames and token documents.
+  * (Raw scalacheck Gen with manual sampling — the scalatest bridge
+  * artifact is not on the offline classpath.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Evaluate `f` over `n` deterministic samples of `gen`. */
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      val params = Gen.Parameters.default.withSize(40)
+      gen(params, Seed(42L + i)).foreach(f)
+    }
+
+  private val rowGen = for {
+    id <- Gen.choose(1, 30)
+    site <- Gen.oneOf("alpha", "beta", "gamma", "delta")
+    pv <- Gen.choose(1, 500)
+  } yield (s"id$id", site, pv.toDouble)
+
+  private val frameGen = Gen.nonEmptyListOf(rowGen).map { rows =>
+    // feature grain: one row per (id, site)
+    rows.distinctBy(r => (r._1, r._2))
+  }
+
+  test("rank ∈ (0,1], exactly one 1.0 per site, monotone; " +
+    "scalable two-phase rank equals window rank") {
+    forSamples(frameGen) { rows =>
+      val parsed = rows.toDF("id", "site", "pageviews")
+      val r = Features.ranked(parsed).cache()
+      try {
+        assert(r.filter(col("rank") <= 0 || col("rank") > 1).count() == 0)
+        val tops = r.groupBy("site")
+          .agg(sum(when(col("rank") === 1.0, 1).otherwise(0)).as("n_top"))
+        assert(tops.filter(col("n_top") =!= 1).count() == 0)
+        val scalable = Features.rankedScalable(parsed, buckets = 4)
+        assert(r.exceptAll(scalable).count() == 0
+          && scalable.exceptAll(r).count() == 0)
+      } finally { r.unpersist(); () }
+    }
+  }
+
+  test("pivot preserves cells: unpivot(pivot(x)) == x on present cells") {
+    forSamples(frameGen) { rows =>
+      val parsed = rows.toDF("id", "site", "pageviews")
+      val sites = Features.siteList(parsed)
+      val fm = Features.pivotFeatures(Features.ranked(parsed), sites)
+      val back = sites.map(s =>
+        fm.filter(col(s"exists_$s") === 1.0)
+          .select(col("id"), lit(s).as("site"),
+            col(s"pageviews_$s").as("pageviews"))).reduce(_ unionAll _)
+      val orig = parsed.select("id", "site", "pageviews")
+      assert(back.exceptAll(orig).count() == 0
+        && orig.exceptAll(back).count() == 0)
+      // absent cells are zero-filled with exists=0
+      val zeros = sites.map(s =>
+        fm.filter(col(s"exists_$s") === 0.0 &&
+          (col(s"pageviews_$s") =!= 0.0 || col(s"rank_$s") =!= 0.0))
+          .count()).sum
+      assert(zeros == 0)
+    }
+  }
+
+  test("outer-chain row count equals union of ids (q06 invariant)") {
+    forSamples(frameGen) { rows =>
+      val parsed = rows.toDF("id", "site", "pageviews")
+      val sites = Features.siteList(parsed)
+      val perSite = sites.map(s => parsed.filter(col("site") === s)
+        .select(col("id"), col("pageviews").as(s)))
+      val chain = perSite.reduce((l, r) => l.join(r, Seq("id"), "full_outer"))
+      assert(chain.count() == parsed.select("id").distinct().count())
+    }
+  }
+
+  private val docGen = for {
+    n <- Gen.choose(1, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield toks.mkString(" ")
+
+  test("exact dedup is idempotent: deduped corpus has no dup groups") {
+    forSamples(Gen.nonEmptyListOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(docs, "doc_id").select("doc_id", "text")
+      assert(Dedup.exactDupGroups(keepers).count() == 0)
+      // and dedup keeps exactly one doc per distinct text
+      assert(keepers.count() == docs.select("text").distinct().count())
+    }
+  }
+}
