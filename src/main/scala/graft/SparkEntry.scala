@@ -53,6 +53,8 @@ object SparkEntry {
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
+    "q31_sql_surface" -> q(Relational.q31),
+    "q32_expr_join" -> q(Relational.q32),
     "q29_media_stats" -> q(t => Multimodal.mediaStats(t.documents)),
     "q30_frame_sample" -> q(t => Multimodal.frameSample(t.documents)),
     // ML queries: seeded but float/model-dependent — rows-only checks
@@ -355,6 +357,20 @@ object SparkEntry {
         |FROM flagged
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q31_sql_surface" ->
+      """SELECT event_type AS site, user_id,
+        |       ROUND(SUM(value), 2) AS pageviews
+        |FROM events
+        |WHERE EXTRACT(YEAR FROM ts) = 2024 AND EXTRACT(MONTH FROM ts) = 1
+        |  AND EXTRACT(DAY FROM ts) <= 7
+        |GROUP BY event_type, user_id
+        |ORDER BY site, user_id""".stripMargin,
+    "q32_expr_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n, ROUND(SUM(l.l_extendedprice), 2) AS rev
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
     // documents.text is pure ASCII (verified per-SF), so DuckDB varchar
     // md5/substring equal Spark's binary md5/substring over UTF-8 bytes.
     "q29_media_stats" ->

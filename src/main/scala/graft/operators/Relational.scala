@@ -252,4 +252,45 @@ object Relational {
     t.customer
       .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Q31 — the SQL entry surface (reference S4, DataGatherer.scala:68-74:
+    * `spark.sql` over a warehouse table with partition-pruning
+    * predicates). Views are registered on demand; the year/month/day
+    * predicates are the pruning shape that maps to partition columns on
+    * a real warehouse table. */
+  def q31(t: Tables): DataFrame = {
+    val spark = t.events.sparkSession
+    t.events.createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type AS site, user_id,
+        |       ROUND(SUM(value), 2) AS pageviews
+        |FROM events
+        |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) <= 7
+        |GROUP BY event_type, user_id
+        |ORDER BY site, user_id""".stripMargin)
+  }
+
+  /** Q32 — mixed-condition join (reference J4's expression-join shape,
+    * ArgParser.scala:35-47): equi key + non-equi predicate in one join
+    * condition; Catalyst extracts the equi part for the hash join and
+    * applies the rest as a join filter. */
+  def q32(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.part,
+        col("l_partkey") === col("p_partkey")
+          && col("l_quantity") > col("p_size"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("p_brand")
+
+  /** O1 — standalone secondary sort (reference
+    * repartitionAndSortWithinPartitions, FeatureExtractor.scala:55-57):
+    * co-locate by key, order within partitions — the Catalyst form is
+    * repartition + sortWithinPartitions (no custom partitioner). */
+  def secondarySorted(t: Tables): DataFrame =
+    t.events
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "value", "event_id")
 }

@@ -52,6 +52,22 @@ class RelationalSpec extends SparkSpec {
     assert(r.count() == expected)
   }
 
+  test("secondary sort: rows ordered within every partition") {
+    val sorted = Relational.secondarySorted(tables)
+    import org.apache.spark.sql.Row
+    val violations = sorted.select("event_type", "value", "event_id").rdd
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        val bad = rows.zip(rows.drop(1)).count { case (a: Row, b: Row) =>
+          val ka = (a.getString(0), a.getDouble(1), a.getLong(2))
+          val kb = (b.getString(0), b.getDouble(1), b.getLong(2))
+          Ordering[(String, Double, Long)].gt(ka, kb)
+        }
+        Iterator.single(bad)
+      }.sum()
+    assert(violations == 0)
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
