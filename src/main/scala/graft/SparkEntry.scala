@@ -50,6 +50,8 @@ object SparkEntry {
     "q24_langid" -> q(t => TextAnalysis.langIdByMarkers(t.documents)),
     "q25_fingerprint" -> q(t => TextAnalysis.fingerprint(t.documents)),
     "q26_cosine_topk" -> q(t => Similarity.cosineTopK(t.embeddings)),
+    "q33_corpus_filter" -> q(t => TextAnalysis.corpusFilter(t.documents)),
+    "q34_top_tokens" -> q(t => TextAnalysis.topTokens(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -321,6 +323,28 @@ object SparkEntry {
         |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
         |FROM rk WHERE rk <= 5
         |ORDER BY qid, rk""".stripMargin,
+    "q33_corpus_filter" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |         len(string_split(text,' ')) AS n_toks,
+        |         md5(array_to_string(string_split(text,' ')[1:5],' ')) AS pk
+        |  FROM documents),
+        |keepers AS (SELECT pk, MIN(doc_id) AS doc_id FROM keyed GROUP BY pk)
+        |SELECT k.doc_id,
+        |       CAST(k.n_toks AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(k.n_chars AS DOUBLE)/k.n_toks, 4) AS chars_per_token
+        |FROM keyed k
+        |WHERE EXISTS (SELECT 1 FROM keepers x
+        |              WHERE x.pk = k.pk AND x.doc_id = k.doc_id)
+        |  AND k.n_toks BETWEEN 20 AND 100
+        |  AND ROUND(CAST(k.n_chars AS DOUBLE)/k.n_toks, 4) < 8.0
+        |ORDER BY k.doc_id""".stripMargin,
+    "q34_top_tokens" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
     "q27_feature_matrix" -> {
       val sites = Seq("click", "error", "purchase", "signup", "view")
       val cols = sites.map(s =>

@@ -71,7 +71,10 @@ object Dedup {
     * cap them (not applied here so the oracle stays exact). */
   def ngramJaccardPairs(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // the index feeds three plan branches (sizes + both join sides);
+    // persist so tokenize+shingle+explode runs once, not three times
     val idx = shingleIndex(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = idx.as("a")
       .join(idx.as("b"),

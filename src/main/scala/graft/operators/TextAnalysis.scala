@@ -113,6 +113,45 @@ object TextAnalysis {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** q33 — combined corpus-cleaning pipeline (the pretraining-data
+    * shape): keep documents that are (a) the keeper (min doc_id) of
+    * their 5-token-prefix duplicate group, and (b) within quality
+    * bounds (token count range, mean token length cap). One dedup
+    * shuffle + map-side quality predicates — the whole filter is a
+    * single pass at scale. */
+  def corpusFilter(
+      documents: DataFrame, minTokens: Int = 20, maxTokens: Int = 100,
+      maxCharsPerToken: Double = 8.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val keyed = documents.withColumn("pk",
+      md5(concat_ws(" ", slice(toks, 1, 5))))
+    val keepers = keyed.groupBy("pk")
+      .agg(min("doc_id").as("doc_id"))
+    keyed
+      .join(keepers, Seq("pk", "doc_id"), "left_semi")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(col("n_chars") / size(toks).cast("double"), 4)
+          .as("chars_per_token"))
+      .filter(
+        col("n_tokens").between(minTokens, maxTokens)
+          && col("chars_per_token") < maxCharsPerToken)
+      .orderBy("doc_id")
+  }
+
+  /** q34 — global token frequency top-k (vocabulary head): explode +
+    * count + deterministic top-k (count desc, token asc). Partial
+    * aggregation makes the explode map-side cheap; the top-k is a
+    * TakeOrderedAndProject, not a full sort. */
+  def topTokens(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Polynomial rolling hash over the token stream (base 31, mod 2^61-1
     * via Long arithmetic) — a locality-insensitive whole-document
     * fingerprint computed without leaving codegen: `aggregate` over the
