@@ -52,6 +52,10 @@ object SparkEntry {
     "q26_cosine_topk" -> q(t => Similarity.cosineTopK(t.embeddings)),
     "q33_corpus_filter" -> q(t => TextAnalysis.corpusFilter(t.documents)),
     "q34_top_tokens" -> q(t => TextAnalysis.topTokens(t.documents)),
+    "q35_embed_near_dup" -> q(t =>
+      Similarity.embeddingNearDupsPortable(t.embeddings)),
+    "q36_rollup" -> q(Relational.q36),
+    "q37_distinct_agg" -> q(Relational.q37),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -345,6 +349,52 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // identical md5-derived hyperplane matrix on both sides: sign(i,j)
+    // = high bit of md5('i:j'); candidates from 4-bit band collisions.
+    "q35_embed_near_dup" ->
+      """WITH plane AS (
+        |  SELECT i, j,
+        |         CASE WHEN substr(md5(CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,1)
+        |                   IN ('8','9','a','b','c','d','e','f')
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0,16) t1(i), range(0,64) t2(j)),
+        |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |proj AS (
+        |  SELECT v.vec_id, p.i, SUM(v.e[p.j + 1] * p.s) AS d
+        |  FROM v, plane p GROUP BY v.vec_id, p.i),
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b, (sg >> (b * 4)) & 15 AS bkey
+        |  FROM sig, range(0,4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vi, b.vec_id AS vj
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT vi AS vec_i, vj AS vec_j,
+        |    ROUND(list_sum(list_transform(range(1,65), k -> x.e[k]*y.e[k])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
+        |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)
+        |SELECT vec_i, vec_j, cos FROM scored WHERE cos >= 0.4
+        |ORDER BY vec_i, vec_j""".stripMargin,
+    "q36_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q37_distinct_agg" ->
+      """SELECT c_nationkey AS nation,
+        |       COUNT(DISTINCT c_mktsegment) AS segs,
+        |       COUNT(*) AS custs
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY nation""".stripMargin,
     "q27_feature_matrix" -> {
       val sites = Seq("click", "error", "purchase", "signup", "view")
       val cols = sites.map(s =>

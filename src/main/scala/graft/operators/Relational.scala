@@ -285,6 +285,29 @@ object Relational {
         round(sum("l_extendedprice"), 2).as("rev"))
       .orderBy("p_brand")
 
+  /** Q36 — ROLLUP hierarchy aggregate (engine capability, SURVEY §2.4's
+    * "no grouping sets in reference" gap made explicit); null rollup
+    * keys are coalesced to 'ALL' so the ordering is total with no NULL
+    * sort keys (§2.11 portability rule). */
+  def q36(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("qty"))
+      .orderBy("flag", "status")
+
+  /** Q37 — distinct-count aggregate (Expand-based distinct agg). */
+  def q37(t: Tables): DataFrame =
+    t.customer
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(
+        countDistinct("c_mktsegment").as("segs"),
+        count(lit(1)).as("custs"))
+      .orderBy("nation")
+
   /** O1 — standalone secondary sort (reference
     * repartitionAndSortWithinPartitions, FeatureExtractor.scala:55-57):
     * co-locate by key, order within partitions — the Catalyst form is

@@ -128,6 +128,58 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Engine-portable hyperplane signs: sign(i,j) = high bit of the
+    * first hex digit of md5("i:j") — pure constants, computed once at
+    * plan build; any md5-capable engine derives the identical matrix
+    * (the SQL oracle rebuilds it from range()×range()). */
+  def md5PlaneSigns(dim: Int, bits: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (i, j) =>
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** q35 — embedding-cosine near-dup pairs with a fully portable LSH:
+    * md5-derived hyperplane signatures → 4-bit band buckets → exact
+    * cosine over collisions only. Both engines compute identical
+    * signatures, so the (recall < 1) candidate set is itself
+    * deterministic and oracle-comparable — and there is still no cross
+    * join anywhere. */
+  def embeddingNearDupsPortable(
+      embeddings: DataFrame, dim: Int = 64, minCos: Double = 0.4,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val signs = md5PlaneSigns(dim, bits)
+    val sigCol = (0 until bits).map { i =>
+      val plane = array(signs(i).map(lit): _*)
+      when(dot(col("v"), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("sg", sigCol)
+    val banded = sig.select(
+      col("vec_id"), col("v"), col("n"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sg"), b * rows).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+      .select(col("vec_i"), col("vec_j"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_i", "vec_j")
+  }
+
   /** Embedding-cosine near-duplicate pairs (X1's embedding flavor):
     * all pairs with cosine ≥ minCos among LSH band collisions —
     * near-dup detection without the |corpus|² cross join. */
