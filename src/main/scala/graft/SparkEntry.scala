@@ -56,6 +56,7 @@ object SparkEntry {
       Similarity.embeddingNearDupsPortable(t.embeddings)),
     "q36_rollup" -> q(Relational.q36),
     "q37_distinct_agg" -> q(Relational.q37),
+    "q38_json_extract" -> q(Relational.q38),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -395,6 +396,14 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY nation""".stripMargin,
+    "q38_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+        |       MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+        |       MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q27_feature_matrix" -> {
       val sites = Seq("click", "error", "purchase", "signup", "view")
       val cols = sites.map(s =>

@@ -308,6 +308,22 @@ object Relational {
         count(lit(1)).as("custs"))
       .orderBy("nation")
 
+  /** Q38 — JSON property extraction (X4: the `events.props` JSON string
+    * column): `get_json_object` path extraction + typed cast, then a
+    * grouped aggregate over the extracted value. */
+  def q38(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** O1 — standalone secondary sort (reference
     * repartitionAndSortWithinPartitions, FeatureExtractor.scala:55-57):
     * co-locate by key, order within partitions — the Catalyst form is

@@ -59,6 +59,15 @@ class StreamingSpec extends SparkSpec {
     assert(canon(lagForm) == canon(batch.orderBy("user_id")))
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val viaState = graft.streaming.StatefulSessions
+      .sessionize(spark, batchDf).toDF()
+      .orderBy("user_id")
+    val viaWindow = EventsStreaming.sessionsPerUser(batchDf)
+    assert(canon(viaState) == canon(viaWindow))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val doubled = tables.events.unionAll(tables.events)
     val dir2 = java.nio.file.Files
