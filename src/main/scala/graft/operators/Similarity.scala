@@ -180,6 +180,65 @@ object Similarity {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** IVF (inverted-file) approximate NN — the other standard ANN scale
+    * path besides LSH: a seeded k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact cosine re-ranks only those cells' vectors.
+    *
+    * Plan shape at scale: centroids are tiny (nlist × dim, broadcast);
+    * cell assignment is one map-side pass; the probe join is an
+    * equi-join on cell id. Corpus is hash-partitioned by cell — the
+    * classic FAISS-style IVF layout expressed as DataFrames. Recall vs
+    * brute force is asserted in SimilaritySpec. */
+  def ivfCosineTopK(
+      embeddings: DataFrame, dim: Int = 64, queryMaxId: Long = 10,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vecs = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("features", array_to_vector(col("v")))
+      .cache()
+    val km = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    // centroid list as literal arrays: tiny, recomputable on any executor
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("v"), col("n"), col("cell"))
+    // query-side: distance to every centroid (nlist is small), keep the
+    // nprobe nearest cells
+    val centDf = spark.createDataFrame(centroids).toDF("cell", "cv")
+    val q = assigned.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"),
+        dot(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select("qid", "qv", "qn", "cell")
+    val cand = assigned.as("c")
+      .join(broadcast(qCells),
+        col("c.cell") === qCells("cell") && col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("c.vec_id").as("cid"),
+        round(dot(col("qv"), col("c.v")) / (col("qn") * col("c.n")), 6)
+          .as("cos"))
+      .distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs (X1's embedding flavor):
     * all pairs with cosine ≥ minCos among LSH band collisions —
     * near-dup detection without the |corpus|² cross join. */

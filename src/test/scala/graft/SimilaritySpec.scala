@@ -37,6 +37,18 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH recall@5 = $recall")
   }
 
+  test("IVF topk recall vs brute force") {
+    val exact = Similarity.cosineTopK(tables.embeddings, 10, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(tables.embeddings, 64, 10, 5,
+      nlist = 8, nprobe = 4)
+    val approx = ivf.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    // probing half the cells on near-random vectors: expect decent recall
+    assert(recall >= 0.4, s"IVF recall $recall (got ${approx.size} pairs)")
+  }
+
   test("embeddingNearDups emits only high-cosine collision pairs") {
     val r = Similarity.embeddingNearDups(tables.embeddings, 64, 0.9)
     assert(r.filter(col("cos") < 0.9).count() == 0)
