@@ -130,14 +130,9 @@ object Main {
         System.err.println(s"[graft] $err")
         sys.exit(2)
       case Right(p) =>
-        val builder = SparkSession.builder()
-          .appName("graft-translation-recs")
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-          .config("spark.sql.adaptive.enabled", "true")
-          .config("spark.sql.session.timeZone", "UTC")
-        val spark =
-          (if (p.local) builder.master("local[*]") else builder).getOrCreate()
+        val spark = graft.Sessions.builder(
+          "graft-translation-recs",
+          master = if (p.local) Some("local[*]") else None).getOrCreate()
         try run(spark, p)
         finally spark.stop()
     }

@@ -150,16 +150,27 @@ object Dedup {
     * Integer arithmetic end-to-end → bit-identical in any md5-capable
     * engine. */
   def simhash(documents: DataFrame): DataFrame = {
-    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // bit b = high bit of hex digit b+1 of md5(token); instead of 32
+    // substring+isin string ops per token, decode the 32 hex digits
+    // into four 32-bit longs once (conv base16) and bit-test those —
+    // same bits, ~4x less per-row work in the hot aggregate
     val perTok = documents.select(
       col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(
+        col("doc_id") +: (0 until 4).map(g =>
+          conv(substring(col("h"), g * 8 + 1, 8), 16, 10)
+            .cast("long").as(s"w$g")): _*)
+    def bitSign(b: Int) = {
+      val g = b / 8 // digit group (8 hex digits per long)
+      val d = b % 8 // digit within group, 0 = leftmost
+      val shift = 4 * (7 - d) + 3 // high bit of that nibble
+      when(shiftright(col(s"w$g"), shift).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)
+    }
     val sums = perTok.groupBy("doc_id").agg(
-      sum(when(substring(col("h"), 1, 1).isin(highHex: _*), 1)
-        .otherwise(-1)).as("s0"),
-      (1 until 32).map(b =>
-        sum(when(substring(col("h"), b + 1, 1).isin(highHex: _*), 1)
-          .otherwise(-1)).as(s"s$b")): _*)
+      sum(bitSign(0)).as("s0"),
+      (1 until 32).map(b => sum(bitSign(b)).as(s"s$b")): _*)
     val fp = (0 until 32).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
