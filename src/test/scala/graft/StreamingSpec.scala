@@ -68,6 +68,42 @@ class StreamingSpec extends SparkSpec {
     assert(canon(viaState) == canon(viaWindow))
   }
 
+  test("watermark drops late data in append mode") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+    val agg = EventsStreaming.tumblingCounts(df)
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events up to 12:30 → watermark advances to 11:30
+      mem.addData(
+        (ts("2024-01-01 09:10:00"), "click", 1.0),
+        (ts("2024-01-01 12:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event at 08:20 — beyond the 1h watermark.
+      // its 08:00 window is already finalized; plus a fresh event that
+      // closes the 09:00 window so it emits
+      mem.addData(
+        (ts("2024-01-01 08:20:00"), "click", 1.0),
+        (ts("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("late_test")
+        .select(col("w").cast("string")).as[String].collect().toSet
+      // the 09:00 window emitted once closed; the late 08:00 never did
+      assert(emitted.contains("2024-01-01 09:00:00"))
+      assert(!emitted.contains("2024-01-01 08:00:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val doubled = tables.events.unionAll(tables.events)
     val dir2 = java.nio.file.Files
