@@ -74,8 +74,12 @@ object Ranker {
     * isolation. Returns only the sites that trained successfully. */
   def train(
       features: DataFrame, sites: Seq[String],
-      parallelism: Int = 4): Seq[SiteModel] = {
-    val pool = Executors.newFixedThreadPool(parallelism)
+      parallelism: Int = 0): Seq[SiteModel] = {
+    // default: one slot per site up to the reference's 8-way fan-out
+    // (JobRunner.scala:15); FAIR scheduling (Sessions) shares executors
+    val slots =
+      if (parallelism > 0) parallelism else math.min(sites.size, 8)
+    val pool = Executors.newFixedThreadPool(slots)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = sites.map { site =>

@@ -70,11 +70,22 @@ object Dedup {
     * the skew keys AQE splits, and a `df(shingle) ≤ limit` filter can
     * cap them (not applied here so the oracle stays exact). */
   def ngramJaccardPairs(
-      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // the index feeds three plan branches (sizes + both join sides);
     // persist so tokenize+shingle+explode runs once, not three times
-    val idx = shingleIndex(documents, n)
+    val fullIdx = shingleIndex(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // optional stopword-shingle cap: the self-join costs Σ df(shingle)²,
+    // so dropping the few ubiquitous shingles bounds the blowup at scale.
+    // Off by default — it makes |A∩B| (and Jaccard) approximate, so the
+    // exact-oracle query path never sets it.
+    val idx = maxShingleDf.fold(fullIdx) { cap =>
+      val hot = fullIdx.groupBy("shingle")
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select("shingle")
+      fullIdx.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = idx.as("a")
       .join(idx.as("b"),
