@@ -106,6 +106,64 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** Exact n-gram Jaccard via AllPairs-style prefix filtering: for
+    * Jaccard ≥ t a pair must share ≥ ⌈t·|A|⌉ shingles, so under ANY
+    * fixed global shingle order the first |A| − ⌈t·|A|⌉ + 1 shingles of
+    * each doc (its "prefix") must intersect the other's prefix —
+    * indexing only prefixes shrinks the candidate self-join
+    * quadratically while staying EXACT. Verification computes true
+    * Jaccard from per-doc shingle-hash arrays with `array_intersect`
+    * (cheap per candidate), not another index join.
+    *
+    * The global order is the md5 of the shingle — deterministic and
+    * engine-portable. Output is identical to [[ngramJaccardPairs]]
+    * (asserted in DedupSpec).
+    *
+    * WHEN TO USE WHICH (measured): prefix filtering wins on natural
+    * text (huge shingle space, sparse sharing — candidates collapse
+    * quadratically). On the synthetic testdata's ~30-word vocabulary it
+    * LOSES (~3× slower at sf0.1): prefixes barely prune, and the
+    * verify join ships ~1.6 KB hash arrays per candidate where the
+    * naive form counts narrow rows. q19 therefore uses
+    * [[ngramJaccardPairs]]; real-corpus deployments should prefer this
+    * one.
+    */
+  def ngramJaccardPairsPrefix(
+      documents: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val t = minJaccard
+    val sets = documents.select(
+      col("doc_id"),
+      sort_array(transform(
+        array_distinct(shingles(col("text"), n)), s => md5(s))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length: n_sh - ceil(t * n_sh) + 1
+    val prefixIdx = sets.select(
+      col("doc_id"),
+      explode(slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("h"))
+    val cand = prefixIdx.as("a")
+      .join(prefixIdx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_i"), col("sh").as("sa"),
+        col("n_sh").as("na")), "doc_i")
+      .join(sets.select(col("doc_id").as("doc_j"), col("sh").as("sb"),
+        col("n_sh").as("nb")), "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        size(array_intersect(col("sa"), col("sb"))).as("shared"),
+        col("na"), col("nb"))
+      .select(col("doc_i"), col("doc_j"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .orderBy("doc_i", "doc_j")
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per permutation i the
     * signature is min(md5("i:" ++ shingle)) — string-min over a keyed
     * md5 is a valid minwise family and, unlike seeded murmur, is

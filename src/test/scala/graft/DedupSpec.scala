@@ -34,6 +34,19 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getDouble(2) == 1.0)
   }
 
+  test("prefix-filtered jaccard equals the naive inverted-index form") {
+    val docs = tables.documents
+    val naive = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, 3, 0.5)
+    assert(naive.exceptAll(prefix).count() == 0
+      && prefix.exceptAll(naive).count() == 0)
+    // and at a lower threshold (more pairs, tighter prefix bound)
+    val naiveLo = Dedup.ngramJaccardPairs(docs, 3, 0.3)
+    val prefixLo = Dedup.ngramJaccardPairsPrefix(docs, 3, 0.3)
+    assert(naiveLo.exceptAll(prefixLo).count() == 0
+      && prefixLo.exceptAll(naiveLo).count() == 0)
+  }
+
   test("minhash est_jac approximates true jaccard on near-dup docs") {
     val docs = tables.documents
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
