@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_rollup" -> q(Relational.q36),
     "q37_distinct_agg" -> q(Relational.q37),
     "q38_json_extract" -> q(Relational.q38),
+    "q39_cube" -> q(Relational.q39),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -396,6 +397,13 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY nation""".stripMargin,
+    "q39_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q38_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,

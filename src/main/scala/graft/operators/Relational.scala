@@ -308,6 +308,33 @@ object Relational {
         count(lit(1)).as("custs"))
       .orderBy("nation")
 
+  /** Q39 — CUBE over two dimensions (all 2^2 grouping sets; same
+    * null-coalescing discipline as Q36). */
+  def q39(t: Tables): DataFrame =
+    t.orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Sketch aggregates (BENCH-family, no oracle: HLL/KLL internals are
+    * engine-specific): approx distinct + approx percentiles per group.
+    * The 100 TB answer to COUNT(DISTINCT) — fixed-size state, no
+    * Expand explosion. Accuracy tested against exact in RelationalSpec. */
+  def sketchStats(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_price"))
+      .orderBy("l_returnflag")
+
   /** Q38 — JSON property extraction (X4: the `events.props` JSON string
     * column): `get_json_object` path extraction + typed cast, then a
     * grouped aggregate over the extracted value. */

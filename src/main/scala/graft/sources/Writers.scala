@@ -26,6 +26,30 @@ object Writers {
       .csv(path)
   }
 
+  /** Partitioned parquet layout — the 100 TB default: directory
+    * partitioning on low-cardinality columns so Catalyst's
+    * PruneFileSourcePartitions turns partition predicates into skipped
+    * directories (the same pruning the reference leaned on for
+    * `pageview_hourly`'s year/month/day, DataGatherer.scala:71). */
+  def parquetPartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed managed table — pre-shuffled storage: joins/aggregations
+    * on the bucket key read co-located buckets and plan NO shuffle
+    * exchange on the bucketed sides (asserted in IoSpec). This is how a
+    * fact table joined repeatedly on the same key amortizes its shuffle
+    * at 100 TB: pay it once at write time. */
+  def bucketed(
+      df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9 — timestamped output layout
     * `<out>/<ts>_parsedData|_featureData|_models|_predictions`
     * (reference JobRunner.scala:31,59-61,70-71). */

@@ -107,6 +107,41 @@ class IoSpec extends SparkSpec {
     intercept[Exception](Writers.parquet(parsed, out))
   }
 
+  test("partitioned parquet prunes partitions on read") {
+    val out = s"$dir/events_part"
+    Writers.parquetPartitioned(
+      tables.events.withColumn("etype", col("event_type")),
+      out, Seq("etype"))
+    val pruned = spark.read.parquet(out).filter(col("etype") === "click")
+    // physical reading only the click directory: scanned files all
+    // live under etype=click
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("etype=click")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+    Writers.bucketed(tables.orders, "orders_b", 8, "o_custkey")
+    Writers.bucketed(tables.customer, "cust_b", 8, "c_custkey")
+    // force the sort-merge path (at test scale the planner would just
+    // broadcast the small side and skip bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("cust_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"bucketed scan not used:\n$plan")
+      assert(joined.count() == tables.orders.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv sink: single-file mode writes exactly one part file") {
     val out = s"$dir/csv_single"
     Writers.csv(

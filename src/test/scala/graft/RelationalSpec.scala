@@ -52,6 +52,21 @@ class RelationalSpec extends SparkSpec {
     assert(r.count() == expected)
   }
 
+  test("sketch stats: approx distinct within rtol, percentiles ordered") {
+    val s = Relational.sketchStats(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = tables.lineitem.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, d) =>
+      val (approx, p50, p99) = s(flag)
+      assert(math.abs(approx - d).toDouble / d < 0.1,
+        s"$flag approx=$approx exact=$d")
+      assert(p50 <= p99)
+    }
+  }
+
   test("secondary sort: rows ordered within every partition") {
     val sorted = Relational.secondarySorted(tables)
     import org.apache.spark.sql.Row
