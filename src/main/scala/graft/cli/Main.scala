@@ -28,29 +28,39 @@ object Main {
       featureData: Option[String] = None,
       modelsDir: Option[String] = None,
       outputDir: String = "output",
+      targetSites: Seq[String] = Seq(),
       local: Boolean = false,
       singleFileOutput: Boolean = false)
 
-  /** Hand-rolled parser (no external CLI dependency). Returns an error
-    * message instead of a config when validation fails. */
+  /** Hand-rolled parser (no external CLI dependency) with the
+    * reference's option surface — long names and short aliases match
+    * ArgParser.scala:29-130 (`--raw-sitelinks`/`-l`/`-r`/`-p`/`-f`/
+    * `-m`/`-o`/`-a`/`-x`/`-b`/`-s`/`-t`). Returns an error message
+    * instead of a config when validation fails. */
   def parseArgs(args: Array[String]): Either[String, Params] = {
     def loop(rest: List[String], p: Params): Either[String, Params] =
       rest match {
         case Nil => Right(p)
-        case "--parse-raw-data" :: t => loop(t, p.copy(parse = true))
-        case "--extract-features" :: t => loop(t, p.copy(extract = true))
-        case "--build-models" :: t => loop(t, p.copy(build = true))
-        case "--score-items" :: t => loop(t, p.copy(score = true))
-        case "--local" :: t => loop(t, p.copy(local = true))
+        case ("--parse-raw-data" | "-a") :: t => loop(t, p.copy(parse = true))
+        case ("--extract-features" | "-x") :: t =>
+          loop(t, p.copy(extract = true))
+        case ("--build-models" | "-b") :: t => loop(t, p.copy(build = true))
+        case ("--score-items" | "-s") :: t => loop(t, p.copy(score = true))
+        case ("--local" | "-l") :: t => loop(t, p.copy(local = true))
         case "--single-file" :: t => loop(t, p.copy(singleFileOutput = true))
-        case "--sitelinks" :: v :: t => loop(t, p.copy(sitelinks = Some(v)))
-        case "--pagecounts" :: v :: t => loop(t, p.copy(pagecounts = Some(v)))
-        case "--raw-data" :: v :: t => loop(t, p.copy(rawData = Some(v)))
-        case "--parsed-data" :: v :: t => loop(t, p.copy(parsedData = Some(v)))
-        case "--feature-data" :: v :: t =>
+        case "--raw-sitelinks" :: v :: t => loop(t, p.copy(sitelinks = Some(v)))
+        case "--raw-pagecounts" :: v :: t =>
+          loop(t, p.copy(pagecounts = Some(v)))
+        case ("--raw-data" | "-r") :: v :: t => loop(t, p.copy(rawData = Some(v)))
+        case ("--parsed-data" | "-p") :: v :: t =>
+          loop(t, p.copy(parsedData = Some(v)))
+        case ("--feature-data" | "-f") :: v :: t =>
           loop(t, p.copy(featureData = Some(v)))
-        case "--models" :: v :: t => loop(t, p.copy(modelsDir = Some(v)))
-        case "--output" :: v :: t => loop(t, p.copy(outputDir = v))
+        case ("--models-dir" | "-m") :: v :: t =>
+          loop(t, p.copy(modelsDir = Some(v)))
+        case ("--output-dir" | "-o") :: v :: t => loop(t, p.copy(outputDir = v))
+        case ("--target-wikis" | "-t") :: v :: t =>
+          loop(t, p.copy(targetSites = v.split(",").toSeq.filter(_.nonEmpty)))
         case other :: _ => Left(s"unknown or incomplete option: $other")
       }
     loop(args.toList, Params()).flatMap(check)
@@ -110,13 +120,16 @@ object Main {
 
     val cached = features.cache()
     try {
-      val models = Ranker.train(cached, sites)
+      // model fan-out restricted to --target-wikis when given
+      // (reference ArgParser.scala:123-127, JobRunner.scala:47-50)
+      val models = Ranker.train(cached, sites, targets = p.targetSites)
       if (p.build)
         models.foreach(sm =>
           sm.model.write.save(s"${layout.models}/${sm.site}"))
       if (p.score) {
         val matrix = Ranker
-          .scoreMatrix(Ranker.scoreLong(cached, sites, models), sites)
+          .scoreMatrix(Ranker.scoreLong(cached, sites, models),
+            models.map(_.site))
           .orderBy("id")
         Writers.csv(matrix, layout.predictions, p.singleFileOutput)
         matrix

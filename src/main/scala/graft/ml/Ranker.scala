@@ -74,15 +74,20 @@ object Ranker {
     * isolation. Returns only the sites that trained successfully. */
   def train(
       features: DataFrame, sites: Seq[String],
-      parallelism: Int = 0): Seq[SiteModel] = {
+      parallelism: Int = 0,
+      targets: Seq[String] = Seq()): Seq[SiteModel] = {
+    // targets restricts which sites get a model (reference
+    // --target-wikis); `sites` stays the full feature-column universe
+    val toTrain = if (targets.nonEmpty) sites.filter(targets.contains)
+      else sites
     // default: one slot per site up to the reference's 8-way fan-out
     // (JobRunner.scala:15); FAIR scheduling (Sessions) shares executors
     val slots =
-      if (parallelism > 0) parallelism else math.min(sites.size, 8)
-    val pool = Executors.newFixedThreadPool(slots)
+      if (parallelism > 0) parallelism else math.min(toTrain.size, 8)
+    val pool = Executors.newFixedThreadPool(math.max(slots, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = sites.map { site =>
+      val futures = toTrain.map { site =>
         Future {
           try {
             val work = workData(features, sites, site, exists = true)
@@ -162,7 +167,8 @@ object Ranker {
     val cached = fm.cache()
     try {
       val models = train(cached, sites)
-      scoreMatrix(scoreLong(cached, sites, models), sites).orderBy("id")
+      scoreMatrix(scoreLong(cached, sites, models), models.map(_.site))
+        .orderBy("id")
     } finally { cached.unpersist(); () }
   }
 

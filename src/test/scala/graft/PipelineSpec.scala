@@ -16,9 +16,9 @@ class PipelineSpec extends SparkSpec {
     assert(Main.parseArgs(Array()).isLeft)
     assert(Main.parseArgs(Array("--extract-features")).isLeft)
     assert(Main.parseArgs(
-      Array("--parse-raw-data", "--sitelinks", "x")).isLeft)
+      Array("--parse-raw-data", "--raw-sitelinks", "x")).isLeft)
     assert(Main.parseArgs(Array(
-      "--parse-raw-data", "--sitelinks", "x", "--pagecounts", "y")).isRight)
+      "--parse-raw-data", "--raw-sitelinks", "x", "--raw-pagecounts", "y")).isRight)
     assert(Main.parseArgs(Array(
       "--extract-features", "--parsed-data", "p")).isRight)
     assert(Main.parseArgs(Array("--bogus")).isLeft)
@@ -46,6 +46,17 @@ class PipelineSpec extends SparkSpec {
     assert(entries.exists(_.endsWith("_featureData")))
     assert(entries.exists(_.endsWith("_models")))
     assert(entries.exists(_.endsWith("_predictions")))
+  }
+
+  test("--target-wikis restricts the score matrix columns") {
+    val p = Main.Params(
+      parse = true, extract = true, build = true, score = true,
+      sitelinks = Some(slPath), pagecounts = Some(pcPath),
+      targetSites = Seq("enwiki", "dewiki"),
+      outputDir = s"$dir/out_t")
+    val matrix = Main.run(spark, p)
+    assert(matrix.columns.toSet.subsetOf(Set("id", "enwiki", "dewiki")))
+    assert(matrix.columns.length <= 3)
   }
 
   test("pipeline is reproducible with pinned seeds") {
