@@ -62,6 +62,14 @@ object EventsStreaming {
       .agg(count(lit(1)).as("sessions"), sum("n").cast("long").as("events"))
       .orderBy("user_id")
 
+  /** Stream–static enrichment join: the streaming side joins a static
+    * dimension frame (broadcast per micro-batch) — the standard shape
+    * for attaching slowly-changing attributes to an event stream
+    * without watermark bookkeeping. Works identically on batch input. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+
   /** Streaming dedup on event_id within the watermark. */
   def dedupped(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -68,6 +68,18 @@ class StreamingSpec extends SparkSpec {
     assert(canon(viaState) == canon(viaWindow))
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val userDim = tables.events.select("user_id").distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+    val transform: DataFrame => DataFrame = df =>
+      EventsStreaming.enriched(df, userDim)
+        .groupBy("cohort", "event_type").agg(fcount(lit(1)).as("n"))
+    val batch = transform(spark.read.parquet(eventsDir))
+    val stream = runStream("enriched", transform)
+    assert(canon(stream) == canon(batch))
+  }
+
   test("watermark drops late data in append mode") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
