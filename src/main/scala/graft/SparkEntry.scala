@@ -58,6 +58,7 @@ object SparkEntry {
     "q37_distinct_agg" -> q(Relational.q37),
     "q38_json_extract" -> q(Relational.q38),
     "q39_cube" -> q(Relational.q39),
+    "q40_asof_join" -> q(t => AsOf.q40(t.events)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -404,6 +405,22 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q40_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type='click' THEN 0 ELSE 1 END AS side,
+        |         CASE WHEN event_type='click' THEN event_id END AS payload
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (
+        |  SELECT user_id, event_id, event_type,
+        |         last_value(payload IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, side, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event
+        |  FROM u)
+        |SELECT user_id, event_id AS p_event, click_event
+        |FROM w
+        |WHERE event_type='purchase' AND click_event IS NOT NULL
+        |ORDER BY p_event""".stripMargin,
     "q38_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
