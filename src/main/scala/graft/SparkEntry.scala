@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_json_extract" -> q(Relational.q38),
     "q39_cube" -> q(Relational.q39),
     "q40_asof_join" -> q(t => AsOf.q40(t.events)),
+    "q41_range_join" -> q(RangeJoin.q41),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -421,6 +422,14 @@ object SparkEntry {
         |FROM w
         |WHERE event_type='purchase' AND click_event IS NOT NULL
         |ORDER BY p_event""".stripMargin,
+    "q41_range_join" ->
+      """SELECT a.o_orderkey, COUNT(*) AS nearby
+        |FROM orders a JOIN orders b
+        |  ON b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 7 DAY
+        |                       AND a.o_orderdate + INTERVAL 7 DAY
+        | AND a.o_orderkey <> b.o_orderkey
+        |GROUP BY a.o_orderkey
+        |ORDER BY a.o_orderkey""".stripMargin,
     "q38_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,

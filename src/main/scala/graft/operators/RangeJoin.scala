@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — pairs within a time tolerance — composed
+  * scale-first. A naive `a JOIN b ON |a.ts − b.ts| <= tol` has no equi
+  * key, so Spark would plan a broadcast nested loop (quadratic and
+  * broadcast-bound). The bucketing rewrite makes it an equi-join:
+  *
+  *  - bucket width = tolerance; each RIGHT row keys its own bucket;
+  *  - each LEFT row explodes to buckets {w−1, w, w+1}, which cover
+  *    every right bucket its ±tol window can overlap;
+  *  - equi-join on the bucket, then the exact range predicate filters
+  *    false candidates. Each true pair matches exactly once (the right
+  *    row's bucket lies in the left row's 3-window).
+  *
+  * Cost: 3× left replication and a hash shuffle on the bucket — linear,
+  * AQE-splittable, no cross product. This is the standard interval-join
+  * distribution strategy (the same shape Spark's stream-stream interval
+  * join uses internally).
+  */
+object RangeJoin {
+
+  /** For each left row, count right rows with |leftTs − rightTs| <=
+    * `tolSeconds` (excluding identity matches on `idCol`). */
+  def withinToleranceCount(
+      left: DataFrame, right: DataFrame, tsCol: String, idCol: String,
+      tolSeconds: Long): DataFrame = {
+    val tolMicros = tolSeconds * 1000000L
+    // integer `div` (not `/`): epoch micros must bucket exactly
+    // NTZ timestamps (parquet isAdjustedToUTC=false) cast through the
+    // UTC session to plain TIMESTAMP for unix_micros
+    val l = left.select(col(idCol).as("l_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("l_t"))
+      .withColumn("_b", expr(s"l_t div ${tolMicros}L"))
+      .withColumn("bucket",
+        explode(array(col("_b") - 1, col("_b"), col("_b") + 1)))
+      .drop("_b")
+    val r = right.select(col(idCol).as("r_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("r_t"))
+      .withColumn("bucket", expr(s"r_t div ${tolMicros}L"))
+    l.join(r, "bucket")
+      .filter(abs(col("l_t") - col("r_t")) <= tolMicros
+        && col("l_id") =!= col("r_id"))
+      .groupBy(col("l_id"))
+      .agg(count(lit(1)).as("nearby"))
+  }
+
+  /** q41 — order-density flavor: for each order, how many other orders
+    * were placed within ±7 days. */
+  def q41(t: Tables): DataFrame =
+    withinToleranceCount(
+      t.orders, t.orders, "o_orderdate", "o_orderkey",
+      tolSeconds = 7L * 24 * 3600)
+      .select(col("l_id").as("o_orderkey"), col("nearby"))
+      .orderBy("o_orderkey")
+}
