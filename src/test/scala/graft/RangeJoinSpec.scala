@@ -21,6 +21,18 @@ class RangeJoinSpec extends SparkSpec {
       && naive.exceptAll(bucketed).count() == 0)
   }
 
+  test("range-count-by-day equals the pair-enumerating form") {
+    val tol = 7L * 24 * 3600
+    val pairs = RangeJoin.withinToleranceCount(
+      tables.orders, tables.orders, "o_orderdate", "o_orderkey", tol)
+      .select(col("l_id").as("o_orderkey"), col("nearby"))
+    val hist = RangeJoin.rangeCountByDay(
+      tables.orders, "o_orderdate", "o_orderkey", 7)
+      .filter(col("nearby") > 0) // pair form omits zero-neighbor rows
+    assert(hist.exceptAll(pairs).count() == 0
+      && pairs.exceptAll(hist).count() == 0)
+  }
+
   test("no self pairs and counts are symmetric in total") {
     val tol = 3600L
     val r = RangeJoin.withinToleranceCount(
