@@ -94,7 +94,7 @@ object Features {
       .join(broadcast(offsets), Seq("site", "bucket"))
       .withColumn("rank",
         (col("offset") + col("local_rn")).cast("double") / col("site_n"))
-      .select(parsed.columns.map(col) :+ col("rank"): _*)
+      .select(parsed.columns.toIndexedSeq.map(col) :+ col("rank"): _*)
   }
 
   /** Long→wide feature matrix: one row per id, per sorted site the

@@ -153,7 +153,7 @@ object Similarity {
     val mask = (1L << rows) - 1
     val signs = md5PlaneSigns(dim, bits)
     val sigCol = (0 until bits).map { i =>
-      val plane = array(signs(i).map(lit): _*)
+      val plane = array(signs(i).toIndexedSeq.map(lit): _*)
       when(dot(col("v"), plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = embeddings
@@ -213,7 +213,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("n"), col("cell"))
     // query-side: distance to every centroid (nlist is small), keep the
     // nprobe nearest cells
-    val centDf = spark.createDataFrame(centroids).toDF("cell", "cv")
+    val centDf = spark.createDataFrame(centroids.toIndexedSeq).toDF("cell", "cv")
     val q = assigned.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     val qCells = q.crossJoin(broadcast(centDf))
