@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_cube" -> q(Relational.q39),
     "q40_asof_join" -> q(t => AsOf.q40(t.events)),
     "q41_range_join" -> q(RangeJoin.q41),
+    "q42_near_dup_components" -> q(t => Dedup.nearDupComponents(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -79,7 +80,9 @@ object SparkEntry {
   private val duckShingles =
     "list_distinct([array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)])"
 
-  private def minhashOracle: String = {
+  /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
+    * oracle and the q42 connected-components oracle. */
+  private def minhashCtes: String = {
     val mhDefs = (0 until 16)
       .map(i => s"min(md5('$i:'||shingle)) AS mh$i").mkString(", ")
     val bandRows = (0 until 4).map { b =>
@@ -89,7 +92,7 @@ object SparkEntry {
     val eqSum = (0 until 16)
       .map(i => s"(CASE WHEN x.mh$i=y.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
        |sig AS (SELECT doc_id, $mhDefs FROM sh GROUP BY doc_id),
        |bands AS ($bandRows),
@@ -99,10 +102,27 @@ object SparkEntry {
        |est AS (SELECT doc_i, doc_j,
        |          ROUND(CAST($eqSum AS DOUBLE)/16, 4) AS est_jac
        |        FROM cand JOIN sig x ON x.doc_id=doc_i
-       |                  JOIN sig y ON y.doc_id=doc_j)
+       |                  JOIN sig y ON y.doc_id=doc_j)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
        |SELECT doc_i, doc_j, est_jac FROM est WHERE est_jac >= 0.5
        |ORDER BY doc_i, doc_j""".stripMargin
-  }
+
+  /** q42 oracle: transitive closure of the q20 pairs via a recursive
+    * CTE, component = min reachable node. */
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+       |und(a, b) AS (SELECT doc_i, doc_j FROM pairs
+       |              UNION SELECT doc_j, doc_i FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private def simhashOracle: String = {
     val high = "('8','9','a','b','c','d','e','f')"
@@ -273,6 +293,7 @@ object SparkEntry {
          |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
          |ORDER BY doc_i, doc_j""".stripMargin,
     "q20_minhash_lsh" -> minhashOracle,
+    "q42_near_dup_components" -> componentsOracle,
     "q21_simhash" -> simhashOracle,
     "q18_text_stats" ->
       """SELECT lang, COUNT(*) AS docs,

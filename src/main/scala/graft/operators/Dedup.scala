@@ -247,6 +247,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over a near-dup pair list — the transitive
+    * closure a REAL deduplicator needs (A≈B and B≈C must collapse to
+    * one cluster even when A̸≈C). Iterative min-label propagation:
+    * each round every node takes the min label over itself and its
+    * neighbors; converges in O(component diameter) rounds, checked by a
+    * fixpoint count. Each round is one join + one aggregate — the
+    * standard large-scale CC formulation (no driver-side graph).
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .unionByName(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "nl"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min("nl").as("nmin"))
+      val next = labels.join(neighborMin, "node")
+        .select(col("node"), least(col("label"), col("nmin")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** q42 — near-dup clusters: MinHash+LSH pairs (q20 semantics) closed
+    * transitively into components; emits (doc_id, component) for every
+    * document that has at least one near-duplicate. The cleaned corpus
+    * keeps `component == doc_id` rows plus all unpaired docs. */
+  def nearDupComponents(documents: DataFrame): DataFrame =
+    connectedComponents(minhashNearDups(documents))
+      .orderBy("doc_id")
+
+  /** Deduplicated corpus: one keeper (min doc_id) per near-dup
+    * component plus every unpaired document. */
+  def dedupedCorpus(documents: DataFrame): DataFrame = {
+    val comp = connectedComponents(minhashNearDups(documents))
+    documents
+      .join(comp, Seq("doc_id"), "left_outer")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+  }
+
   /** SimHash near-dup candidates: docs whose fingerprints agree on at
     * least one of four 8-bit bands (bucket equi-join — the standard
     * Hamming-ball index), verified by true Hamming distance ≤ maxDist.

@@ -58,6 +58,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"minhash recall $recall too low (exact=${exact.size}, est=${est.size})")
   }
 
+  test("connected components closes chains transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (9L, 1L)) // 7-8-9-1-2-3 all one component; 5-6 another
+      .toDF("doc_i", "doc_j")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 7L, 8L, 9L).forall(comp(_) == 1L))
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+  }
+
+  test("dedupedCorpus keeps one doc per near-dup cluster") {
+    val corpus = Dedup.dedupedCorpus(tables.documents)
+    // no surviving pair of near-dups within the cleaned corpus
+    val residual = Dedup.minhashNearDups(corpus)
+    assert(residual.count() == 0)
+    assert(corpus.count() <= tables.documents.count())
+  }
+
   test("simhash: identical docs identical, hamming 0 in near-dups") {
     val docs = Seq(
       (1L, "spark scala engine test"), (2L, "spark scala engine test"),
