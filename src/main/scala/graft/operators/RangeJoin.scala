@@ -79,6 +79,9 @@ object RangeJoin {
     * with the pair-enumerating form asserted in RangeJoinSpec). */
   def q41(t: Tables): DataFrame =
     rangeCountByDay(t.orders, "o_orderdate", "o_orderkey", 7)
+      // inner-join semantics: rows with no neighbor don't appear
+      // (the histogram form naturally emits them with nearby = 0)
+      .filter(col("nearby") > 0)
       .select(col("o_orderkey"), col("nearby"))
       .orderBy("o_orderkey")
 }
