@@ -91,6 +91,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** ===== STUB resize kernel =====
+    * Stands in for an image resampler: keeps every `factor`-th payload
+    * byte (deterministic decimation). Swap for a real scaler; the
+    * partition-batched plumbing and metadata arithmetic stay. */
+  private def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", org.apache.spark.sql.types.BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Resize media payloads by an integer factor: per-partition batch
+    * pass (decoder/scaler state initialized once per partition);
+    * metadata dimensions scale with the payload. */
+  def resize(documents: DataFrame, factor: Int = 2): DataFrame = {
+    val media = withMedia(documents)
+      .select("doc_id", "media", "meta.width", "meta.height")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val scaled = stubResize(r.getAs[Array[Byte]]("media"), factor)
+        Row(r.getAs[Long]("doc_id"), scaled,
+          math.max(r.getAs[Int]("width") / factor, 1),
+          math.max(r.getAs[Int]("height") / factor, 1))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: slice `k` fixed-width byte windows from the
     * payload (a video frame-sampler's access pattern) — pure Column
     * (`substring` on binary), no decode needed. */

@@ -35,6 +35,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f.exceptAll(again).count() == 0)
   }
 
+  test("resize: payload decimated by factor, metadata scaled") {
+    val r = Multimodal.resize(tables.documents, 4)
+      .join(Multimodal.withMedia(tables.documents)
+        .select(col("doc_id"), octet_length(col("media")).as("orig")),
+        "doc_id")
+    val bad = r.filter(
+      octet_length(col("media")) =!= ceil(col("orig") / 4).cast("int")
+        || col("width") < 1 || col("height") < 1).count()
+    assert(bad == 0)
+    assert(r.count() == tables.documents.count())
+  }
+
   test("frameSample: k frames of frameBytes, partial tail kept") {
     val fs = Multimodal.frameSample(tables.documents, 4, 16)
     assert(fs.filter(col("frame_bytes") > 16).count() == 0)
