@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_asof_join" -> q(t => AsOf.q40(t.events)),
     "q41_range_join" -> q(RangeJoin.q41),
     "q42_near_dup_components" -> q(t => Dedup.nearDupComponents(t.documents)),
+    "q43_containment" -> q(t => Dedup.ngramContainmentPairs(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -294,6 +295,23 @@ object SparkEntry {
          |ORDER BY doc_i, doc_j""".stripMargin,
     "q20_minhash_lsh" -> minhashOracle,
     "q42_near_dup_components" -> componentsOracle,
+    "q43_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+         |           FROM idx a JOIN idx b
+         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |       ROUND(CAST(shared AS DOUBLE)/si.n_sh, 4) AS cont_i,
+         |       ROUND(CAST(shared AS DOUBLE)/sj.n_sh, 4) AS cont_j
+         |FROM shared
+         |JOIN sizes si ON si.doc_id = doc_i
+         |JOIN sizes sj ON sj.doc_id = doc_j
+         |WHERE ROUND(CAST(shared AS DOUBLE)/si.n_sh, 4) >= 0.8
+         |   OR ROUND(CAST(shared AS DOUBLE)/sj.n_sh, 4) >= 0.8
+         |ORDER BY doc_i, doc_j""".stripMargin,
     "q21_simhash" -> simhashOracle,
     "q18_text_stats" ->
       """SELECT lang, COUNT(*) AS docs,

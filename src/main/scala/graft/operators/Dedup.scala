@@ -106,6 +106,38 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** q43 — n-gram containment pairs: containment(A in B) = |A∩B|/|A|,
+    * the asymmetric overlap that catches quotation/subset duplication
+    * (a short doc embedded in a long one scores high containment but
+    * low Jaccard). Same inverted-index candidate join as
+    * [[ngramJaccardPairs]]; emits pairs where either direction clears
+    * `minContainment`. */
+  def ngramContainmentPairs(
+      documents: DataFrame, n: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val idx = shingleIndex(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_i")
+        .withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j")
+        .withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .select(
+        col("doc_i"), col("doc_j"),
+        round(col("shared").cast("double") / col("n_i"), 4).as("cont_i"),
+        round(col("shared").cast("double") / col("n_j"), 4).as("cont_j"))
+      .filter(col("cont_i") >= minContainment
+        || col("cont_j") >= minContainment)
+      .orderBy("doc_i", "doc_j")
+  }
+
   /** Exact n-gram Jaccard via AllPairs-style prefix filtering: for
     * Jaccard ≥ t a pair must share ≥ ⌈t·|A|⌉ shingles, so under ANY
     * fixed global shingle order the first |A| − ⌈t·|A|⌉ + 1 shingles of

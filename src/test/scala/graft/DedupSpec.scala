@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"minhash recall $recall too low (exact=${exact.size}, est=${est.size})")
   }
 
+  test("containment catches a short doc embedded in a long one") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = s"intro words here $short closing words tail end"
+    val docs = Seq((1L, short), (2L, long), (3L, "totally other text body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, 3, 0.8).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0) // all of doc 1's shingles are in doc 2
+    assert(r.getDouble(3) < 0.8)  // but jaccard-style symmetry is low
+  }
+
   test("connected components closes chains transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
       (9L, 1L)) // 7-8-9-1-2-3 all one component; 5-6 another
