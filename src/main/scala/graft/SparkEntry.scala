@@ -62,6 +62,8 @@ object SparkEntry {
     "q41_range_join" -> q(RangeJoin.q41),
     "q42_near_dup_components" -> q(t => Dedup.nearDupComponents(t.documents)),
     "q43_containment" -> q(t => Dedup.ngramContainmentPairs(t.documents)),
+    "q44_stats_agg" -> q(Relational.q44),
+    "q45_window_suite" -> q(Relational.q45),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -469,6 +471,27 @@ object SparkEntry {
         | AND a.o_orderkey <> b.o_orderkey
         |GROUP BY a.o_orderkey
         |ORDER BY a.o_orderkey""".stripMargin,
+    "q44_stats_agg" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |       ROUND(corr(l_quantity, l_extendedprice), 4) AS c,
+        |       ROUND(stddev_samp(l_discount), 4) AS sd
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q45_window_suite" ->
+      """SELECT event_type, event_id,
+        |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       ROUND(value - COALESCE(LAG(value, 1) OVER w, 0.0), 4) AS delta_prev,
+        |       ROUND(COALESCE(LEAD(value, 1) OVER w, 0.0) - value, 4) AS delta_next
+        |FROM events
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q38_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       ROUND(AVG(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,

@@ -335,6 +335,39 @@ object Relational {
           .as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** Q44 — statistical aggregates: exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation), Pearson correlation, sample stddev. */
+  def q44(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("c"),
+        round(stddev_samp("l_discount"), 4).as("sd"))
+      .orderBy("l_returnflag")
+
+  /** Q45 — ranking-window suite: rank / dense_rank / percent_rank /
+    * ntile / lead / lag over one ordered partition, total tiebreaks
+    * throughout (SURVEY §2.5 family beyond row_number). */
+  def q45(t: Tables): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t.events
+      .filter(col("user_id") < 20)
+      .select(
+        col("event_type"), col("event_id"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 4)
+          .as("delta_prev"),
+        round(coalesce(lead("value", 1).over(w), lit(0.0)) - col("value"), 4)
+          .as("delta_next"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Q38 — JSON property extraction (X4: the `events.props` JSON string
     * column): `get_json_object` path extraction + typed cast, then a
     * grouped aggregate over the extracted value. */
