@@ -64,6 +64,7 @@ object SparkEntry {
     "q43_containment" -> q(t => Dedup.ngramContainmentPairs(t.documents)),
     "q44_stats_agg" -> q(Relational.q44),
     "q45_window_suite" -> q(Relational.q45),
+    "q46_hash_split" -> q(t => TextAnalysis.hashSplit(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -471,6 +472,12 @@ object SparkEntry {
         | AND a.o_orderkey <> b.o_orderkey
         |GROUP BY a.o_orderkey
         |ORDER BY a.o_orderkey""".stripMargin,
+    // first md5 hex nibble: 0..b (12 values) -> train, c..f -> test
+    "q46_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train' ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q44_stats_agg" ->
       """SELECT l_returnflag,
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,

@@ -152,6 +152,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** q46 — deterministic hash-based train/test split: assignment is a
+    * pure function of content (first md5 nibble), so it is stable
+    * across runs, engines, and repartitioning — the reproducible-split
+    * pattern pretraining pipelines use instead of `randomSplit` (whose
+    * assignment depends on partitioning). 12/16 nibbles → train (75%),
+    * rest → test. */
+  def hashSplit(documents: DataFrame, trainNibbles: Int = 12): DataFrame = {
+    val nibble = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+    documents
+      .select(
+        col("doc_id"),
+        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Stratified sampling by a stratum column (seeded Bernoulli per
+    * stratum) — corpus subsampling with per-language quotas. Seeded →
+    * reproducible within Spark; engine-specific RNG → statistical spec
+    * rather than oracle. */
+  def stratifiedSample(
+      documents: DataFrame, fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    documents.stat.sampleBy("lang", fractions, seed)
+
   /** Polynomial rolling hash over the token stream (base 31, mod 2^61-1
     * via Long arithmetic) — a locality-insensitive whole-document
     * fingerprint computed without leaving codegen: `aggregate` over the

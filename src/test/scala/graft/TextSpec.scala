@@ -46,6 +46,32 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("hashSplit: content-determined, stable under repartitioning") {
+    val a = TextAnalysis.hashSplit(tables.documents).collect().toSeq
+    val b = TextAnalysis.hashSplit(tables.documents.repartition(7))
+      .collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+    val trainFrac = a.count(_.getString(1) == "train").toDouble / a.size
+    assert(math.abs(trainFrac - 0.75) < 0.15, s"train fraction $trainFrac")
+  }
+
+  test("stratifiedSample approximates per-language fractions") {
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0,
+      "fr" -> 0.5, "zh" -> 0.5)
+    val s = TextAnalysis.stratifiedSample(tables.documents, fractions)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("es"))
+    assert(byLang("de") == totals("de"))
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(enFrac > 0.2 && enFrac < 0.8, s"en fraction $enFrac")
+    // seeded → reproducible
+    val again = TextAnalysis.stratifiedSample(tables.documents, fractions)
+    assert(s.exceptAll(again).count() == 0)
+  }
+
   test("rollingFingerprint distinguishes token order") {
     val got = Seq("a b c", "c b a", "a b c").toDF("t")
       .select(TextAnalysis.rollingFingerprint(col("t"))).as[Long].collect()
