@@ -25,8 +25,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val benched = SparkEntry.queries.filter(_._1.startsWith("q"))
       .toSeq.sortBy(_._1)
-    // one warmup action: JIT + codegen + parquet footer caches
-    benched.headOption.foreach { case (_, fn) =>
+    // full unmeasured warmup pass: every query touches its own codegen
+    // paths, JIT tiers, and parquet footer caches — warming only one
+    // query leaves the text/array/md5-heavy document paths paying
+    // first-run compilation inside measured time
+    benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

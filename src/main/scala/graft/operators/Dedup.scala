@@ -56,79 +56,98 @@ object Dedup {
       .filter(col("n") > 1)
       .orderBy("h")
 
+  /** Input-split underflow guard: the shingle/signature paths do heavy
+    * per-row work (tokenize → n-gram assembly → md5) immediately after
+    * the scan, so their parallelism is capped by the scan's split count.
+    * A single-row-group parquet file (the local testdata; gzip'd text
+    * dumps in the wild) yields ONE split and serializes everything.
+    * When splits < cores, one bounded shuffle of the raw rows buys
+    * full-core fan-out; at warehouse scale (splits ≫ cores) this is a
+    * no-op — no repartition reaches the plan. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exploded distinct (doc_id, shingle) inverted index. */
   private def shingleIndex(documents: DataFrame, n: Int): DataFrame =
-    documents.select(
+    spread(documents).select(
       col("doc_id"),
       explode(array_distinct(shingles(col("text"), n))).as("shingle"))
 
-  /** q19 — exact n-gram Jaccard near-dup pairs ≥ `minJaccard`, via the
-    * inverted-index candidate join:
-    * |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
-    * Cost is Σ_shingle df(shingle)² — proportional to actual shingle
-    * sharing, not |docs|²; at 100 TB the hot (stopword) shingles are
-    * the skew keys AQE splits, and a `df(shingle) ≤ limit` filter can
-    * cap them (not applied here so the oracle stays exact). */
-  def ngramJaccardPairs(
-      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+  /** Inverted index that also carries the per-document distinct-shingle
+    * count on every exploded row. Slightly wider shuffle rows, but it
+    * removes the separate `sizes` aggregate + two re-joins the old plan
+    * needed — and with it the persist that used to leak. */
+  private def sizedShingleIndex(documents: DataFrame, n: Int): DataFrame =
+    spread(documents)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+
+  /** Shared core of q19/q43: for every document pair sharing at least
+    * one n-gram shingle, emit (doc_i, doc_j, shared, n_i, n_j) — the
+    * sufficient statistics for BOTH Jaccard and containment, computed
+    * ONCE. Candidate generation is the inverted-index self-join on
+    * shingle: cost Σ_shingle df(shingle)², proportional to actual
+    * sharing, never |docs|². Both join sides are the identical subplan,
+    * so Spark shuffles the index once and reuses the Exchange — no
+    * persist needed, nothing leaks.
+    *
+    * The optional stopword-shingle cap drops shingles with
+    * df > maxShingleDf before the join (bounds the df² blowup at scale);
+    * it makes |A∩B| approximate, so the exact-oracle paths never set it.
+    */
+  def ngramOverlapPairs(
+      documents: DataFrame, n: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // the index feeds three plan branches (sizes + both join sides);
-    // persist so tokenize+shingle+explode runs once, not three times
-    val fullIdx = shingleIndex(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // optional stopword-shingle cap: the self-join costs Σ df(shingle)²,
-    // so dropping the few ubiquitous shingles bounds the blowup at scale.
-    // Off by default — it makes |A∩B| (and Jaccard) approximate, so the
-    // exact-oracle query path never sets it.
+    val fullIdx = sizedShingleIndex(documents, n)
     val idx = maxShingleDf.fold(fullIdx) { cap =>
+      // capped path (opt-in heuristic): drop ubiquitous shingles, then
+      // recount n_sh over the surviving universe so the ratio semantics
+      // stay internally consistent
       val hot = fullIdx.groupBy("shingle")
         .agg(count(lit(1)).as("df")).filter(col("df") > cap)
         .select("shingle")
-      fullIdx.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val kept = fullIdx.drop("n_sh")
+        .join(broadcast(hot), Seq("shingle"), "left_anti")
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      kept.join(sizes, "doc_id")
     }
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = idx.as("a")
+    idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_i")
-        .withColumnRenamed("n_sh", "n_i"), "doc_i")
-      .join(sizes.withColumnRenamed("doc_id", "doc_j")
-        .withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .agg(count(lit(1)).as("shared"),
+        // n_sh is constant per doc_id; max() just carries it through
+        max(col("a.n_sh")).as("n_i"), max(col("b.n_sh")).as("n_j"))
+  }
+
+  /** q19 — exact n-gram Jaccard near-dup pairs ≥ `minJaccard`:
+    * |A∩B| / (|A|+|B|−|A∩B|) projected from [[ngramOverlapPairs]]. */
+  def ngramJaccardPairs(
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    ngramOverlapPairs(documents, n, maxShingleDf)
       .select(
         col("doc_i"), col("doc_j"),
         round(col("shared").cast("double")
           / (col("n_i") + col("n_j") - col("shared")), 4).as("jac"))
       .filter(col("jac") >= minJaccard)
       .orderBy("doc_i", "doc_j")
-  }
 
   /** q43 — n-gram containment pairs: containment(A in B) = |A∩B|/|A|,
     * the asymmetric overlap that catches quotation/subset duplication
     * (a short doc embedded in a long one scores high containment but
-    * low Jaccard). Same inverted-index candidate join as
-    * [[ngramJaccardPairs]]; emits pairs where either direction clears
+    * low Jaccard). Cheap projection over the same [[ngramOverlapPairs]]
+    * statistics q19 uses; emits pairs where either direction clears
     * `minContainment`. */
   def ngramContainmentPairs(
       documents: DataFrame, n: Int = 3,
-      minContainment: Double = 0.8): DataFrame = {
-    val idx = shingleIndex(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_i")
-        .withColumnRenamed("n_sh", "n_i"), "doc_i")
-      .join(sizes.withColumnRenamed("doc_id", "doc_j")
-        .withColumnRenamed("n_sh", "n_j"), "doc_j")
+      minContainment: Double = 0.8): DataFrame =
+    ngramOverlapPairs(documents, n)
       .select(
         col("doc_i"), col("doc_j"),
         round(col("shared").cast("double") / col("n_i"), 4).as("cont_i"),
@@ -136,7 +155,6 @@ object Dedup {
       .filter(col("cont_i") >= minContainment
         || col("cont_j") >= minContainment)
       .orderBy("doc_i", "doc_j")
-  }
 
   /** Exact n-gram Jaccard via AllPairs-style prefix filtering: for
     * Jaccard ≥ t a pair must share ≥ ⌈t·|A|⌉ shingles, so under ANY
@@ -164,7 +182,7 @@ object Dedup {
       documents: DataFrame, n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     val t = minJaccard
-    val sets = documents.select(
+    val sets = spread(documents).select(
       col("doc_id"),
       sort_array(transform(
         array_distinct(shingles(col("text"), n)), s => md5(s))).as("sh"))
@@ -181,7 +199,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
-    cand
+    val result = cand
       .join(sets.select(col("doc_id").as("doc_i"), col("sh").as("sa"),
         col("n_sh").as("na")), "doc_i")
       .join(sets.select(col("doc_id").as("doc_j"), col("sh").as("sb"),
@@ -194,6 +212,12 @@ object Dedup {
           / (col("na") + col("nb") - col("shared")), 4).as("jac"))
       .filter(col("jac") >= minJaccard)
       .orderBy("doc_i", "doc_j")
+      // eager-materialize the (small) pair list, then release the
+      // shingle-set cache — `sets` genuinely feeds three join branches,
+      // so it must persist during the run but must not outlive it
+      .localCheckpoint(eager = true)
+    sets.unpersist()
+    result
   }
 
   /** MinHash signature columns mh0..mh{k-1}: per permutation i the
@@ -219,28 +243,32 @@ object Dedup {
       documents: DataFrame, k: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(documents, k).cache()
-    val bandKeys = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws("|",
-          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
-      }: _*)).as(Seq("band", "bkey")))
-    val cand = bandKeys.as("a")
-      .join(bandKeys.as("b"),
+    val sig = minhashSignatures(documents, k)
+    // carry the full signature on each banded row (~500 B/doc·band):
+    // the estimate is then computable in-row on band collisions, so the
+    // signature aggregate runs ONCE (both self-join sides are the same
+    // subplan → reused Exchange) — no cache, nothing leaks, and no
+    // second join back to the signatures
+    val banded = sig.select(
+      col("doc_id") +:
+        (0 until k).map(i => col(s"mh$i")) :+
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("|",
+            (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+        }: _*)).as(Seq("band", "bkey")): _*)
+    val eq = (0 until k).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
-    val eq = (0 until k).map(i =>
-      when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("x"), col("doc_i") === col("x.doc_id"))
-      .join(sig.as("y"), col("doc_j") === col("y.doc_id"))
       .select(
-        col("doc_i"), col("doc_j"),
+        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
         round(eq.cast("double") / k, 4).as("est_jac"))
+      // est_jac is functionally dependent on the pair, so distinct()
+      // still collapses multi-band collisions to one row per pair
+      .distinct()
       .filter(col("est_jac") >= minEstJaccard)
       .orderBy("doc_i", "doc_j")
   }
@@ -255,7 +283,7 @@ object Dedup {
     // substring+isin string ops per token, decode the 32 hex digits
     // into four 32-bit longs once (conv base16) and bit-test those —
     // same bits, ~4x less per-row work in the hot aggregate
-    val perTok = documents.select(
+    val perTok = spread(documents).select(
       col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(
@@ -313,8 +341,22 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) {
+      labels.unpersist(); und.unpersist()
+      // silently returning partial labels would fail oracle parity with
+      // no diagnostic (the DuckDB oracle computes the full closure)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations; " +
+          "raise maxIter (component diameter exceeds it)")
+    }
+    // materialize the small (node, label) result so the iterative
+    // intermediates can be released — nothing stays in CacheManager
+    val out = labels
+      .select(col("node").as("doc_id"), col("label").as("component"))
+      .localCheckpoint(eager = true)
+    labels.unpersist()
     und.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    out
   }
 
   /** q42 — near-dup clusters: MinHash+LSH pairs (q20 semantics) closed

@@ -335,18 +335,66 @@ object Relational {
           .as("p99_price"))
       .orderBy("l_returnflag")
 
-  /** Q44 — statistical aggregates: exact interpolated percentiles
-    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
-    * interpolation), Pearson correlation, sample stddev. */
-  def q44(t: Tables): DataFrame =
-    t.lineitem
+  /** Exact linear-interpolated quantiles (DuckDB `quantile_cont`
+    * semantics: 0-indexed rank rp = (n−1)·p, interpolate between the
+    * bracketing order statistics) computed scale-safely. Spark's
+    * `percentile` is an ObjectAggregate that buffers EVERY value of a
+    * group in one task — a straight OOM once a group stops fitting in
+    * executor memory. This formulation keeps all state histogram-sized:
+    *  1. per-(group, value) counts — hash agg with map-side partials;
+    *  2. cumulative counts via a window over the distinct-value
+    *     histogram (sort-based, spills, never buffers a group);
+    *  3. each quantile's bracketing order statistics read off the
+    *     cumulative counts with conditional min aggregates.
+    */
+  def quantileCont(
+      df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col(groupCol), col("val"),
+      sum("cnt").over(Window.partitionBy(groupCol).orderBy("val")).as("cum"))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // totals is |groups| rows — broadcast, no shuffle of the histogram
+    val withN = cum.join(broadcast(totals), groupCol)
+    val aggs = quantiles.flatMap { case (name, p) =>
+      val rp = (col("n") - 1) * lit(p)          // 0-indexed fractional rank
+      val lo = floor(rp) + 1                    // 1-indexed lower order stat
+      val hi = least(floor(rp) + 2, col("n"))   // 1-indexed upper
+      Seq(
+        min(when(col("cum") >= lo, col("val"))).as(s"__${name}_lo"),
+        min(when(col("cum") >= hi, col("val"))).as(s"__${name}_hi"),
+        // rp is constant per group (depends only on n); max() carries it
+        max(rp - floor(rp)).as(s"__${name}_frac"))
+    }
+    withN.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: quantiles.map { case (name, _) =>
+        (col(s"__${name}_lo") + col(s"__${name}_frac")
+          * (col(s"__${name}_hi") - col(s"__${name}_lo"))).as(name)
+      }: _*)
+  }
+
+  /** Q44 — statistical aggregates: exact interpolated percentiles via
+    * the scale-safe [[quantileCont]] (≡ DuckDB `quantile_cont`), Pearson
+    * correlation, sample stddev (both DeclarativeAggregates — constant
+    * state, pure HashAggregate plan). */
+  def q44(t: Tables): DataFrame = {
+    val quants = quantileCont(t.lineitem, "l_returnflag", "l_extendedprice",
+      Seq("med" -> 0.5, "p90" -> 0.9))
+    val moments = t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
         round(corr("l_quantity", "l_extendedprice"), 4).as("c"),
         round(stddev_samp("l_discount"), 4).as("sd"))
+    quants.join(moments, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        round(col("med"), 2).as("med"), round(col("p90"), 2).as("p90"),
+        col("c"), col("sd"))
       .orderBy("l_returnflag")
+  }
 
   /** Q45 — ranking-window suite: rank / dense_rank / percent_rank /
     * ntile / lead / lag over one ordered partition, total tiebreaks

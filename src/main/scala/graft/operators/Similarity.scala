@@ -232,11 +232,17 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
-    cand.withColumn("rk", row_number().over(w))
+    val result = cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("cos"),
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
+      // the cache is required while KMeans iterates and the probe join
+      // runs, but must not outlive the call: eager-materialize the
+      // small top-k result, then release
+      .localCheckpoint(eager = true)
+    vecs.unpersist()
+    result
   }
 
   /** Embedding-cosine near-duplicate pairs (X1's embedding flavor):
