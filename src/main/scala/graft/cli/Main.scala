@@ -101,11 +101,13 @@ object Main {
 
     if (!(p.extract || p.build || p.score)) return parsed.get
 
-    // the pipeline's long form drops `title`: feature grain is (id, site)
-    val long = parsed.get
-      .groupBy("id", "site").agg(sum("pageviews").as("pageviews"))
     val (features, sites) =
       if (p.extract || p.featureData.isEmpty) {
+        // the pipeline's long form drops `title`: feature grain is
+        // (id, site). Only touch `parsed` on this branch — a
+        // --feature-data invocation has no parse stage to read from.
+        val long = parsed.get
+          .groupBy("id", "site").agg(sum("pageviews").as("pageviews"))
         val (fm, s) = Features.featureMatrixFromParsed(long)
         if (p.extract) Writers.parquet(fm, layout.featureData)
         (fm, s)
@@ -122,7 +124,15 @@ object Main {
     try {
       // model fan-out restricted to --target-wikis when given
       // (reference ArgParser.scala:123-127, JobRunner.scala:47-50)
-      val models = Ranker.train(cached, sites, targets = p.targetSites)
+      val models =
+        if (p.score && !p.build && p.modelsDir.isDefined)
+          // score-only mode LOADS persisted models — the reference's
+          // ScorePredictor.scala:26-34 behavior; retraining here would
+          // silently charge a full fit to a user who built yesterday
+          Ranker.loadModels(p.modelsDir.get,
+            if (p.targetSites.nonEmpty) sites.filter(p.targetSites.contains)
+            else sites)
+        else Ranker.train(cached, sites, targets = p.targetSites)
       if (p.build)
         models.foreach(sm =>
           sm.model.write.save(s"${layout.models}/${sm.site}"))

@@ -113,6 +113,25 @@ object Ranker {
     } finally pool.shutdown()
   }
 
+  /** Load persisted per-site models for score-only runs (reference
+    * ScorePredictor.scala:26-34: `RandomForestRegressionModel.load(new
+    * File(modelsInputDir, target))`), with the same per-site failure
+    * isolation — a missing or corrupt model dir skips that site instead
+    * of failing the run. The prediction column is re-pinned to the site
+    * name exactly as the reference re-sets it after load. RMSE is not
+    * persisted alongside models; loaded entries carry NaN. */
+  def loadModels(modelsDir: String, targets: Seq[String]): Seq[SiteModel] =
+    targets.flatMap { site =>
+      try {
+        val m = RandomForestRegressionModel.load(s"$modelsDir/$site")
+        Some(SiteModel(site, m.setPredictionCol(site), Double.NaN))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ranker] load $site failed: ${e.getMessage}")
+          None
+      }
+    }
+
   /** Score the missing (exists=0) rows of every modeled site; long form
     * `(id, site, score)`. Sites with no missing rows contribute no rows;
     * a failed site contributes the reference's empty-frame fallback. */

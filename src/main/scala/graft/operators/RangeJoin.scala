@@ -62,13 +62,27 @@ object RangeJoin {
     * [[withinToleranceCount]] stays for when the pairs themselves are
     * needed. */
   def rangeCountByDay(
-      df: DataFrame, tsCol: String, idCol: String, tolDays: Int): DataFrame = {
+      df: DataFrame, tsCol: String, idCol: String, tolDays: Int,
+      maxHistRows: Long = 100000L): DataFrame = {
     val withDay = df.select(col(idCol),
       datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
         .as("_day"))
+    // materialize the histogram once: the guard below needs its size,
+    // and the rolling window + broadcast then reuse the same blocks
     val hist = withDay.groupBy("_day").agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    // the window below is GLOBAL (no partitionBy) — sound only because
+    // the histogram is #days-sized. Guard so the pattern cannot be
+    // silently misapplied to an unbounded bucketing key, where the
+    // single-task window would become the exact scale hazard this
+    // operator exists to avoid.
+    val histRows = hist.count()
+    require(histRows <= maxHistRows,
+      s"rangeCountByDay histogram has $histRows buckets (> $maxHistRows): " +
+        "the global rolling window would serialize on one task; use " +
+        "withinToleranceCount or partition the window")
     val w = Window.orderBy("_day")
-      .rangeBetween(-tolDays, tolDays) // histogram is #days-sized: tiny
+      .rangeBetween(-tolDays, tolDays)
     val rolling = hist.withColumn("_win", sum("_n").over(w))
     withDay.join(broadcast(rolling), "_day")
       .select(col(idCol), (col("_win") - 1).as("nearby"))

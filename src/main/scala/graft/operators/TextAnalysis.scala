@@ -177,8 +177,9 @@ object TextAnalysis {
       seed: Long = 42L): DataFrame =
     documents.stat.sampleBy("lang", fractions, seed)
 
-  /** Polynomial rolling hash over the token stream (base 31, mod 2^61-1
-    * via Long arithmetic) — a locality-insensitive whole-document
+  /** Polynomial rolling hash over the token stream (base 31, mod 1e9+7
+    * — keeps every intermediate < 2^35, safe under ANSI-mode Long
+    * arithmetic) — a locality-insensitive whole-document
     * fingerprint computed without leaving codegen: `aggregate` over the
     * token array with xxhash64 per token. Unit-tested; not
     * oracle-declared (xxhash64 is Spark-specific).

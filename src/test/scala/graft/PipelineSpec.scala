@@ -59,6 +59,61 @@ class PipelineSpec extends SparkSpec {
     assert(matrix.columns.length <= 3)
   }
 
+  test("score-only run loads persisted models (no retrain) from --models-dir") {
+    // run A: build + save models + score
+    val pA = Main.Params(
+      parse = true, extract = true, build = true, score = true,
+      sitelinks = Some(slPath), pagecounts = Some(pcPath),
+      outputDir = s"$dir/out_load_a")
+    val matrixA = Main.run(spark, pA)
+    val baseA = new java.io.File(s"$dir/out_load_a").listFiles()
+    val fmPath = baseA.find(_.getName.endsWith("_featureData")).get.getPath
+    val modelsPath = baseA.find(_.getName.endsWith("_models")).get.getPath
+    val savedSites = new java.io.File(modelsPath).listFiles().map(_.getName)
+    assert(savedSites.length > 1)
+    // delete one site's persisted model: if run B really LOADS (and does
+    // not retrain), that site's column must vanish from its matrix —
+    // a retrain would regenerate it
+    val dropped = savedSites.sorted.head
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$modelsPath/$dropped"))
+    // run B: score-only, fresh params, sourced from persisted artifacts
+    val pB = Main.Params(
+      score = true, featureData = Some(fmPath), modelsDir = Some(modelsPath),
+      outputDir = s"$dir/out_load_b")
+    val matrixB = Main.run(spark, pB)
+    assert(!matrixB.columns.contains(dropped))
+    assert(matrixB.columns.toSet == matrixA.columns.toSet - dropped)
+    // surviving sites score identically to run A's in-session models
+    val shared = matrixB.columns.toSeq
+    val a = matrixA.select(shared.head, shared.tail: _*)
+      .collect().map(_.toString).sorted
+    val b = matrixB.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("--build-models sources --feature-data without a parse stage") {
+    // ADVICE: this validation-accepted path used to crash on the eager
+    // `parsed.get` before the feature branch was consulted
+    val pA = Main.Params(
+      parse = true, extract = true,
+      sitelinks = Some(slPath), pagecounts = Some(pcPath),
+      outputDir = s"$dir/out_fd_a")
+    Main.run(spark, pA)
+    val fmPath = new java.io.File(s"$dir/out_fd_a").listFiles()
+      .find(_.getName.endsWith("_featureData")).get.getPath
+    val pB = Main.Params(
+      build = true, featureData = Some(fmPath),
+      outputDir = s"$dir/out_fd_b")
+    val features = Main.run(spark, pB)
+    assert(features.count() > 0)
+    assert(new java.io.File(s"$dir/out_fd_b").listFiles()
+      .exists(_.getName.endsWith("_models")))
+  }
+
   test("pipeline is reproducible with pinned seeds") {
     def run(n: Int) = {
       val p = Main.Params(

@@ -33,6 +33,14 @@ class RangeJoinSpec extends SparkSpec {
       && pairs.exceptAll(hist).count() == 0)
   }
 
+  test("range-count-by-day refuses an oversized histogram") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeCountByDay(
+        tables.orders, "o_orderdate", "o_orderkey", 7, maxHistRows = 10L)
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+
   test("no self pairs and counts are symmetric in total") {
     val tol = 3600L
     val r = RangeJoin.withinToleranceCount(
