@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here. At 100 TB these would be partitioned tables / catalog
   * entries; the accessor shape stays identical.
   */
-final class Tables(spark: SparkSession, dir: String) {
+final class Tables(val spark: SparkSession, val dir: String) {
   lazy val region: DataFrame = Tables.load(spark, dir, "region")
   lazy val nation: DataFrame = Tables.load(spark, dir, "nation")
   lazy val customer: DataFrame = Tables.load(spark, dir, "customer")

@@ -255,19 +255,21 @@ object Relational {
 
   /** Q31 — the SQL entry surface (reference S4, DataGatherer.scala:68-74:
     * `spark.sql` over a warehouse table with partition-pruning
-    * predicates). Views are registered on demand; the year/month/day
-    * predicates are the pruning shape that maps to partition columns on
-    * a real warehouse table. */
+    * predicates). Runs against the CATALOG table
+    * `graft.events_hourly`, physically partitioned by (year, month,
+    * day) — the year/month/day predicates are real partition-column
+    * filters, so `PruneFileSourcePartitions` drops non-matching
+    * directories before any file is opened (asserted in IoSpec). */
   def q31(t: Tables): DataFrame = {
-    val spark = t.events.sparkSession
-    t.events.createOrReplaceTempView("events")
+    val spark = t.spark
+    val table = graft.sources.Warehouse.ensureEventsHourly(spark, t.dir)
     spark.sql(
-      """SELECT event_type AS site, user_id,
-        |       ROUND(SUM(value), 2) AS pageviews
-        |FROM events
-        |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) <= 7
-        |GROUP BY event_type, user_id
-        |ORDER BY site, user_id""".stripMargin)
+      s"""SELECT event_type AS site, user_id,
+         |       ROUND(SUM(value), 2) AS pageviews
+         |FROM $table
+         |WHERE year = 2024 AND month = 1 AND day <= 7
+         |GROUP BY event_type, user_id
+         |ORDER BY site, user_id""".stripMargin)
   }
 
   /** Q32 — mixed-condition join (reference J4's expression-join shape,

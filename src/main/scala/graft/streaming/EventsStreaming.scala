@@ -75,6 +75,33 @@ object EventsStreaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Launch the transform into a fault-tolerant PARQUET file sink with
+    * checkpointing — the production shape [[runToMemory]] only mimics.
+    * File sinks are append-only, so windowed aggregates need the
+    * watermark: each window is emitted exactly once, when the watermark
+    * passes its end. The checkpoint holds source offsets (which input
+    * files are consumed) + the aggregation state store, so killing the
+    * query and restarting with the same (outDir, checkpointDir) resumes
+    * exactly where it stopped — no lost and no duplicated windows
+    * (kill/restart asserted in StreamingSpec). At scale the checkpoint
+    * lives on the cluster FS and the sink's _spark_metadata log is what
+    * makes concurrent readers see only committed files. */
+  def runToParquet(
+      spark: SparkSession, sourceDir: String, outDir: String,
+      checkpointDir: String, transform: DataFrame => DataFrame,
+      watermark: (String, String) = "ts" -> "1 hour"): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(sourceDir)
+      .withWatermark(watermark._1, watermark._2)
+    transform(src).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Launch a streaming query over a parquet directory into a memory
     * sink; caller drives it with processAllAvailable() (the local test
     * harness — a production sink would be kafka/delta/parquet). */

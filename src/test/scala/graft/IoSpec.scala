@@ -142,6 +142,43 @@ class IoSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("catalog registration: testdata tables addressable by name") {
+    graft.sources.Warehouse.registerTables(spark, sfDir)
+    assert(spark.catalog.tableExists("graft.lineitem"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.region")
+      .collect()(0).getLong(0) == 5)
+  }
+
+  test("events_hourly catalog table prunes year/month/day partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = graft.sources.Warehouse.ensureEventsHourly(spark, sfDir)
+    // AQE off for the assertion only: query stages hide the scan node
+    // from collectLeaves; the pruning itself is identical either way
+    def scanOf(sql: String): FileSourceScanExec =
+      spark.sql("SET spark.sql.adaptive.enabled=false").sparkSession
+        .sql(sql) match { case df =>
+          df.collect()
+          df.queryExecution.executedPlan.collectLeaves()
+            .collectFirst { case f: FileSourceScanExec => f }.get
+        }
+    val pruned =
+      try scanOf(s"SELECT ROUND(SUM(value), 2) FROM $table " +
+        "WHERE year = 2024 AND month = 1 AND day <= 7")
+      finally ()
+    val full =
+      try scanOf(s"SELECT ROUND(SUM(value), 2) FROM $table")
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the pruning shows up in the scan node itself…
+    assert(pruned.toString.contains("PartitionFilters"),
+      s"no PartitionFilters in:\n$pruned")
+    // …and in what was actually read: ≤7 day-directories vs the
+    // whole table
+    val prunedParts = pruned.metrics("numPartitions").value
+    val fullParts = full.metrics("numPartitions").value
+    assert(prunedParts >= 1 && prunedParts <= 7, s"read $prunedParts")
+    assert(fullParts > prunedParts, s"$fullParts vs $prunedParts")
+  }
+
   test("csv sink: single-file mode writes exactly one part file") {
     val out = s"$dir/csv_single"
     Writers.csv(
