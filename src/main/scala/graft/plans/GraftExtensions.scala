@@ -13,19 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.plans.GraftExtensions`;
   * [[GraftExtensions.register]] does the same on a live session.
   *
-  * Custom `Rule[LogicalPlan]` / `SparkStrategy`: deliberately none.
-  * Every reference operator maps to built-in Catalyst operators whose
-  * optimizer rules (pushdown, pruning, join selection, AQE) already
-  * produce the plans we want (SURVEY §4.2/§7.3) — plan-shape evidence
-  * is recorded in BASELINE.md. The extension point is where a
-  * benchmark-driven rule (e.g. collapsing an N-way outer-join chain
-  * into union+pivot) would be injected; the engine instead exposes the
-  * union+pivot form directly as API ([[graft.ml.Ranker.scoreMatrix]]).
+  * Custom rules: exactly one, [[IntervalJoinRewrite]] — the only place
+  * built-in Catalyst genuinely mis-plans a reference-relevant shape
+  * (equi-keyless interval joins become BroadcastNestedLoopJoin).
+  * Everything else maps to built-in operators whose optimizer rules
+  * (pushdown, pruning, join selection, AQE) already produce the plans
+  * we want (SURVEY §4.2/§7.3) — plan-shape evidence in BASELINE.md.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
+  }
 }
 
 object GraftExtensions {
