@@ -65,6 +65,13 @@ object SparkEntry {
     "q44_stats_agg" -> q(Relational.q44),
     "q45_window_suite" -> q(Relational.q45),
     "q46_hash_split" -> q(t => TextAnalysis.hashSplit(t.documents)),
+    "q47_grouping_sets" -> q(Relational.q47),
+    "q48_range_frame" -> q(Relational.q48),
+    "q49_quantile_suite" -> q(Relational.q49),
+    "q50_edit_distance" -> q(t => Dedup.editDistancePairs(
+      t.part, "p_partkey", "p_name", Seq("p_brand", "p_type"), 6)),
+    "q51_regression" -> q(Relational.q51),
+    "q52_funnel" -> q(Relational.q52),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -478,6 +485,60 @@ object SparkEntry {
         |       CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train' ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q47_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q48_range_frame" ->
+      """SELECT event_type, event_id,
+        |       ROUND(SUM(value) OVER w, 2) AS run_sum,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_frame
+        |FROM events
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |             RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q49_quantile_suite" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+        |       ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q50_edit_distance" ->
+      """SELECT a.p_partkey AS id_i, b.p_partkey AS id_j,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 6
+        |ORDER BY id_i, id_j""".stripMargin,
+    "q51_regression" ->
+      """SELECT l_returnflag,
+        |       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q52_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT fv.user_id, COUNT(c.ts) AS clicks_1h,
+        |       MAX(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+        |FROM fv LEFT JOIN events c
+        |  ON c.user_id = fv.user_id AND c.event_type = 'click'
+        | AND c.ts > fv.first_view
+        | AND c.ts <= fv.first_view + INTERVAL 1 HOUR
+        |GROUP BY fv.user_id
+        |ORDER BY fv.user_id""".stripMargin,
     "q44_stats_agg" ->
       """SELECT l_returnflag,
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,

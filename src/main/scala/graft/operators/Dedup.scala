@@ -377,6 +377,28 @@ object Dedup {
       .drop("component")
   }
 
+  /** Blocked edit-distance near-dup pairs: within each block (an
+    * equi-join on `blockCols` — brand/type/size style metadata, or a
+    * length band + first-token key for raw text), emit id pairs whose
+    * `textCol` Levenshtein distance is ≤ maxDist. Blocking is what
+    * makes edit distance usable at scale: the O(|s|·|t|) comparison
+    * runs only inside blocks, never across the corpus, and both join
+    * sides are the same subplan (one Exchange, reused). */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val blk = df.select(
+      blockCols.map(col) :+ col(idCol).as("id") :+ col(textCol).as("t"): _*)
+    blk.as("a")
+      .join(blk.as("b"),
+        blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_i"), col("b.id").as("id_j"),
+        levenshtein(col("a.t"), col("b.t")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("id_i", "id_j")
+  }
+
   /** SimHash near-dup candidates: docs whose fingerprints agree on at
     * least one of four 8-bit bands (bucket equi-join — the standard
     * Hamming-ball index), verified by true Hamming distance ≤ maxDist.

@@ -434,6 +434,89 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Q47 — explicit GROUPING SETS (the general form under Q36's ROLLUP
+    * and Q39's CUBE): per-status totals, per-priority totals, and the
+    * grand total in ONE pass — Catalyst's Expand produces all grouping
+    * sets from a single scan instead of three separate aggregates. */
+  def q47(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Q48 — value-RANGE window frame (vs Q45's row frames): for each
+    * event, aggregate over all events of the same type whose value lies
+    * within 5.0 below it — a frame defined by VALUE distance, not row
+    * position, so ties contribute symmetrically and the result is
+    * deterministic without a tiebreak. */
+  def q48(t: Tables): DataFrame =
+    t.events
+      .filter(col("user_id") < 20)
+      .select(
+        col("event_type"), col("event_id"),
+        round(expr("SUM(value) OVER (PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)"), 2).as("run_sum"),
+        expr("COUNT(*) OVER (PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)").cast("long")
+          .as("n_frame"))
+      .orderBy("event_type", "event_id")
+
+  /** Q49 — quantile suite: the scale-safe [[quantileCont]] generalized
+    * beyond q44 (different table, four probes incl. the tail p99). */
+  def q49(t: Tables): DataFrame =
+    quantileCont(t.events, "event_type", "value",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))
+      .select(
+        col("event_type"),
+        round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"), round(col("p99"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Q51 — linear-regression aggregates (regr_* family, Spark ≥3.4 and
+    * DuckDB agree on definitions): slope/intercept/R² of
+    * price ~ quantity per return flag, plus sample covariance. All
+    * DeclarativeAggregates — constant state, one HashAggregate pass. */
+  def q51(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov"))
+      .orderBy("l_returnflag")
+
+  /** Q52 — two-stage funnel: per user, clicks landing within one hour
+    * AFTER their first view (the sequence constraint that makes this a
+    * funnel, not a co-occurrence count). One aggregate for the anchor
+    * event + one equi-join on user with the time bounds as join
+    * filters — no window over the full event stream needed. */
+  def q52(t: Tables): DataFrame = {
+    val firstView = t.events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+    firstView
+      .join(clicks,
+        col("user_id") === col("c_user")
+          && col("cts") > col("first_view")
+          && col("cts") <= col("first_view") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy("user_id")
+      .agg(
+        count(col("cts")).as("clicks_1h"),
+        max(when(col("cts").isNotNull, 1).otherwise(0)).as("converted"))
+      .orderBy("user_id")
+  }
+
   /** O1 — standalone secondary sort (reference
     * repartitionAndSortWithinPartitions, FeatureExtractor.scala:55-57):
     * co-locate by key, order within partitions — the Catalyst form is
