@@ -72,6 +72,7 @@ object SparkEntry {
       t.part, "p_partkey", "p_name", Seq("p_brand", "p_type"), 6)),
     "q51_regression" -> q(Relational.q51),
     "q52_funnel" -> q(Relational.q52),
+    "q53_tfidf" -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -527,6 +528,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q53_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |wtd AS (
+        |  SELECT doc_id, tok,
+        |         ROUND(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, tok, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, tok) AS rk
+        |  FROM wtd)
+        |SELECT doc_id, tok, tfidf, rk FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q52_funnel" ->
       """WITH fv AS (
         |  SELECT user_id, MIN(ts) AS first_view

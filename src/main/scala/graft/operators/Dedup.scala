@@ -56,18 +56,8 @@ object Dedup {
       .filter(col("n") > 1)
       .orderBy("h")
 
-  /** Input-split underflow guard: the shingle/signature paths do heavy
-    * per-row work (tokenize → n-gram assembly → md5) immediately after
-    * the scan, so their parallelism is capped by the scan's split count.
-    * A single-row-group parquet file (the local testdata; gzip'd text
-    * dumps in the wild) yields ONE split and serializes everything.
-    * When splits < cores, one bounded shuffle of the raw rows buys
-    * full-core fan-out; at warehouse scale (splits ≫ cores) this is a
-    * no-op — no repartition reaches the plan. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  /** Input-split underflow guard — see [[Spread]]. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Exploded distinct (doc_id, shingle) inverted index. */
   private def shingleIndex(documents: DataFrame, n: Int): DataFrame =

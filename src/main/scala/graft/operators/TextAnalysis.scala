@@ -177,6 +177,32 @@ object TextAnalysis {
       seed: Long = 42L): DataFrame =
     documents.stat.sampleBy("lang", fractions, seed)
 
+  /** q53 — TF-IDF top terms per document: tf(d,t)·ln(N/df(t)), top-k
+    * by weight. The distributed shape is three hash aggregates + one
+    * equi-join + a broadcast of the single-row corpus count — df(t) is
+    * the only cross-document state and it is token-keyed (shuffles by
+    * token, never by document pair). Ranking uses the ROUNDED weight
+    * with the token as tiebreak, so the top-k set is reproducible in
+    * any engine with ln (weights are compared post-round). */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = Spread(documents).select(
+      col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val weighted = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+    weighted
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("doc_id", "rk")
+  }
+
   /** Polynomial rolling hash over the token stream (base 31, mod 1e9+7
     * — keeps every intermediate < 2^35, safe under ANSI-mode Long
     * arithmetic) — a locality-insensitive whole-document

@@ -70,6 +70,31 @@ object EventsStreaming {
     events.join(
       org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
 
+  /** Stream–stream interval self-join: each purchase joined to the
+    * clicks that preceded it by at most one hour for the same user —
+    * BOTH sides are streams. The per-side watermarks plus the
+    * time-interval join predicate are what let Spark bound the join
+    * state: a buffered click can be evicted once the purchase-side
+    * watermark passes c_ts + 1h, so state is O(events per horizon), not
+    * O(stream length) — the property that keeps a stream-stream join
+    * alive at 100 TB/day. The same body runs on batch frames
+    * (withWatermark is a no-op there); parity locked in StreamingSpec. */
+  def clicksBeforePurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user")
+        && col("c_ts") <= col("p_ts")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"))
+  }
+
   /** Streaming dedup on event_id within the watermark. */
   def dedupped(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -116,6 +116,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join: stream == batch") {
+    val batch = EventsStreaming.clicksBeforePurchase(
+      spark.read.parquet(eventsDir))
+    // inner stream-stream joins emit in append mode; watermark only
+    // bounds state
+    val q = EventsStreaming.runToMemory(
+      spark, eventsDir, "ss_join", EventsStreaming.clicksBeforePurchase,
+      watermark = None, outputMode = "append")
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(spark.table("ss_join")) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("parquet sink + checkpoint: kill/restart loses and duplicates nothing") {
     import org.apache.spark.sql.DataFrame
     val base = java.nio.file.Files.createTempDirectory("graft-ck").toString
