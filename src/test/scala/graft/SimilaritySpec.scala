@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall (got ${approx.size} pairs)")
   }
 
+  test("PQ/ADC topk recall vs brute force, scores are exact cosines") {
+    import spark.implicits._
+    val exactDf = Similarity.cosineTopK(tables.embeddings, 10, 5)
+    val exact = exactDf.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val pqDf = Similarity.pqCosineTopK(tables.embeddings, 64, 10, 5)
+    val approx = pqDf.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall")
+    assert(recall >= 0.4, s"PQ recall $recall (got ${approx.size} pairs)")
+    // re-ranked scores must be TRUE cosines: every (qid,cid) the two
+    // methods share must carry the identical rounded cosine
+    val exactScores = exactDf.select("qid", "cid", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val mismatches = pqDf.select("qid", "cid", "cos")
+      .as[(Long, Long, Double)].collect()
+      .count { case (q, c, s) =>
+        exactScores.get((q, c)).exists(_ != s) }
+    assert(mismatches == 0)
+    // deterministic: no RNG anywhere in training/encoding
+    val again = Similarity.pqCosineTopK(tables.embeddings, 64, 10, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == pqDf.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("embeddingNearDups emits only high-cosine collision pairs") {
     val r = Similarity.embeddingNearDups(tables.embeddings, 64, 0.9)
     assert(r.filter(col("cos") < 0.9).count() == 0)
