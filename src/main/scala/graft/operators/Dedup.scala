@@ -310,9 +310,12 @@ object Dedup {
     val und = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .unionByName(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-round lineage truncation (localCheckpoint, not persist): an
+    // un-truncated iterative plan grows with every round and the driver
+    // dies on plan bookkeeping long before data size matters
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -323,38 +326,113 @@ object Dedup {
         .agg(min("nl").as("nmin"))
       val next = labels.join(neighborMin, "node")
         .select(col("node"), least(col("label"), col("nmin")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     if (!converged) {
-      labels.unpersist(); und.unpersist()
+      und.unpersist()
       // silently returning partial labels would fail oracle parity with
       // no diagnostic (the DuckDB oracle computes the full closure)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations; " +
-          "raise maxIter (component diameter exceeds it)")
+          "raise maxIter (component diameter exceeds it) or use " +
+          "connectedComponentsStar (diameter-independent)")
     }
-    // materialize the small (node, label) result so the iterative
-    // intermediates can be released — nothing stays in CacheManager
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("component"))
-      .localCheckpoint(eager = true)
-    labels.unpersist()
     und.unpersist()
     out
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the production-scale formulation: converges in O(log² n) rounds
+    * regardless of component DIAMETER, where [[connectedComponents]]'
+    * min-label propagation needs one round per hop and a 10⁶-long
+    * duplicate chain would mean 10⁶ Spark jobs.
+    *
+    * One round: large-star points every strictly-larger neighbor of u
+    * at m(u) = min(Γ⁺(u)); small-star points the smaller-or-equal
+    * neighbors at m(u). At fixpoint every component is a single star
+    * rooted at its minimum node, so labels read directly off the edges.
+    * Each half-step is one groupBy + one join on node id — no driver
+    * graph, state linear in |edges|. Output is identical to
+    * [[connectedComponents]] (asserted in DedupSpec, including a chain
+    * longer than min-label's default iteration budget). */
+  def connectedComponentsStar(
+      pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def bidir(e: DataFrame) =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // one star half-step: per node the min over its closed neighborhood,
+    // then point the selected neighbors (larger for large-star,
+    // smaller-or-equal for small-star) at it
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val bd = bidir(e)
+      val m = bd.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      if (large)
+        // (v, m(u)) for every strictly larger neighbor v of u
+        bd.join(m, "a").filter(col("b") > col("a"))
+          .select(col("m").as("a"), col("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      else {
+        // (v, m(u)) for v ∈ Γ⁺(u) \ {m(u)}, v ≤ u — Γ⁺ includes u
+        // itself, which is what keeps each non-root attached to its min
+        val neigh = bd.join(m, "a")
+          .filter(col("b") <= col("a") && col("b") =!= col("m"))
+          .select(col("m").as("a"), col("b"))
+        val self = m.filter(col("a") =!= col("m"))
+          .select(col("m").as("a"), col("a").as("b"))
+        neigh.unionByName(self)
+          .filter(col("a") =!= col("b")).distinct()
+      }
+    }
+    // each round MUST truncate lineage (localCheckpoint, not persist):
+    // the two nested star steps quadruple the logical plan per round,
+    // so an un-truncated loop OOMs the driver on plan strings alone
+    // long before any data is big
+    var edges = pairs.select(
+        least(col("doc_i"), col("doc_j")).as("a"),
+        greatest(col("doc_i"), col("doc_j")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // symmetric difference in ONE job: any edge in exactly one set
+      val changed = next.exceptAll(edges)
+        .unionAll(edges.exceptAll(next)).limit(1).count() > 0
+      edges = next
+      converged = !changed
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star edges are (root, child): children label themselves with the
+    // root, roots label themselves. Checkpointed intermediates hold no
+    // CacheManager entries; their blocks are reclaimed by the
+    // ContextCleaner once unreferenced.
+    edges.select(col("b").as("doc_id"), col("a").as("component"))
+      .unionByName(
+        edges.select(col("a")).except(edges.select(col("b").as("a")))
+          .select(col("a").as("doc_id"), col("a").as("component")))
+      .localCheckpoint(true)
+  }
+
   /** q42 — near-dup clusters: MinHash+LSH pairs (q20 semantics) closed
     * transitively into components; emits (doc_id, component) for every
-    * document that has at least one near-duplicate. The cleaned corpus
-    * keeps `component == doc_id` rows plus all unpaired docs. */
+    * document that has at least one near-duplicate. Uses the
+    * diameter-independent [[connectedComponentsStar]]. The cleaned
+    * corpus keeps `component == doc_id` rows plus all unpaired docs. */
   def nearDupComponents(documents: DataFrame): DataFrame =
-    connectedComponents(minhashNearDups(documents))
+    connectedComponentsStar(minhashNearDups(documents))
       .orderBy("doc_id")
 
   /** Deduplicated corpus: one keeper (min doc_id) per near-dup

@@ -81,6 +81,29 @@ class DedupSpec extends SparkSpec {
     assert(comp(5L) == 5L && comp(6L) == 5L)
   }
 
+  test("large-star/small-star components equal min-label propagation") {
+    // same mixed graph as above
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (9L, 1L)).toDF("doc_i", "doc_j")
+    val a = Dedup.connectedComponents(pairs).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Dedup.connectedComponentsStar(pairs).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    // a 120-hop chain: diameter far beyond min-label's default budget,
+    // but O(log^2 n) star rounds close it easily
+    val chain = (0 until 120).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_i", "doc_j")
+    val starChain = Dedup.connectedComponentsStar(chain).collect()
+    assert(starChain.length == 121)
+    assert(starChain.forall(_.getLong(1) == 0L))
+    // min-label on the same chain refuses rather than returning
+    // partial labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 20)
+    }
+  }
+
   test("dedupedCorpus keeps one doc per near-dup cluster") {
     val corpus = Dedup.dedupedCorpus(tables.documents)
     // no surviving pair of near-dups within the cleaned corpus
