@@ -73,6 +73,7 @@ object SparkEntry {
     "q51_regression" -> q(Relational.q51),
     "q52_funnel" -> q(Relational.q52),
     "q53_tfidf" -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
+    "q54_topk_agg" -> q(Relational.q54),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -528,6 +529,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q54_topk_agg" ->
+      """SELECT l_returnflag, rk, price FROM (
+        |  SELECT l_returnflag,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                                 ORDER BY l_extendedprice DESC) AS BIGINT) AS rk,
+        |         ROUND(l_extendedprice, 2) AS price
+        |  FROM lineitem) t
+        |WHERE rk <= 5
+        |ORDER BY l_returnflag, rk""".stripMargin,
     "q53_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -517,6 +517,23 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q54 — per-group bounded top-k through the custom
+    * [[graft.functions.TopKAggregator]]: top-5 prices per return flag
+    * as ONE aggregate with O(k) state and map-side partials — no window,
+    * no per-group sort of the full data. Exploded to rows so the DuckDB
+    * window-function oracle can hash-compare it (tie values produce
+    * identical row multisets either way). */
+  def q54(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopKAggregator
+        .top_k(col("l_extendedprice"), 5).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("rk0", "p")))
+      .select(col("l_returnflag"),
+        (col("rk0") + 1).cast("long").as("rk"),
+        round(col("p"), 2).as("price"))
+      .orderBy("l_returnflag", "rk")
+
   /** O1 — standalone secondary sort (reference
     * repartitionAndSortWithinPartitions, FeatureExtractor.scala:55-57):
     * co-locate by key, order within partitions — the Catalyst form is
