@@ -69,11 +69,14 @@ object SparkEntry {
     "q48_range_frame" -> q(Relational.q48),
     "q49_quantile_suite" -> q(Relational.q49),
     "q50_edit_distance" -> q(t => Dedup.editDistancePairs(
-      t.part, "p_partkey", "p_name", Seq("p_brand", "p_type"), 6)),
+      t.part.withColumn("p_size_band",
+        org.apache.spark.sql.functions.expr("p_size div 10")),
+      "p_partkey", "p_name", Seq("p_brand", "p_type", "p_size_band"), 6)),
     "q51_regression" -> q(Relational.q51),
     "q52_funnel" -> q(Relational.q52),
     "q53_tfidf" -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
     "q54_topk_agg" -> q(Relational.q54),
+    "q55_profile" -> q(Profile.q55),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -517,6 +520,7 @@ object SparkEntry {
         |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND (a.p_size // 10) = (b.p_size // 10)
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 6
         |ORDER BY id_i, id_j""".stripMargin,
@@ -529,6 +533,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q55_profile" -> Profile.q55OracleSql,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

@@ -457,13 +457,21 @@ object Dedup {
       blockCols: Seq[String], maxDist: Int): DataFrame = {
     val blk = df.select(
       blockCols.map(col) :+ col(idCol).as("id") :+ col(textCol).as("t"): _*)
+      .withColumn("len", length(col("t")))
     blk.as("a")
       .join(blk.as("b"),
         blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-          && col("a.id") < col("b.id"))
+          && col("a.id") < col("b.id")
+          // exact lower bound: |len(a)−len(b)| ≤ edit distance, so the
+          // cheap length gate runs before every O(|s|·|t|) comparison
+          && abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("id_i"), col("b.id").as("id_j"),
-        levenshtein(col("a.t"), col("b.t")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        // thresholded (banded-DP) form: O(|s|·maxDist) per pair with
+        // early exit, −1 when the bound is exceeded; exact distance
+        // when within it, so the emitted rows are identical to the
+        // unbounded form
+        levenshtein(col("a.t"), col("b.t"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy("id_i", "id_j")
   }
 
