@@ -48,6 +48,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-pass quantileCont equals Spark's buffering percentile") {
+    // random grouped doubles incl. duplicates and 1-element groups:
+    // the histogram formulation must reproduce the ObjectAggregate's
+    // linear interpolation exactly (it replaced it in q44/q49)
+    val gGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000, 1000)
+    } yield (g, (v / 8).toDouble))
+    forSamples(gGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val mine = graft.operators.Relational
+        .quantileCont(df, "g", "v",
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.9))
+        .select(col("g"), round(col("q1"), 6).as("q1"),
+          round(col("q2"), 6).as("q2"), round(col("q3"), 6).as("q3"))
+      val ref = df.groupBy("g").agg(
+        round(expr("percentile(v, 0.25)"), 6).as("q1"),
+        round(expr("percentile(v, 0.5)"), 6).as("q2"),
+        round(expr("percentile(v, 0.9)"), 6).as("q3"))
+      assert(mine.exceptAll(ref).count() == 0
+        && ref.exceptAll(mine).count() == 0)
+    }
+  }
+
   test("pivot preserves cells: unpivot(pivot(x)) == x on present cells") {
     forSamples(frameGen) { rows =>
       val parsed = rows.toDF("id", "site", "pageviews")
