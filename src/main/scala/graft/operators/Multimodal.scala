@@ -126,6 +126,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual-hash near-duplicate pairs over the DECODE path — the
+    * image-dedup shape (aHash): each media payload decodes to channel
+    * statistics ([[extractFeatures]]; a real deployment's 8×8 grayscale
+    * averages), bit i of the hash is "statistic i above the mean", and
+    * near-dups are found by hash-bucket probing: each doc indexes its
+    * hash plus every single-bit flip, so an equi-join on the probe key
+    * finds ALL pairs within Hamming distance ≤ 2 without comparing the
+    * corpus pairwise; exact `bit_count` verification then applies
+    * `maxHamming`. Candidate cost is collision-driven — the join never
+    * sees non-colliding pairs, the property that keeps image dedup
+    * linear at billions of images. */
+  def perceptualNearDups(
+      documents: DataFrame, maxHamming: Int = 1): DataFrame = {
+    // single-bit probing finds every pair with Hamming ≤ 2 and NOTHING
+    // beyond — refuse thresholds the index cannot honor (band the hash
+    // like simhashNearDups if a looser radius is ever needed)
+    require(maxHamming <= 2,
+      s"maxHamming=$maxHamming exceeds the probe index's radius (2)")
+    val nBits = 8 // = |stub channel statistics|; 64 for a real 8×8 aHash
+    val feats = extractFeatures(documents)
+    val mean = aggregate(col("features"), lit(0.0d),
+      (acc, x) => acc + x.cast("double")) / nBits
+    val bits = (0 until nBits).map(i =>
+      when(element_at(col("features"), i + 1).cast("double") > col("m"),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashed = feats.withColumn("m", mean)
+      .select(col("doc_id"), bits.as("phash"))
+    // probe keys: the hash itself + all single-bit flips ⇒ two docs
+    // share a key iff their hashes differ in ≤ 2 of the flipped bits
+    val probes = hashed.select(col("doc_id"), col("phash"),
+      explode(array(
+        col("phash") +: (0 until nBits).map(b =>
+          col("phash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.probe") === col("b.probe")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_i", "doc_j")
+  }
+
   /** Frame sampling: slice `k` fixed-width byte windows from the
     * payload (a video frame-sampler's access pattern) — pure Column
     * (`substring` on binary), no decode needed. */

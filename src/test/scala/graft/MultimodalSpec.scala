@@ -56,4 +56,24 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("doc_id").count().filter(col("count") === 4)
     assert(full.count() == longDocs.count())
   }
+
+  test("perceptualNearDups: identical payloads pair at hamming 0, " +
+    "probe join misses nothing within the bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "completely different text with other statistics entirely"),
+      (4L, "zzz")).toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.perceptualNearDups(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (i, j, h) => i == 1L && j == 2L && h == 0 })
+    // the probe index covers radius 2 and refuses beyond it
+    val r2 = graft.operators.Multimodal.perceptualNearDups(docs, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(r2.contains((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.perceptualNearDups(docs, 3)
+    }
+  }
 }
