@@ -352,12 +352,16 @@ object Relational {
   def quantileCont(
       df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)]): DataFrame = {
-    val hist = df
+    // order statistics are over non-null values only (Spark percentile
+    // and DuckDB quantile_cont both ignore NULLs) — drop them before
+    // the histogram AND the totals, or every rank shifts
+    val nn = df.filter(col(valueCol).isNotNull)
+    val hist = nn
       .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist.select(col(groupCol), col("val"),
       sum("cnt").over(Window.partitionBy(groupCol).orderBy("val")).as("cum"))
-    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val totals = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
     // totals is |groups| rows — broadcast, no shuffle of the histogram
     val withN = cum.join(broadcast(totals), groupCol)
     val aggs = quantiles.flatMap { case (name, p) =>
@@ -370,12 +374,17 @@ object Relational {
         // rp is constant per group (depends only on n); max() carries it
         max(rp - floor(rp)).as(s"__${name}_frac"))
     }
-    withN.groupBy(col(groupCol))
+    val perGroup = withN.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol) +: quantiles.map { case (name, _) =>
         (col(s"__${name}_lo") + col(s"__${name}_frac")
           * (col(s"__${name}_hi") - col(s"__${name}_lo"))).as(name)
       }: _*)
+    // a group whose values are ALL null still aggregates to a row (with
+    // NULL quantiles) in both Spark percentile and DuckDB quantile_cont;
+    // restore such groups dropped by the isNotNull filter
+    df.select(col(groupCol)).distinct()
+      .join(perGroup, Seq(groupCol), "left")
   }
 
   /** Q44 — statistical aggregates: exact interpolated percentiles via

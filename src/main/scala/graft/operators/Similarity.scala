@@ -288,8 +288,14 @@ object Similarity {
     val sample = embeddings.orderBy("vec_id").limit(sampleN)
       .select(asDouble(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "pqCodebooks: embeddings input is empty — cannot train codebooks")
+    // fewer sample points than requested codes would seed duplicate
+    // centroids (pts(i*n/k) repeats indices) and silently degrade the
+    // codebook; clamp so every centroid seeds from a distinct point
+    val k = math.min(codes, sample.length)
     Array.tabulate(m)(s =>
-      kmeansLocal(sample.map(_.slice(s * sub, (s + 1) * sub)), codes, iters))
+      kmeansLocal(sample.map(_.slice(s * sub, (s + 1) * sub)), k, iters))
   }
 
   /** Product-quantization ANN with asymmetric distance computation —

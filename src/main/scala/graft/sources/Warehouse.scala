@@ -26,22 +26,60 @@ object Warehouse {
 
   val Db = "graft"
 
-  /** Register every testdata parquet as an external catalog table
-    * (idempotent). */
+  /** Register every testdata parquet as an external catalog table.
+    * Idempotent for a given sf dir — and safe across dirs: if a table
+    * of the same name is already registered but points at a DIFFERENT
+    * location (an earlier call with another sf dir in the same JVM),
+    * it is dropped and re-created rather than silently serving the old
+    * dir's data. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
     Tables.names.foreach { n =>
+      val want = Tables.path(dir, n)
+      if (spark.catalog.tableExists(s"$Db.$n") &&
+          registeredLocation(spark, s"$Db.$n").exists(
+            loc => !samePath(loc, want))) {
+        spark.sql(s"DROP TABLE $Db.$n")
+      }
       spark.sql(s"CREATE TABLE IF NOT EXISTS $Db.$n USING parquet " +
-        s"LOCATION '${Tables.path(dir, n)}'")
+        s"LOCATION '$want'")
     }
   }
 
-  /** Deterministic per-sf-dir location for the partitioned copy (no
-    * timestamps/randomness — reruns reuse the layout). */
+  /** Current LOCATION of a registered table (external catalog URI). */
+  private def registeredLocation(
+      spark: SparkSession, table: String): Option[String] =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .collect()
+      .find(_.getString(0) == "Location")
+      .map(_.getString(1))
+
+  /** Compare a catalog location URI against a requested path, tolerant
+    * of `file:` scheme prefixes and trailing slashes. */
+  private def samePath(a: String, b: String): Boolean = {
+    def norm(s: String) =
+      s.stripPrefix("file:").replaceAll("/+$", "")
+    norm(a) == norm(b)
+  }
+
+  /** Deterministic location for the partitioned copy, keyed on the
+    * sf-dir path AND a content fingerprint (size + mtime of every file
+    * under the source events parquet). Regenerating the testdata in
+    * place changes the fingerprint → a fresh root → a rebuild, instead
+    * of silently serving the stale partitioned copy. */
   private def hourlyRoot(dir: String): java.io.File = {
+    val src = new java.io.File(
+      Tables.path(dir, "events").stripPrefix("file:"))
+    val files =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+      else Array(src)
+    val sig = dir + files
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|", "|", "")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_$key",
       "events_hourly")
@@ -67,6 +105,13 @@ object Warehouse {
         .parquet(root.toString)
     }
     val table = s"$Db.events_hourly"
+    // re-point if a previous registration targets another root (other
+    // sf dir, or source regenerated → new fingerprinted root)
+    if (spark.catalog.tableExists(table) &&
+        registeredLocation(spark, table).exists(
+          loc => !samePath(loc, root.toString))) {
+      spark.sql(s"DROP TABLE $table")
+    }
     if (!spark.catalog.tableExists(table)) {
       spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$root'")
       spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")

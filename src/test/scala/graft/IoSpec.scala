@@ -149,6 +149,20 @@ class IoSpec extends SparkSpec {
       .collect()(0).getLong(0) == 5)
   }
 
+  test("catalog re-registration with another sf dir re-points tables") {
+    graft.sources.Warehouse.registerTables(spark, sfDir)
+    val n1 = spark.sql("SELECT count(*) FROM graft.lineitem")
+      .collect()(0).getLong(0)
+    // same JVM, different dir: tables must follow, not silently serve
+    // the first dir's data
+    graft.sources.Warehouse.registerTables(spark, "/root/testdata/sf0.01")
+    val n2 = spark.sql("SELECT count(*) FROM graft.lineitem")
+      .collect()(0).getLong(0)
+    assert(n2 > n1, s"expected sf0.01 rows > sf0.001 rows, got $n2 vs $n1")
+    // restore for any later test in this JVM
+    graft.sources.Warehouse.registerTables(spark, sfDir)
+  }
+
   test("events_hourly catalog table prunes year/month/day partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val table = graft.sources.Warehouse.ensureEventsHourly(spark, sfDir)

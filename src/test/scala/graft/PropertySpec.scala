@@ -52,12 +52,16 @@ class PropertySpec extends SparkSpec {
     // random grouped doubles incl. duplicates and 1-element groups:
     // the histogram formulation must reproduce the ObjectAggregate's
     // linear interpolation exactly (it replaced it in q44/q49)
+    // nulls included: both quantileCont and percentile must IGNORE them
+    // (and an all-null group — "z" only ever gets nulls — must still
+    // produce a row with null quantiles)
     val gGen = Gen.nonEmptyListOf(for {
       g <- Gen.oneOf("a", "b", "c")
       v <- Gen.choose(-1000, 1000)
-    } yield (g, (v / 8).toDouble))
+      isNull <- Gen.frequency(4 -> false, 1 -> true)
+    } yield (g, if (isNull) None else Some((v / 8).toDouble)))
     forSamples(gGen) { rows =>
-      val df = rows.toDF("g", "v")
+      val df = (rows :+ (("z", Option.empty[Double]))).toDF("g", "v")
       val mine = graft.operators.Relational
         .quantileCont(df, "g", "v",
           Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.9))
