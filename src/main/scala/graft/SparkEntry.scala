@@ -77,6 +77,7 @@ object SparkEntry {
     "q53_tfidf" -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
     "q54_topk_agg" -> q(Relational.q54),
     "q55_profile" -> q(Profile.q55),
+    "q56_topk_per_key" -> q(graft.plans.TopKPerKey.q56),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -534,6 +535,12 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q55_profile" -> Profile.q55OracleSql,
+    "q56_topk_per_key" ->
+      """SELECT event_type, event_id, user_id, ROUND(value, 4) AS value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) <= 5
+        |ORDER BY event_type, event_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

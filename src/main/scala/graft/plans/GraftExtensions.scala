@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 
@@ -36,10 +37,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))
 
-  /** Register the engine functions on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the engine functions + planner strategy on an
+    * already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
 }

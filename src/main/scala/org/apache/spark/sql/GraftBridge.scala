@@ -12,4 +12,16 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Wrap a (custom) logical plan as a DataFrame — the package-private
+    * `Dataset.ofRows` factory every Spark connector/extension uses to
+    * surface its own `LogicalPlan` nodes through the public API. */
+  def ofRows(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a frame (resolved attributes). */
+  def analyzed(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
