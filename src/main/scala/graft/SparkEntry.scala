@@ -78,6 +78,13 @@ object SparkEntry {
     "q54_topk_agg" -> q(Relational.q54),
     "q55_profile" -> q(Profile.q55),
     "q56_topk_per_key" -> q(graft.plans.TopKPerKey.q56),
+    "q57_quantile_disc_mode" -> q(Relational.q57),
+    "q58_listagg" -> q(Relational.q58),
+    "q59_corr_matrix" -> q(Relational.q59),
+    "q60_cohort_retention" -> q(Relational.q60),
+    "q61_bigram_pmi" -> q(t => TextAnalysis.bigramPmi(t.documents)),
+    "q62_zscore_anomaly" -> q(t => Relational.q62(t)),
+    "q63_quality_gate" -> q(t => TextAnalysis.qualityGate(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -541,6 +548,92 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id) <= 5
         |ORDER BY event_type, event_id""".stripMargin,
+    "q57_quantile_disc_mode" ->
+      """WITH vals AS (SELECT l_returnflag AS flag, l_quantity AS v FROM lineitem),
+        |counts AS (SELECT flag, v, COUNT(*) AS cnt FROM vals GROUP BY flag, v),
+        |modes AS (
+        |  SELECT flag, v AS mode_qty FROM counts
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, v) = 1),
+        |qd AS (
+        |  SELECT flag, quantile_disc(v, 0.5) AS p50_qty,
+        |         quantile_disc(v, 0.9) AS p90_qty
+        |  FROM vals GROUP BY flag)
+        |SELECT qd.flag AS l_returnflag, ROUND(p50_qty, 2) AS p50_qty,
+        |       ROUND(p90_qty, 2) AS p90_qty, ROUND(mode_qty, 2) AS mode_qty
+        |FROM qd JOIN modes USING (flag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q58_listagg" ->
+      """SELECT r.r_name AS region, COUNT(*) AS n_nations,
+        |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY region""".stripMargin,
+    "q59_corr_matrix" ->
+      """WITH c AS (SELECT
+        |  corr(l_quantity, l_extendedprice) AS qty_price,
+        |  corr(l_quantity, l_discount)      AS qty_disc,
+        |  corr(l_quantity, l_tax)           AS qty_tax,
+        |  corr(l_extendedprice, l_discount) AS price_disc,
+        |  corr(l_extendedprice, l_tax)      AS price_tax,
+        |  corr(l_discount, l_tax)           AS disc_tax
+        |FROM lineitem)
+        |SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, ROUND(qty_price, 6) AS r FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(qty_disc, 6) FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(qty_tax, 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(price_disc, 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(price_tax, 6) FROM c
+        |UNION ALL SELECT 'l_discount', 'l_tax', ROUND(disc_tax, 6) FROM c
+        |ORDER BY x, y""".stripMargin,
+    "q60_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id),
+        |activity AS (SELECT DISTINCT w.user_id, c.cohort_wk,
+        |    CAST((w.wk - c.cohort_wk) // 7 AS BIGINT) AS wk_offset
+        |  FROM weeks w JOIN cohorts c USING (user_id))
+        |SELECT cohort_wk, wk_offset, COUNT(*) AS n_users
+        |FROM activity
+        |GROUP BY cohort_wk, wk_offset
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
+    "q61_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |unic AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        |nt AS (SELECT COUNT(*) AS nt FROM uni),
+        |big AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |        FROM toks WHERE len(t) >= 2),
+        |bigc AS (SELECT bg, COUNT(*) AS cxy FROM big GROUP BY bg),
+        |nb AS (SELECT COUNT(*) AS nb FROM big)
+        |SELECT bg AS bigram, cxy AS cnt,
+        |       ROUND(ln((CAST(cxy AS DOUBLE) / nb.nb) /
+        |         ((CAST(x.c AS DOUBLE) / nt.nt) * (CAST(y.c AS DOUBLE) / nt.nt))), 4) AS pmi
+        |FROM bigc
+        |JOIN unic x ON x.tok = string_split(bg, ' ')[1]
+        |JOIN unic y ON y.tok = string_split(bg, ' ')[2]
+        |CROSS JOIN nb CROSS JOIN nt
+        |WHERE cxy >= 5
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 20""".stripMargin,
+    "q62_zscore_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+        |       ROUND((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE ABS((e.value - s.mu) / s.sd) > 2.5
+        |ORDER BY e.event_id""".stripMargin,
+    "q63_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS DOUBLE)/len(t) AS sw_ratio
+        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents)),
+        |thresh AS (SELECT lang, quantile_disc(sw_ratio, 0.75) AS p75
+        |           FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, ROUND(s.sw_ratio, 4) AS sw_ratio
+        |FROM scored s JOIN thresh t USING (lang)
+        |WHERE s.sw_ratio >= t.p75
+        |ORDER BY s.doc_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

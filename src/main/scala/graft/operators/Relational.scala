@@ -551,4 +551,118 @@ object Relational {
     t.events
       .repartition(col("event_type"))
       .sortWithinPartitions("event_type", "value", "event_id")
+
+  /** Exact DISCRETE quantiles (DuckDB `quantile_disc` semantics: the
+    * value at 1-indexed position max(1, ⌈n·p⌉) of the sorted non-null
+    * values) with the same histogram-sized state as [[quantileCont]] —
+    * no per-group value buffering, all-null groups keep their row. */
+  def quantileDisc(
+      df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    val nn = df.filter(col(valueCol).isNotNull)
+    val hist = nn
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col(groupCol), col("val"),
+      sum("cnt").over(Window.partitionBy(groupCol).orderBy("val")).as("cum"))
+    val totals = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val withN = cum.join(broadcast(totals), groupCol)
+    val aggs = quantiles.map { case (name, p) =>
+      val pos = greatest(lit(1L), ceil(col("n") * lit(p)).cast("long"))
+      min(when(col("cum") >= pos, col("val"))).as(name)
+    }
+    val perGroup = withN.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    df.select(col(groupCol)).distinct()
+      .join(perGroup, Seq(groupCol), "left")
+  }
+
+  /** Q57 — discrete order statistics: per-group exact quantile_disc
+    * (p50/p90) + deterministic mode (max count, ties to the smallest
+    * value). Mode is counts + one bounded window over the per-(group,
+    * value) histogram — never buffers group values, same scale shape as
+    * [[quantileDisc]]. */
+  def q57(t: Tables): DataFrame = {
+    val vals = t.lineitem
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+    val counts = vals.groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("flag").orderBy(col("cnt").desc, col("v"))
+    val modes = counts
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("flag"), col("v").as("mode_qty"))
+    val qd = quantileDisc(vals, "flag", "v",
+      Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+    qd.join(modes, "flag")
+      .select(col("flag").as("l_returnflag"),
+        round(col("p50_qty"), 2).as("p50_qty"),
+        round(col("p90_qty"), 2).as("p90_qty"),
+        round(col("mode_qty"), 2).as("mode_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q58 — ordered string aggregation (LISTAGG / string_agg WITHIN
+    * GROUP): collect_list is order-nondeterministic under shuffles, so
+    * the deterministic Spark form is collect → array_sort → join. The
+    * per-group state is the group's strings — bounded here (≤25
+    * nations); for unbounded groups cap with slice() first. */
+  def q58(t: Tables): DataFrame =
+    t.nation
+      .join(broadcast(t.region),
+        t.nation("n_regionkey") === t.region("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+      .orderBy("region")
+
+  /** Q59 — pairwise Pearson correlation matrix in ONE pass: a single
+    * aggregate computes every pair (6 DeclarativeAggregate states, one
+    * scan, no per-pair jobs), then the 1-row result unpivots to long
+    * form driver-free via stack(). */
+  def q59(t: Tables): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) =>
+      round(corr(x, y), 6).as(s"__${x}__$y") }
+    val stackArgs = pairs
+      .map { case (x, y) => s"'$x', '$y', `__${x}__$y`" }.mkString(", ")
+    t.lineitem.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (x, y, r)")
+      .orderBy("x", "y")
+  }
+
+  /** Q60 — cohort retention: users bucketed by first-active week, user
+    * counts per (cohort, week offset). Two hash aggregates + one join on
+    * user_id — the cohort frame is |users|-sized, the canonical
+    * retention-matrix shape at any scale. */
+  def q60(t: Tables): DataFrame = {
+    val weeks = t.events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    weeks.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)").as("wk_offset"))
+      .distinct()
+      .groupBy("cohort_wk", "wk_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
+  /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
+    * aggregates), broadcast back onto the stream, keep |z| beyond the
+    * threshold. The stats side is |keys| rows — the fact table is
+    * scanned once and never shuffled. */
+  def q62(t: Tables, threshold: Double = 2.5): DataFrame = {
+    val stats = t.events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    t.events.join(broadcast(stats), "event_type")
+      .filter(abs(z) > threshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
 }

@@ -217,4 +217,66 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, lit(p)))
   }
+
+  /** q61 — bigram collocations by pointwise mutual information:
+    * pmi(x,y) = ln(P(xy) / (P(x)·P(y))), bigram probabilities over the
+    * bigram count, unigram probabilities over the token count. Counts
+    * are two hash aggregates over exploded arrays (token-keyed
+    * shuffles); the min-count filter shrinks the candidate set BEFORE
+    * the unigram joins, and the corpus totals ride along as broadcast
+    * single-row frames. Top-k by pmi with the bigram string as total
+    * tiebreak. */
+  def bigramPmi(
+      documents: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val toks = Spread(documents).select(tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+    val unic = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nt = uni.agg(count(lit(1)).as("nt"))
+    // adjacent pairs: zip t with its own tail, guard 1-token docs
+    // (sequence(0, -1) would DESCEND)
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+    val bigc = big.groupBy("bg").agg(count(lit(1)).as("cxy"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    bigc.filter(col("cxy") >= minCount)
+      .withColumn("x", split(col("bg"), " ")(0))
+      .withColumn("y", split(col("bg"), " ")(1))
+      .join(unic.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx"),
+        "x")
+      .join(unic.withColumnRenamed("tok", "y").withColumnRenamed("c", "cy"),
+        "y")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .select(col("bg").as("bigram"), col("cxy").as("cnt"),
+        round(log((col("cxy") / col("nb")) /
+          ((col("cx") / col("nt")) * (col("cy") / col("nt")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** q63 — per-language quality gate: keep documents whose stopword
+    * ratio clears the language's p75 (computed with the histogram-state
+    * [[Relational.quantileDisc]] — no group buffering). The thresholds
+    * frame is |languages| rows, broadcast back onto the corpus: the
+    * pretraining-filter shape — score, per-stratum threshold, gate —
+    * with one scan of the documents on each side. */
+  def qualityGate(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      p: Double = 0.75): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = documents.select(
+      col("doc_id"), col("lang"),
+      (size(filter(toks, t => array_contains(stopArr, t)))
+        / size(toks).cast("double")).as("sw_ratio"))
+    val thresh = Relational
+      .quantileDisc(scored, "lang", "sw_ratio", Seq("p75" -> p))
+    scored.join(broadcast(thresh), "lang")
+      .filter(col("sw_ratio") >= col("p75"))
+      .select(col("doc_id"), col("lang"), round(col("sw_ratio"), 4)
+        .as("sw_ratio"))
+      .orderBy("doc_id")
+  }
 }

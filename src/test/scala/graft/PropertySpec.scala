@@ -76,6 +76,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantileDisc equals brute-force ceil(n·p) order statistic") {
+    val gGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-100, 100)
+    } yield (g, v.toDouble))
+    forSamples(gGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val mine = graft.operators.Relational
+        .quantileDisc(df, "g", "v",
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.9))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val brute = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        def at(p: Double) =
+          sorted(math.max(1, math.ceil(sorted.length * p).toInt) - 1)
+        g -> ((at(0.25), at(0.5), at(0.9)))
+      }
+      assert(mine == brute)
+    }
+  }
+
   test("pivot preserves cells: unpivot(pivot(x)) == x on present cells") {
     forSamples(frameGen) { rows =>
       val parsed = rows.toDF("id", "site", "pageviews")
