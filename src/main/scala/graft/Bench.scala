@@ -23,7 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional substring filter for focused iteration runs
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val benched = SparkEntry.queries.filter(_._1.startsWith("q"))
+      .filter { case (n, _) => filter.forall(n.contains) }
       .toSeq.sortBy(_._1)
     // full unmeasured warmup pass: every query touches its own codegen
     // paths, JIT tiers, and parquet footer caches — warming only one

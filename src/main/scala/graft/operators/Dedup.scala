@@ -68,13 +68,23 @@ object Dedup {
   /** Inverted index that also carries the per-document distinct-shingle
     * count on every exploded row. Slightly wider shuffle rows, but it
     * removes the separate `sizes` aggregate + two re-joins the old plan
-    * needed — and with it the persist that used to leak. */
+    * needed — and with it the persist that used to leak.
+    *
+    * The exploded shingle is carried as its 64-bit xxhash, not the
+    * string: the self-join only needs EQUALITY of shingles, so an
+    * 8-byte key replaces a ~n·8-byte string in the shuffle and the
+    * join/aggregate compare longs. Distinctness (n_sh) is computed on
+    * the true strings first. A cross-shingle hash collision adds 1 to
+    * one pair's `shared` with probability ~V²/2⁶⁵ (V = corpus shingle
+    * vocabulary) — the standard shingle-hashing tradeoff (Broder '97
+    * fingerprints); at any realistic vocabulary it is dominated by the
+    * thresholds downstream. */
   private def sizedShingleIndex(documents: DataFrame, n: Int): DataFrame =
     spread(documents)
       .select(col("doc_id"),
         array_distinct(shingles(col("text"), n)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
+        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
 
   /** Shared core of q19/q43: for every document pair sharing at least
     * one n-gram shingle, emit (doc_i, doc_j, shared, n_i, n_j) — the
