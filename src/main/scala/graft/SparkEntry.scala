@@ -85,6 +85,7 @@ object SparkEntry {
     "q61_bigram_pmi" -> q(t => TextAnalysis.bigramPmi(t.documents)),
     "q62_zscore_anomaly" -> q(t => Relational.q62(t)),
     "q63_quality_gate" -> q(t => TextAnalysis.qualityGate(t.documents)),
+    "q64_weighted_sample" -> q(t => TextAnalysis.weightedSample(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -634,6 +635,16 @@ object SparkEntry {
         |FROM scored s JOIN thresh t USING (lang)
         |WHERE s.sw_ratio >= t.p75
         |ORDER BY s.doc_id""".stripMargin,
+    "q64_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROUND(ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 1)
+        |               / 4294967296.0) / n_chars, 6) AS skey
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, skey
+        |FROM keyed
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) <= 50
+        |ORDER BY doc_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

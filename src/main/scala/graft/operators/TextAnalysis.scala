@@ -255,6 +255,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q64 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws u ∈ (0,1] deterministically from
+    * md5(doc_id) and ranks by key = ln(u)/w (equivalent to u^(1/w));
+    * the global top-k by key IS a weighted sample without replacement.
+    * Importance-weighted corpus subsampling with zero RNG state: the
+    * sample is reproducible across engines, retries, and partitionings.
+    * The top-k plans as TakeOrderedAndProject (per-partition partial
+    * top-k, driver merges k rows) — no global sort. Ranking uses the
+    * ROUNDED key (q53 precedent) so order is engine-portable. */
+  def weightedSample(
+      documents: DataFrame, weightCol: String = "n_chars", k: Int = 50)
+      : DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("double")
+    val u = (h + lit(1.0)) / lit(4294967296.0) // (0,1]: h ∈ [0, 2³²−1]
+    val skey = round(log(u) / col(weightCol), 6)
+    documents.filter(col(weightCol) > 0)
+      .select(col("doc_id"), col("lang"),
+        col(weightCol).cast("long").as(weightCol), skey.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id")).limit(k)
+      .orderBy("doc_id")
+  }
+
   /** q63 — per-language quality gate: keep documents whose stopword
     * ratio clears the language's p75 (computed with the histogram-state
     * [[Relational.quantileDisc]] — no group buffering). The thresholds
