@@ -127,6 +127,45 @@ object EventsStreaming {
       .start()
   }
 
+  /** Keyed UPSERT sink via foreachBatch — the merge pattern for sinks
+    * without a transactional table format: an update-mode aggregate
+    * streams per-key rows, and each micro-batch is merged into the
+    * keyed parquet table last-writer-wins (anti-join out the incoming
+    * keys, union the fresh rows). foreachBatch is at-least-once on
+    * side effects; the merge is IDEMPOTENT (replaying a batch rewrites
+    * the same rows), so kill/restart from the checkpoint converges to
+    * exactly-once table contents — asserted in StreamingSpec. The
+    * merged frame is eagerly materialized (localCheckpoint) before the
+    * overwrite so the write never races its own input scan. At scale
+    * the table would be key-partitioned and the merge a partition
+    * overwrite (replaceWhere) instead of a full rewrite. */
+  def runUpsert(
+      spark: SparkSession, sourceDir: String, tableDir: String,
+      checkpointDir: String, keyCol: String = "user_id"): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+    val perKey = src.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+    perKey.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val table = new java.io.File(tableDir)
+        val merged =
+          if (!table.exists()) batch
+          else spark.read.parquet(tableDir)
+            .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+            .unionByName(batch)
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(tableDir)
+        out.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Launch a streaming query over a parquet directory into a memory
     * sink; caller drives it with processAllAvailable() (the local test
     * harness — a production sink would be kafka/delta/parquet). */

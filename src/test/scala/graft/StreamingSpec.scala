@@ -180,6 +180,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("foreachBatch upsert: kill/restart converges to batch groupBy") {
+    import org.apache.spark.sql.DataFrame
+    val base = java.nio.file.Files.createTempDirectory("graft-up").toString
+    val srcDir = s"$base/src"; val tableDir = s"$base/table"
+    val ck = s"$base/ck"
+    new java.io.File(srcDir).mkdirs()
+    var n = 0
+    def feed(df: DataFrame, tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          n += 1
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$srcDir/part_${tag}_$n.parquet"))
+        }
+    }
+    val ev = tables.events
+    val half = ev.count() / 2
+    feed(ev.filter(col("event_id") <= half), "a")
+    val q1 = EventsStreaming.runUpsert(spark, srcDir, tableDir, ck)
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+    // keys updated in the first half must already be present
+    assert(spark.read.parquet(tableDir).count() > 0)
+
+    feed(ev.filter(col("event_id") > half), "b")
+    val q2 = EventsStreaming.runUpsert(spark, srcDir, tableDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(tableDir)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("v"))
+      .collect().map(_.toString).sorted.toSeq
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("v"))
+      .collect().map(_.toString).sorted.toSeq
+    // last-writer-wins merge must equal the batch aggregate: one row
+    // per key, totals spanning the kill point, no replay duplicates
+    assert(got == expected)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val doubled = tables.events.unionAll(tables.events)
     val dir2 = java.nio.file.Files
