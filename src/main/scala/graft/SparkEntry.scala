@@ -86,6 +86,8 @@ object SparkEntry {
     "q62_zscore_anomaly" -> q(t => Relational.q62(t)),
     "q63_quality_gate" -> q(t => TextAnalysis.qualityGate(t.documents)),
     "q64_weighted_sample" -> q(t => TextAnalysis.weightedSample(t.documents)),
+    "q65_unpivot" -> q(Relational.q65),
+    "q66_rows_frame" -> q(Relational.q66),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -645,6 +647,24 @@ object SparkEntry {
         |FROM keyed
         |QUALIFY ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) <= 50
         |ORDER BY doc_id""".stripMargin,
+    "q65_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, ROUND(SUM(l_quantity),2) AS qty,
+        |         ROUND(SUM(l_extendedprice),2) AS price, ROUND(SUM(l_tax),2) AS tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val
+        |FROM agg UNPIVOT (val FOR measure IN (qty, price, tax))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q66_rows_frame" ->
+      """SELECT event_type, event_id,
+        |       ROUND(AVG(value) OVER w, 4) AS avg3,
+        |       ROUND(SUM(value) OVER w, 4) AS sum3,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS cnt3
+        |FROM events
+        |WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

@@ -651,6 +651,38 @@ object Relational {
       .orderBy("cohort_wk", "wk_offset")
   }
 
+  /** Q65 — UNPIVOT (wide → long): aggregate once, then melt the measure
+    * columns into (measure, val) rows with the native `unpivot`
+    * operator (an Expand node — no join, no union-of-projections,
+    * single pass over the 3-row aggregate). */
+  def q65(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_tax"), 2).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("tax")), "measure", "val")
+      .orderBy("l_returnflag", "measure")
+
+  /** Q66 — ROWS-frame rolling window (moving avg/sum/count over the 3
+    * most recent rows per key, total order): the bounded-frame
+    * counterpart to q48's value-RANGE frame. Sort-based window with a
+    * constant-size sliding frame — state is 3 rows regardless of
+    * partition size. */
+  def q66(t: Tables): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-2, Window.currentRow)
+    t.events
+      .filter(col("user_id") < 10)
+      .select(col("event_type"), col("event_id"),
+        round(avg("value").over(w), 4).as("avg3"),
+        round(sum("value").over(w), 4).as("sum3"),
+        count(lit(1)).over(w).as("cnt3"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is
