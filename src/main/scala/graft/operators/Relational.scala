@@ -349,6 +349,59 @@ object Relational {
     *  3. each quantile's bracketing order statistics read off the
     *     cumulative counts with conditional min aggregates.
     */
+  /** Cumulative distinct-value histogram (group, val, cum) with cum =
+    * #values ≤ val within the group — WITHOUT a single-task-per-group
+    * sort. A plain `Window.partitionBy(group).orderBy(val)` cumulative
+    * sum puts a whole group's histogram in ONE task (billions of
+    * distinct values per group at warehouse scale). Two-level prefix
+    * sum instead:
+    *  1. per-(group, value) counts — hash agg, map-side partials;
+    *  2. values range-bucketed by ⌊(val−lo)/width⌋ (monotone in val, so
+    *     bucket order == value order; degenerate lo==hi → bucket 0);
+    *  3. per-(group, bucket) totals; strict-predecessor prefix over the
+    *     ≤`buckets`-row per-group frame (bounded window), broadcast
+    *     back;
+    *  4. within-bucket cumulative window partitioned by (group,
+    *     bucket): each task sorts ~|hist|/buckets rows.
+    * cum values are bit-identical to the single-window form — only the
+    * physical partitioning changes. */
+  private def cumHistogram(
+      nn: DataFrame, groupCol: String, valueCol: String,
+      ranges: DataFrame, buckets: Int = 64): DataFrame = {
+    val hist = nn
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val width = (col("__hi") - col("__lo")) / lit(buckets.toDouble)
+    val b = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(
+        floor((col("val") - col("__lo")) / width).cast("int"),
+        lit(buckets - 1)))
+    val bucketed = hist
+      .join(broadcast(ranges.select(col(groupCol), col("__lo"), col("__hi"))),
+        groupCol)
+      .withColumn("__b", b).drop("__lo", "__hi")
+    val btot = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(sum("cnt").as("__bt"))
+    val wPrefix = Window.partitionBy(groupCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = btot.select(col(groupCol), col("__b"),
+      coalesce(sum("__bt").over(wPrefix), lit(0L)).as("__pre"))
+    val wIn = Window.partitionBy(col(groupCol), col("__b")).orderBy("val")
+    bucketed.join(broadcast(prefix), Seq(groupCol, "__b"))
+      .select(col(groupCol), col("val"),
+        (col("__pre") + sum("cnt").over(wIn)).as("cum"))
+  }
+
+  /** One pass over the non-null rows: group count + value range — the
+    * per-group scalars BOTH the rank arithmetic and the bucketing need,
+    * as a single broadcastable |groups|-row frame. */
+  private def groupTotals(
+      nn: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    nn.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      min(col(valueCol).cast("double")).as("__lo"),
+      max(col(valueCol).cast("double")).as("__hi"))
+
   def quantileCont(
       df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)]): DataFrame = {
@@ -356,14 +409,10 @@ object Relational {
     // and DuckDB quantile_cont both ignore NULLs) — drop them before
     // the histogram AND the totals, or every rank shifts
     val nn = df.filter(col(valueCol).isNotNull)
-    val hist = nn
-      .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
-      .agg(count(lit(1)).as("cnt"))
-    val cum = hist.select(col(groupCol), col("val"),
-      sum("cnt").over(Window.partitionBy(groupCol).orderBy("val")).as("cum"))
-    val totals = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val totals = groupTotals(nn, groupCol, valueCol)
+    val cum = cumHistogram(nn, groupCol, valueCol, totals)
     // totals is |groups| rows — broadcast, no shuffle of the histogram
-    val withN = cum.join(broadcast(totals), groupCol)
+    val withN = cum.join(broadcast(totals.drop("__lo", "__hi")), groupCol)
     val aggs = quantiles.flatMap { case (name, p) =>
       val rp = (col("n") - 1) * lit(p)          // 0-indexed fractional rank
       val lo = floor(rp) + 1                    // 1-indexed lower order stat
@@ -560,13 +609,9 @@ object Relational {
       df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)]): DataFrame = {
     val nn = df.filter(col(valueCol).isNotNull)
-    val hist = nn
-      .groupBy(col(groupCol), col(valueCol).cast("double").as("val"))
-      .agg(count(lit(1)).as("cnt"))
-    val cum = hist.select(col(groupCol), col("val"),
-      sum("cnt").over(Window.partitionBy(groupCol).orderBy("val")).as("cum"))
-    val totals = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    val withN = cum.join(broadcast(totals), groupCol)
+    val totals = groupTotals(nn, groupCol, valueCol)
+    val cum = cumHistogram(nn, groupCol, valueCol, totals)
+    val withN = cum.join(broadcast(totals.drop("__lo", "__hi")), groupCol)
     val aggs = quantiles.map { case (name, p) =>
       val pos = greatest(lit(1L), ceil(col("n") * lit(p)).cast("long"))
       min(when(col("cum") >= pos, col("val"))).as(name)
