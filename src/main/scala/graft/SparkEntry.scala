@@ -88,6 +88,7 @@ object SparkEntry {
     "q64_weighted_sample" -> q(t => TextAnalysis.weightedSample(t.documents)),
     "q65_unpivot" -> q(Relational.q65),
     "q66_rows_frame" -> q(Relational.q66),
+    "q67_hof_suite" -> q(t => TextAnalysis.hofSuite(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -665,6 +666,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, event_id""".stripMargin,
+    "q67_hof_suite" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> len(x) > 4)) AS BIGINT) AS long_toks,
+        |  CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS BIGINT) AS char_sum,
+        |  -- list_max, not a second list_reduce: DuckDB 1.0 leaks reduce
+        |  -- accumulator state across rows in a chunk when a SELECT has
+        |  -- two list_reduce columns (doc 185 got a neighbor's max)
+        |  CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT) AS max_tok,
+        |  array_to_string(list_transform(toks[1:3], x -> upper(x)), '|') AS head3
+        |FROM t ORDER BY doc_id LIMIT 200""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

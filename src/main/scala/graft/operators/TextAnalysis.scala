@@ -278,6 +278,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q67 — higher-order array-function suite (§2.8 surface): filter /
+    * transform / aggregate(fold) / slice over token arrays, all pure
+    * codegen Column expressions (no UDFs). Fold inits are the
+    * identities of their ops, matching DuckDB's init-less list_reduce
+    * on non-empty lists. */
+  def hofSuite(documents: DataFrame, limit: Int = 200): DataFrame = {
+    val toks = tokens(col("text"))
+    val lens = transform(toks, t => length(t).cast("long"))
+    documents.select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 4)).cast("long").as("long_toks"),
+      aggregate(lens, lit(0L), (a, b) => a + b).as("char_sum"),
+      aggregate(lens, lit(0L), (a, b) => greatest(a, b)).as("max_tok"),
+      array_join(transform(slice(toks, 1, 3), t => upper(t)), "|")
+        .as("head3"))
+      .orderBy("doc_id")
+      .limit(limit)
+  }
+
   /** q63 — per-language quality gate: keep documents whose stopword
     * ratio clears the language's p75 (computed with the histogram-state
     * [[Relational.quantileDisc]] — no group buffering). The thresholds
