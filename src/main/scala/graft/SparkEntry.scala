@@ -109,12 +109,15 @@ object SparkEntry {
     "list_distinct([array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)])"
 
   /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
-    * oracle and the q42 connected-components oracle. */
+    * oracle and the q42 connected-components oracle. Mirrors the
+    * engine's Kirsch–Mitzenmacher form: one md5 per shingle split into
+    * two 32-bit halves, permutation i = (h1 + i·h2) mod 2³². */
   private def minhashCtes: String = {
     val mhDefs = (0 until 16)
-      .map(i => s"min(md5('$i:'||shingle)) AS mh$i").mkString(", ")
+      .map(i => s"min((h1 + $i*h2) % 4294967296) AS mh$i").mkString(", ")
     val bandRows = (0 until 4).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString("||'|'||")
+      val key = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString("||'|'||")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\nUNION ALL ")
     val eqSum = (0 until 16)
@@ -122,7 +125,11 @@ object SparkEntry {
       .mkString(" + ")
     s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
-       |sig AS (SELECT doc_id, $mhDefs FROM sh GROUP BY doc_id),
+       |hs AS (SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |         CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+       |       FROM sh),
+       |sig AS (SELECT doc_id, $mhDefs FROM hs GROUP BY doc_id),
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
        |         FROM bands a JOIN bands b

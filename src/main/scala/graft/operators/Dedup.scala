@@ -220,18 +220,29 @@ object Dedup {
     result
   }
 
-  /** MinHash signature columns mh0..mh{k-1}: per permutation i the
-    * signature is min(md5("i:" ++ shingle)) — string-min over a keyed
-    * md5 is a valid minwise family and, unlike seeded murmur, is
-    * reproducible in any engine with md5. One groupBy produces all k
-    * components (map-side partial min, no extra shuffles). */
-  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame =
-    shingleIndex(documents, 3)
+  /** MinHash signature columns mh0..mh{k-1} via Kirsch–Mitzenmacher
+    * double hashing: ONE md5 per (doc, shingle) row yields two 32-bit
+    * halves (h1, h2), and permutation i hashes as (h1 + i·h2) mod 2³²
+    * — a valid minwise family (K-M '06 shows pairwise combinations
+    * preserve the guarantees) at 1/k of the per-row hash work of k
+    * keyed md5s. All arithmetic stays < 2³⁶ (ANSI-safe longs) and is
+    * reproducible in any engine with md5 + hex parsing. One groupBy
+    * produces all k mins (map-side partials, no extra shuffles). */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
+    val h = md5(col("shingle"))
+    val halves = shingleIndex(documents, 3).select(
+      col("doc_id"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("__h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("__h2"))
+    val m = lit(4294967296L) // 2^32
+    halves
       .groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
+        min(pmod(col("__h1"), m)).as("mh0"),
         (1 until k).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")): _*)
+          min(pmod(col("__h1") + lit(i.toLong) * col("__h2"), m))
+            .as(s"mh$i")): _*)
+  }
 
   /** q20 — MinHash+LSH near-dup pairs: band the k-component signature
     * into `bands` bands of k/bands rows, bucket-join on (band, band
