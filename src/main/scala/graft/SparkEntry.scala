@@ -89,6 +89,7 @@ object SparkEntry {
     "q65_unpivot" -> q(Relational.q65),
     "q66_rows_frame" -> q(Relational.q66),
     "q67_hof_suite" -> q(t => TextAnalysis.hofSuite(t.documents)),
+    "q68_lm_score" -> q(t => TextAnalysis.lmScore(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -684,6 +685,22 @@ object SparkEntry {
         |  CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT) AS max_tok,
         |  array_to_string(list_transform(toks[1:3], x -> upper(x)), '|') AS head3
         |FROM t ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q68_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |unic AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        |big AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |        FROM toks WHERE len(t) >= 2),
+        |bigc AS (SELECT bg, COUNT(*) AS cxy FROM big GROUP BY bg),
+        |scored AS (
+        |  SELECT b.doc_id, ln(CAST(bc.cxy AS DOUBLE) / ux.c) AS lp
+        |  FROM big b
+        |  JOIN bigc bc USING (bg)
+        |  JOIN unic ux ON ux.tok = string_split(b.bg, ' ')[1])
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(AVG(lp), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

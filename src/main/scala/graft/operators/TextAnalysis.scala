@@ -278,6 +278,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q68 — bigram language-model quality score: per document, the mean
+    * log conditional probability ln(c(x,y)/c(x)) of its bigram stream
+    * under the corpus's own MLE bigram model — the KenLM-perplexity
+    * proxy pretraining pipelines use to rank/filter documents. Corpus
+    * model = two token-keyed hash aggregates (shared shape with
+    * [[bigramPmi]]); scoring joins each doc's bigrams to the counts
+    * (token-keyed equi-joins, no pair blowup) and reduces per doc.
+    * Higher = more typical text; gibberish scores far negative. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toksDf = Spread(documents)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val unic = toksDf.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val big = toksDf.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+    val bigc = big.groupBy("bg").agg(count(lit(1)).as("cxy"))
+    big.join(bigc, "bg")
+      .withColumn("x", split(col("bg"), " ")(0))
+      .join(unic.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx"),
+        "x")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cxy") / col("cx"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** q67 — higher-order array-function suite (§2.8 surface): filter /
     * transform / aggregate(fold) / slice over token arrays, all pure
     * codegen Column expressions (no UDFs). Fold inits are the
