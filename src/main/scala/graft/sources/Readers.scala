@@ -127,6 +127,26 @@ object Readers {
     * with partition-pruning predicates expected in the WHERE clause. */
   def fromSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /** JSON-lines source (one object per line — the interchange format
+    * LLM-corpus dumps actually ship as). Schema is REQUIRED: schema
+    * inference reads the whole input twice at warehouse scale; with a
+    * declared schema the scan is single-pass and prunes columns like
+    * any other source. Malformed lines follow the same DROPMALFORMED
+    * posture as the TSV sources. */
+  def jsonLines(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+
+  /** ORC source — columnar alternative to parquet (some warehouses are
+    * ORC-native); predicate pushdown and column pruning apply the same
+    * way. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Debug path replacing silent DROPMALFORMED: permissive read with
     * corrupt-record capture, so bad rows are countable (SURVEY §4.1). */
   def badRecords(

@@ -26,6 +26,19 @@ object Writers {
       .csv(path)
   }
 
+  /** ORC sink (zstd) — columnar alternative for ORC-native warehouses. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "zstd")
+      .orc(path)
+
+  /** JSON-lines sink (gzip) — the corpus interchange/export format; one
+    * file per partition, no single-writer funnel. */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "gzip")
+      .json(path)
+
   /** Partitioned parquet layout — the 100 TB default: directory
     * partitioning on low-cardinality columns so Catalyst's
     * PruneFileSourcePartitions turns partition predicates into skipped

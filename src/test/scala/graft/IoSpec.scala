@@ -107,6 +107,41 @@ class IoSpec extends SparkSpec {
     intercept[Exception](Writers.parquet(parsed, out))
   }
 
+  test("orc round-trip: values survive, filters push into the scan") {
+    val out = s"$dir/events_orc"
+    Writers.orc(tables.events, out)
+    val back = Readers.orc(spark, out)
+    assert(back.count() == tables.events.count())
+    val filtered = back.filter(col("user_id") === 7)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || scan.contains("EqualTo(user_id,7)"),
+      s"user_id filter not pushed into the ORC scan:\n$scan")
+    assert(filtered.count() ==
+      tables.events.filter(col("user_id") === 7).count())
+    intercept[Exception](Writers.orc(tables.events, out))
+  }
+
+  test("jsonLines round-trip with declared schema; malformed line dropped") {
+    val out = s"$dir/docs_jsonl"
+    Writers.jsonLines(tables.documents, out)
+    val schema = tables.documents.schema
+    val back = Readers.jsonLines(spark, out, schema)
+    assert(back.count() == tables.documents.count())
+    assert(back.schema == schema)
+    // a raw malformed line among valid JSONL: DROPMALFORMED skips it
+    val mixed = s"$dir/docs_mixed.jsonl"
+    val w = new java.io.PrintWriter(mixed, "UTF-8")
+    try {
+      w.println("""{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "s", "n_chars": 6}""")
+      w.println("""{"doc_id": broken not json""")
+      w.println("""{"doc_id": 2, "text": "ok too", "lang": "de", "source": "s", "n_chars": 6}""")
+    } finally w.close()
+    val docs = Readers.jsonLines(spark, mixed, schema)
+      .select("doc_id", "text", "lang")
+    assert(docs.count() == 2, "malformed line must be dropped")
+  }
+
   test("partitioned parquet prunes partitions on read") {
     val out = s"$dir/events_part"
     Writers.parquetPartitioned(
