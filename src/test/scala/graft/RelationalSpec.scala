@@ -18,6 +18,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q01 plan: filters reach the parquet scan, schema is pruned") {
+    // AQE off: the scan hides inside QueryStageExec otherwise
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Relational.q01(tables)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+      val pushed = exec.metadata("PushedFilters")
+      assert(pushed.contains("GreaterThan(l_quantity,45.0)"),
+        s"quantity filter not pushed: $pushed")
+      // projection pruning: the wide lineitem scan reads only the
+      // query's columns, never e.g. l_discount
+      val readSchema = exec.metadata("ReadSchema")
+      assert(!readSchema.contains("l_discount"),
+        s"unneeded column read by the scan: $readSchema")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q07 rank_norm is in (0,1] and monotone in value within site") {
     val r = Relational.q07(tables)
     val bad = r.filter(col("rank_norm") <= 0 || col("rank_norm") > 1).count()
