@@ -376,18 +376,23 @@ object Relational {
       .otherwise(least(
         floor((col("val") - col("__lo")) / width).cast("int"),
         lit(buckets - 1)))
+    // joins key on the group column NULL-SAFELY (<=>): a NULL group is
+    // a legitimate group to Spark percentile and DuckDB aggregates, and
+    // a plain equi-join would silently drop its histogram rows
     val bucketed = hist
-      .join(broadcast(ranges.select(col(groupCol), col("__lo"), col("__hi"))),
-        groupCol)
+      .join(broadcast(ranges.select(col(groupCol).as("__g"),
+        col("__lo"), col("__hi"))), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__b", b).drop("__lo", "__hi")
     val btot = bucketed.groupBy(col(groupCol), col("__b"))
       .agg(sum("cnt").as("__bt"))
     val wPrefix = Window.partitionBy(groupCol).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = btot.select(col(groupCol), col("__b"),
+    val prefix = btot.select(col(groupCol).as("__g"), col("__b").as("__pb"),
       coalesce(sum("__bt").over(wPrefix), lit(0L)).as("__pre"))
     val wIn = Window.partitionBy(col(groupCol), col("__b")).orderBy("val")
-    bucketed.join(broadcast(prefix), Seq(groupCol, "__b"))
+    bucketed.join(broadcast(prefix),
+        col(groupCol) <=> col("__g") && col("__b") === col("__pb"))
       .select(col(groupCol), col("val"),
         (col("__pre") + sum("cnt").over(wIn)).as("cum"))
   }
@@ -411,8 +416,11 @@ object Relational {
     val nn = df.filter(col(valueCol).isNotNull)
     val totals = groupTotals(nn, groupCol, valueCol)
     val cum = cumHistogram(nn, groupCol, valueCol, totals)
-    // totals is |groups| rows — broadcast, no shuffle of the histogram
-    val withN = cum.join(broadcast(totals.drop("__lo", "__hi")), groupCol)
+    // totals is |groups| rows — broadcast, no shuffle of the histogram;
+    // null-safe key (NULL is a legitimate group, see cumHistogram)
+    val withN = cum.join(
+      broadcast(totals.select(col(groupCol).as("__g"), col("n"))),
+      col(groupCol) <=> col("__g")).drop("__g")
     val aggs = quantiles.flatMap { case (name, p) =>
       val rp = (col("n") - 1) * lit(p)          // 0-indexed fractional rank
       val lo = floor(rp) + 1                    // 1-indexed lower order stat
@@ -431,9 +439,12 @@ object Relational {
       }: _*)
     // a group whose values are ALL null still aggregates to a row (with
     // NULL quantiles) in both Spark percentile and DuckDB quantile_cont;
-    // restore such groups dropped by the isNotNull filter
+    // restore such groups dropped by the isNotNull filter (null-safe:
+    // the NULL group restores like any other)
     df.select(col(groupCol)).distinct()
-      .join(perGroup, Seq(groupCol), "left")
+      .join(perGroup.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
   }
 
   /** Q44 — statistical aggregates: exact interpolated percentiles via
@@ -611,14 +622,18 @@ object Relational {
     val nn = df.filter(col(valueCol).isNotNull)
     val totals = groupTotals(nn, groupCol, valueCol)
     val cum = cumHistogram(nn, groupCol, valueCol, totals)
-    val withN = cum.join(broadcast(totals.drop("__lo", "__hi")), groupCol)
+    val withN = cum.join(
+      broadcast(totals.select(col(groupCol).as("__g"), col("n"))),
+      col(groupCol) <=> col("__g")).drop("__g")
     val aggs = quantiles.map { case (name, p) =>
       val pos = greatest(lit(1L), ceil(col("n") * lit(p)).cast("long"))
       min(when(col("cum") >= pos, col("val"))).as(name)
     }
     val perGroup = withN.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     df.select(col(groupCol)).distinct()
-      .join(perGroup, Seq(groupCol), "left")
+      .join(perGroup.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
   }
 
   /** Q57 — discrete order statistics: per-group exact quantile_disc

@@ -52,16 +52,19 @@ class PropertySpec extends SparkSpec {
     // random grouped doubles incl. duplicates and 1-element groups:
     // the histogram formulation must reproduce the ObjectAggregate's
     // linear interpolation exactly (it replaced it in q44/q49)
-    // nulls included: both quantileCont and percentile must IGNORE them
-    // (and an all-null group — "z" only ever gets nulls — must still
-    // produce a row with null quantiles)
+    // nulls included: both quantileCont and percentile must IGNORE null
+    // VALUES (an all-null group — "z" only ever gets nulls — must still
+    // produce a row with null quantiles), and a NULL GROUP key is a
+    // legitimate group that must aggregate like any other
     val gGen = Gen.nonEmptyListOf(for {
-      g <- Gen.oneOf("a", "b", "c")
+      g <- Gen.frequency(4 -> Gen.oneOf("a", "b", "c").map(Option(_)),
+        1 -> Gen.const(Option.empty[String]))
       v <- Gen.choose(-1000, 1000)
       isNull <- Gen.frequency(4 -> false, 1 -> true)
     } yield (g, if (isNull) None else Some((v / 8).toDouble)))
     forSamples(gGen) { rows =>
-      val df = (rows :+ (("z", Option.empty[Double]))).toDF("g", "v")
+      val df = (rows :+ ((Option("z"), Option.empty[Double])))
+        .toDF("g", "v")
       val mine = graft.operators.Relational
         .quantileCont(df, "g", "v",
           Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.9))
