@@ -90,6 +90,7 @@ object SparkEntry {
     "q66_rows_frame" -> q(Relational.q66),
     "q67_hof_suite" -> q(t => TextAnalysis.hofSuite(t.documents)),
     "q68_lm_score" -> q(t => TextAnalysis.lmScore(t.documents)),
+    "q69_corpus_pipeline" -> q(t => TextAnalysis.corpusPipeline(t.documents)),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -700,6 +701,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |       ROUND(AVG(lp), 4) AS avg_logprob
         |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q69_corpus_pipeline" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS DOUBLE)/len(t) AS sw_ratio,
+        |         text
+        |  FROM (SELECT doc_id, lang, text, string_split(text,' ') AS t FROM dedup)),
+        |thresh AS (SELECT lang, quantile_disc(sw_ratio, 0.5) AS p50
+        |           FROM scored GROUP BY lang),
+        |gated AS (
+        |  SELECT s.doc_id, s.lang, s.sw_ratio, s.text
+        |  FROM scored s JOIN thresh t USING (lang)
+        |  WHERE s.sw_ratio >= t.p50)
+        |SELECT doc_id, lang, ROUND(sw_ratio, 4) AS sw_ratio,
+        |       CASE WHEN CAST(concat('0x', substr(md5(text), 1, 1)) AS INT) < 12
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM gated
         |ORDER BY doc_id""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (

@@ -278,6 +278,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q69 — the pretraining-ingest pipeline as ONE declarative plan:
+    * exact dedup (keep smallest doc_id per content hash) → stopword
+    * scoring → per-language median quality gate → deterministic
+    * content-hash train/test split. Composes [[Relational.quantileDisc]]
+    * and the [[hashSplit]] hashing; everything stays a single lazy
+    * DataFrame, so Catalyst sees the whole pipeline at once (dedup's
+    * semi-join and the gate's broadcast join plan together, the text
+    * column prunes away after its two hashes are computed). The shape
+    * every corpus ingest runs nightly — here it is one optimizable
+    * plan instead of four materialized stages. */
+  def corpusPipeline(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      gateQuantile: Double = 0.5, trainNibbles: Int = 12): DataFrame = {
+    val keepers = documents
+      .groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("doc_id"))
+    val dedup = documents
+      .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = dedup.select(
+      col("doc_id"), col("lang"), col("text"),
+      (size(filter(toks, t => array_contains(stopArr, t)))
+        / size(toks).cast("double")).as("sw_ratio"))
+    val thresh = Relational
+      .quantileDisc(scored, "lang", "sw_ratio", Seq("p50" -> gateQuantile))
+    val nibble = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+    scored.join(broadcast(thresh), "lang")
+      .filter(col("sw_ratio") >= col("p50"))
+      .select(col("doc_id"), col("lang"),
+        round(col("sw_ratio"), 4).as("sw_ratio"),
+        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** q68 — bigram language-model quality score: per document, the mean
     * log conditional probability ln(c(x,y)/c(x)) of its bigram stream
     * under the corpus's own MLE bigram model — the KenLM-perplexity
