@@ -91,6 +91,7 @@ object SparkEntry {
     "q67_hof_suite" -> q(t => TextAnalysis.hofSuite(t.documents)),
     "q68_lm_score" -> q(t => TextAnalysis.lmScore(t.documents)),
     "q69_corpus_pipeline" -> q(t => TextAnalysis.corpusPipeline(t.documents)),
+    "q70_iqr_outliers" -> q(Relational.q70),
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -722,6 +723,20 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split
         |FROM gated
         |ORDER BY doc_id""".stripMargin,
+    "q70_iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, q1, q3,
+        |             q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM q)
+        |SELECT e.event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        |       ROUND(b.q1, 4) AS q1, ROUND(b.q3, 4) AS q3
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.q1, b.q3
+        |ORDER BY e.event_type""".stripMargin,
     "q54_topk_agg" ->
       """SELECT l_returnflag, rk, price FROM (
         |  SELECT l_returnflag,

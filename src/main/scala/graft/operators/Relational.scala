@@ -743,6 +743,29 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** Q70 — IQR (Tukey-fence) outlier counts per key: exact q1/q3 via
+    * the scale-safe [[quantileCont]], fences broadcast back onto a
+    * second scan, one aggregate for counts. The robust-statistics
+    * counterpart to q62's z-scores — quantile-based fences don't move
+    * when the outliers themselves inflate the moments. */
+  def q70(t: Tables): DataFrame = {
+    val q = quantileCont(t.events, "event_type", "value",
+      Seq("q1" -> 0.25, "q3" -> 0.75))
+    val iqr = col("q3") - col("q1")
+    val fences = q.select(col("event_type"), col("q1"), col("q3"),
+      (col("q1") - lit(1.5) * iqr).as("lo"),
+      (col("q3") + lit(1.5) * iqr).as("hi"))
+    t.events.join(broadcast(fences), "event_type")
+      .groupBy("event_type", "q1", "q3")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1)
+          .otherwise(0)).as("outliers"))
+      .select(col("event_type"), col("n"), col("outliers"),
+        round(col("q1"), 4).as("q1"), round(col("q3"), 4).as("q3"))
+      .orderBy("event_type")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is
