@@ -92,6 +92,13 @@ object SparkEntry {
     "q68_lm_score" -> q(t => TextAnalysis.lmScore(t.documents)),
     "q69_corpus_pipeline" -> q(t => TextAnalysis.corpusPipeline(t.documents)),
     "q70_iqr_outliers" -> q(Relational.q70),
+    "q71_lang_centroids" -> q { t =>
+      import org.apache.spark.sql.functions.col
+      Similarity.groupCentroids(
+        t.embeddings,
+        t.documents.select(col("doc_id").as("vec_id"), col("lang")),
+        "lang")
+    },
     "q27_feature_matrix" -> q(t => graft.ml.Features.q27(t.events)),
     "q28_session_window" -> q(t =>
       graft.streaming.EventsStreaming.sessionsPerUser(t.events)),
@@ -723,6 +730,15 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split
         |FROM gated
         |ORDER BY doc_id""".stripMargin,
+    "q71_lang_centroids" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest([{'d': i, 'v': embedding[i]} for i in range(1, len(embedding)+1)]) AS s
+        |  FROM embeddings)
+        |SELECT d.lang, CAST(ex.s.d AS BIGINT) AS dim,
+        |       ROUND(AVG(CAST(ex.s.v AS DOUBLE)), 4) + 0.0 AS centroid
+        |FROM ex JOIN documents d ON d.doc_id = ex.vec_id
+        |GROUP BY d.lang, ex.s.d
+        |ORDER BY lang, dim""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -47,6 +47,25 @@ object Similarity {
     * to 6 decimals so the ranking (not just the output) is reproducible
     * across engines.
     */
+  /** q71 — per-group embedding centroids (the k-means/IVF training
+    * primitive as a declarative aggregate): explode to (group, dim,
+    * value) and hash-aggregate per (group, dim). Shuffle volume is
+    * |vectors|·dim scalar rows with map-side partial sums — the
+    * standard distributed centroid shape; at 100 TB the alternative is
+    * a typed Aggregator over whole arrays, traded off in SURVEY §2.12.
+    * Dims are 1-based to match SQL array indexing. */
+  def groupCentroids(
+      embeddings: DataFrame, groups: DataFrame, groupCol: String)
+      : DataFrame =
+    embeddings.join(groups, "vec_id")
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
+      // + 0.0 collapses IEEE negative zero (an avg a hair below zero
+      // rounds to -0.0, which hash-compares unequal to 0.0)
+      .agg((round(avg(col("v").cast("double")), 4) + lit(0.0))
+        .as("centroid"))
+      .orderBy(groupCol, "dim")
+
   def cosineTopK(
       embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
     // norms precomputed per vector (not per pair): |q|+|c| sqrt loops
