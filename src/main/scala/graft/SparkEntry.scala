@@ -92,6 +92,7 @@ object SparkEntry {
     "q68_lm_score" -> q(t => TextAnalysis.lmScore(t.documents)),
     "q69_corpus_pipeline" -> q(t => TextAnalysis.corpusPipeline(t.documents)),
     "q70_iqr_outliers" -> q(Relational.q70),
+    "q72_interarrival" -> q(Relational.q72),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -739,6 +740,17 @@ object SparkEntry {
         |FROM ex JOIN documents d ON d.doc_id = ex.vec_id
         |GROUP BY d.lang, ex.s.d
         |ORDER BY lang, dim""".stripMargin,
+    "q72_interarrival" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id)) AS DOUBLE) / 1000 AS gap_s
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+        |       ROUND(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+        |       ROUND(quantile_cont(gap_s, 0.9), 2) AS p90_s
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -766,6 +766,28 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q72 — inter-arrival time distribution: per-(key, user) event gaps
+    * via lag over a total order, then exact p50/p90 of the gaps per key
+    * through [[quantileCont]] (first-event NULL gaps drop out of both
+    * the quantiles and the count by null semantics). Windows compose
+    * with the quantile machinery — the latency/cadence profile shape. */
+  def q72(t: Tables): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("ts", "event_id")
+    val gaps = t.events.select(col("event_type"),
+      ((unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)))
+        .cast("double") / 1000).as("gap_s"))
+    val q = quantileCont(gaps, "event_type", "gap_s",
+      Seq("p50_s" -> 0.5, "p90_s" -> 0.9))
+    val counts = gaps.groupBy("event_type")
+      .agg(count(col("gap_s")).as("n_gaps"))
+    counts.join(q, "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        round(col("p50_s"), 2).as("p50_s"),
+        round(col("p90_s"), 2).as("p90_s"))
+      .orderBy("event_type")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

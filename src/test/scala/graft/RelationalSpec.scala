@@ -104,6 +104,21 @@ class RelationalSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("q72 gap counts equal events minus first-events, quantiles ordered") {
+    val r = Relational.q72(tables).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    // each (event_type, user_id) group contributes (n-1) gaps
+    val expected = tables.events.groupBy("event_type")
+      .agg((count(lit(1)) - countDistinct(col("user_id"))).as("g")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    expected.foreach { case (et, g) =>
+      val (n, p50, p90) = r(et)
+      assert(n == g, s"$et gaps=$n expected=$g")
+      assert(p50 >= 0 && p50 <= p90, s"$et p50=$p50 p90=$p90")
+    }
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
