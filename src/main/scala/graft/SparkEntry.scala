@@ -93,6 +93,9 @@ object SparkEntry {
     "q69_corpus_pipeline" -> q(t => TextAnalysis.corpusPipeline(t.documents)),
     "q70_iqr_outliers" -> q(Relational.q70),
     "q72_interarrival" -> q(Relational.q72),
+    "q73_markov_transitions" -> q(Relational.q73),
+    "q74_lexical_diversity" -> q(t => TextAnalysis.lexicalDiversity(t.documents)),
+    "q75_rfm_segments" -> q(Relational.q75),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -751,6 +754,45 @@ object SparkEntry {
         |       ROUND(quantile_cont(gap_s, 0.9), 2) AS p90_s
         |FROM d GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q73_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |         event_type AS dst
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM p WHERE src IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 4) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+    "q74_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token)
+        |SELECT lang,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 4) AS entropy,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 4) AS ttr
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "q75_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN COALESCE(value, 0) ELSE 0 END) AS monetary
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, freq, monetary,
+        |         date_diff('day', CAST(last_ts AS DATE), CAST((SELECT MAX(last_ts) FROM u) AS DATE)) AS recency_d,
+        |         CAST(ROUND(monetary * 100) AS BIGINT) AS cents
+        |  FROM u),
+        |b AS (
+        |  SELECT monetary,
+        |         NTILE(4) OVER (ORDER BY recency_d, user_id) AS rq,
+        |         NTILE(4) OVER (ORDER BY freq DESC, user_id) AS fq,
+        |         NTILE(4) OVER (ORDER BY cents DESC, user_id) AS mq
+        |  FROM s)
+        |SELECT rq, fq, mq, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       ROUND(SUM(monetary), 2) AS total_m
+        |FROM b GROUP BY rq, fq, mq ORDER BY rq, fq, mq""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

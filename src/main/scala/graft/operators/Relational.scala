@@ -788,6 +788,59 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q73 — first-order Markov transition matrix over per-user event
+    * sequences: lag(event_type) within user order gives (src, dst)
+    * pairs, one hash aggregate counts them, and the row-normalized
+    * probability comes from a window sum over src — |types|² rows of
+    * window state, nothing per-event. Session-modelling primitive
+    * (next-action prediction, bot detection). */
+  def q73(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t.events
+      .select(lag("event_type", 1).over(w).as("src"),
+        col("event_type").as("dst"))
+      .filter(col("src").isNotNull)
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    counts
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("src")), 4).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Q75 — RFM user segmentation: recency / frequency / monetary per
+    * user (one hash aggregate over the event stream), then ntile(4)
+    * quartile codes and per-segment rollups. The rank windows run over
+    * the |users|-row aggregate — never the raw stream; at extreme user
+    * counts swap ntile for [[quantileDisc]] fences (same output
+    * contract). Ordering is made engine-portable: date-level recency,
+    * integer-cents monetary, user_id tie-breaks everywhere. */
+  def q75(t: Tables): DataFrame = {
+    val users = t.events.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      sum(when(col("event_type") === "purchase",
+        coalesce(col("value"), lit(0.0))).otherwise(0.0)).as("monetary"))
+    val gmax = users.agg(max(col("last_ts")).as("gmax"))
+    val scored = users.crossJoin(broadcast(gmax))
+      .select(col("user_id"),
+        datediff(to_date(col("gmax")), to_date(col("last_ts")))
+          .as("recency_d"),
+        col("freq"), col("monetary"),
+        round(col("monetary") * 100).cast("long").as("cents"))
+    val coded = scored.select(col("monetary"),
+      ntile(4).over(Window.orderBy(col("recency_d"), col("user_id")))
+        .cast("long").as("rq"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id")))
+        .cast("long").as("fq"),
+      ntile(4).over(Window.orderBy(col("cents").desc, col("user_id")))
+        .cast("long").as("mq"))
+    coded.groupBy("rq", "fq", "mq")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("monetary"), 2).as("total_m"))
+      .orderBy("rq", "fq", "mq")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

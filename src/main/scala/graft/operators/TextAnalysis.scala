@@ -152,6 +152,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** q74 — corpus-level lexical statistics per language: Shannon
+    * entropy of the unigram distribution and type-token ratio. Uses
+    * the identity H = ln N − (Σ n·ln n)/N so everything reduces to ONE
+    * hash aggregate over (lang, token) counts followed by a |langs|-row
+    * rollup — no per-token probability column, no second scan.
+    * Vocabulary-richness / diversity gate for corpus curation. */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n").cast("double") * log(col("n"))).as("nlogn"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("nlogn") / col("n_tokens"), 4)
+          .as("entropy"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4)
+          .as("ttr"))
+      .orderBy("lang")
+
   /** q46 — deterministic hash-based train/test split: assignment is a
     * pure function of content (first md5 nibble), so it is stable
     * across runs, engines, and repartitioning — the reproducible-split

@@ -119,6 +119,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q73 transition rows sum to events minus first-events, probs sum to 1") {
+    val rows = Relational.q73(tables).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val expected = tables.events.select(count(lit(1)) -
+      countDistinct(col("user_id"))).head.getLong(0)
+    assert(total == expected, s"pairs=$total expected=$expected")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 0.01, s"$src probs sum to $p")
+    }
+  }
+
+  test("q75 segments partition the user base, codes within 1..4") {
+    val rows = Relational.q75(tables).collect()
+    val users = tables.events.select(countDistinct(col("user_id")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == users)
+    rows.foreach { r =>
+      for (i <- 0 to 2)
+        assert(r.getLong(i) >= 1 && r.getLong(i) <= 4)
+    }
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))

@@ -13,6 +13,22 @@ class TextSpec extends SparkSpec {
     assert(got(1).getLong(1) == 1 && got(1).getLong(2) == 1)
   }
 
+  test("lexicalDiversity: uniform corpus hits ln(V), singleton hits 0") {
+    // 4 tokens each appearing once -> H = ln 4, ttr = 1
+    // 3 copies of one token -> H = 0, ttr = 1/3
+    val docs = Seq(("a b c d", "uni"), ("z z z", "mono"))
+      .toDF("text", "lang")
+    val got = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nU, vU, hU, tU) = got("uni")
+    assert(nU == 4 && vU == 4 && tU == 1.0)
+    assert(math.abs(hU - math.log(4)) < 1e-3)
+    val (nM, vM, hM, tM) = got("mono")
+    assert(nM == 3 && vM == 1 && hM == 0.0)
+    assert(math.abs(tM - 1.0 / 3) < 1e-3)
+  }
+
   test("tokenCountRegex splits on non-word runs") {
     val got = Seq("foo_bar, baz!! qux123")
       .toDF("t").select(TextAnalysis.tokenCountRegex(col("t")))
