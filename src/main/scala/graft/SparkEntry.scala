@@ -96,6 +96,8 @@ object SparkEntry {
     "q73_markov_transitions" -> q(Relational.q73),
     "q74_lexical_diversity" -> q(t => TextAnalysis.lexicalDiversity(t.documents)),
     "q75_rfm_segments" -> q(Relational.q75),
+    "q76_sql_topk_tvf" -> q(graft.plans.TopKPerKey.q76),
+    "q77_sql_vector" -> q(Similarity.sqlCosineTopK),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -793,6 +795,30 @@ object SparkEntry {
         |SELECT rq, fq, mq, CAST(COUNT(*) AS BIGINT) AS n_users,
         |       ROUND(SUM(monetary), 2) AS total_m
         |FROM b GROUP BY rq, fq, mq ORDER BY rq, fq, mq""".stripMargin,
+    "q76_sql_topk_tvf" ->
+      """WITH rk AS (
+        |  SELECT event_type, event_id, user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, event_id, user_id, ROUND(value, 4) AS value
+        |FROM rk WHERE rk <= 3
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q77_sql_vector" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, vec_id AS cid,
+        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> e[i]*e[i])))), 6) AS cos
+        |  FROM v JOIN q ON vec_id <> qid),
+        |rk AS (SELECT qid, cid, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |       FROM s)
+        |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -66,6 +66,36 @@ object Similarity {
         .as("centroid"))
       .orderBy(groupCol, "dim")
 
+  /** Q77 — cosine top-k written entirely in SQL against the registered
+    * native [[graft.functions.VectorDot]] (`vec_dot`): the codegen'd
+    * fused-loop expression is what the SQL text plans to, proving the
+    * FunctionRegistry surface gives SQL users the same hot path as the
+    * Column API. Broadcast hint on the |q|-row side; evaluation order
+    * of vec_dot is index-ascending, matching the oracle's
+    * list_transform formulation bit-for-bit. */
+  def sqlCosineTopK(t: graft.Tables): DataFrame = {
+    graft.plans.GraftExtensions.register(t.spark)
+    t.embeddings.createOrReplaceTempView("graft_q77_embeddings")
+    t.spark.sql(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e
+        |  FROM graft_q77_embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT /*+ BROADCAST(q) */ qid, vec_id AS cid,
+        |         ROUND(vec_dot(qv, e) /
+        |           (SQRT(vec_dot(qv, qv)) * SQRT(vec_dot(e, e))), 6) AS cos
+        |  FROM v JOIN q ON vec_id <> qid),
+        |rk AS (
+        |  SELECT qid, cid, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, cid) AS rk
+        |  FROM s)
+        |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin)
+  }
+
   def cosineTopK(
       embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
     // norms precomputed per vector (not per pair): |q|+|c| sqrt loops

@@ -3,12 +3,15 @@ package graft.plans
 import graft.functions.VectorDot
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Expression, ExpressionInfo, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native vector functions for SQL users
-  * (`SELECT vec_dot(a, b) ...`). Enable with
+  * (`SELECT vec_dot(a, b) ...`) and the [[TopKPerKeyNode]] bounded-heap
+  * operator as a table-valued function
+  * (`FROM graft_topk('t', 'key', 'col DESC, tie', 5)`). Enable with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`;
   * [[GraftExtensions.register]] does the same on a live session.
@@ -24,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
@@ -37,11 +41,47 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))
 
+  /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for
+    * the bounded-heap top-k node. All four arguments are literals
+    * (`keys` and `orderSpec` comma-separated, `DESC` per item opt-in);
+    * the builder emits [[TopKPerKeyNode]] over an UnresolvedRelation
+    * and lets the analyzer resolve the view/table and the columns —
+    * same resolution path every built-in TVF uses. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPerKeyNode].getName, "graft_topk"),
+      (args: Seq[Expression]) => topKFromSql(args)))
+
+  private def topKFromSql(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graft_topk expects (table, keys, orderSpec, k)")
+    def str(e: Expression): String = String.valueOf(e.eval())
+    val keys = str(args(1)).split(",").map(_.trim).filter(_.nonEmpty)
+      .map(n => UnresolvedAttribute(n): UnresolvedAttribute).toSeq
+    val order = str(args(2)).split(",").map(_.trim).filter(_.nonEmpty)
+      .map { item =>
+        val parts = item.split("\\s+")
+        val dir =
+          if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+            Descending
+          else Ascending
+        SortOrder(UnresolvedAttribute(parts(0)), dir)
+      }.toSeq
+    val k = args(3).eval().asInstanceOf[Number].intValue()
+    TopKPerKeyNode(keys, order, k,
+      UnresolvedRelation(Seq(str(args(0)))))
+  }
+
   /** Register the engine functions + planner strategy on an
     * already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
         .registerFunction(ident, info, builder)
     }
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))

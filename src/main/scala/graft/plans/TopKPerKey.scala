@@ -83,6 +83,21 @@ object TopKPerKey {
         round(col("value"), 4).as("value"))
       .orderBy("event_type", "event_id")
   }
+
+  /** Q76 — the same bounded-heap operator, driven entirely from SQL
+    * through the `graft_topk` table-valued function: the FROM-clause
+    * call plans the node (partial heap → key exchange → final heap)
+    * exactly as the Column API path does — one operator, two surfaces.
+    * k=3 (vs q56's 5) so the two gates exercise distinct outputs. */
+  def q76(t: graft.Tables): DataFrame = {
+    GraftExtensions.register(t.spark)
+    t.events.createOrReplaceTempView("graft_q76_events")
+    t.spark.sql(
+      """SELECT event_type, event_id, user_id, ROUND(value, 4) AS value
+        |FROM graft_topk('graft_q76_events', 'event_type',
+        |                'value DESC, event_id', 3)
+        |ORDER BY event_type, event_id""".stripMargin)
+  }
 }
 
 /** Logical node: k best rows per `keys` group in `order` order. */

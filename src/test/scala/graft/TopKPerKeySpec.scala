@@ -56,6 +56,26 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("SQL TVF graft_topk plans the same bounded-heap execs, no sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      events.createOrReplaceTempView("tvf_events")
+      val df = spark.sql(
+        """SELECT event_type, event_id FROM
+          |graft_topk('tvf_events', 'event_type', 'value DESC, event_id', 4)
+          |""".stripMargin)
+      val viaApi = TopKPerKey.topK(events, Seq("event_type"),
+        Seq(col("value").desc, col("event_id")), 4)
+        .select("event_type", "event_id")
+      assert(df.exceptAll(viaApi).count() == 0
+        && viaApi.exceptAll(df).count() == 0)
+      val execs = df.queryExecution.executedPlan
+        .collect { case e: TopKPerKeyExec => e }
+      assert(execs.map(_.partial).sorted == Seq(false, true))
+      assert(!df.queryExecution.executedPlan.toString.contains("Sort "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("multi-key grouping and duplicate values keep exactly k rows") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("g1", col("id") % 4)
