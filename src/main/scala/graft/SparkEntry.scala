@@ -98,6 +98,9 @@ object SparkEntry {
     "q75_rfm_segments" -> q(Relational.q75),
     "q76_sql_topk_tvf" -> q(graft.plans.TopKPerKey.q76),
     "q77_sql_vector" -> q(Similarity.sqlCosineTopK),
+    // rows-only gate: DataSketches estimates have no DuckDB twin;
+    // error bounds are asserted in SketchSpec instead
+    "q78_hll_rollup" -> q(Sketches.q78),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(

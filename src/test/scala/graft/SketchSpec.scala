@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** HLL sketch operators: estimate quality vs exact distinct counts,
+  * merge exactness, and parquet round-trip of sketch state (the
+  * materialized-sketch-table pattern). */
+class SketchSpec extends SparkSpec {
+
+  private lazy val events = tables.events
+
+  test("q78 merged estimate within 5% of exact distinct users per key") {
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sketches.q78(tables).collect().foreach { r =>
+      val (key, merged) = (r.getString(0), r.getLong(3))
+      val d = exact(key)
+      assert(math.abs(merged - d).toDouble / d < 0.05,
+        s"$key merged=$merged exact=$d")
+      // per-day estimates double-count repeat visitors: sum >= merged
+      assert(r.getLong(2) >= merged, s"$key sum_daily < merged")
+    }
+  }
+
+  test("union of daily sketches equals the single global sketch") {
+    val viaDays = Sketches.dailyUserSketches(events)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("est"))
+    val global = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est"))
+    val joined = viaDays.join(global, "event_type")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: day-merged ${r.getLong(1)} != global ${r.getLong(2)}")
+    }
+  }
+
+  test("sketches survive a parquet round-trip and still merge") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch").toString
+    Sketches.dailyUserSketches(events).write
+      .mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("est"))
+    val direct = Sketches.q78(tables)
+      .select(col("event_type"), col("merged_users"))
+    val mismatch = back.join(direct, "event_type")
+      .filter(col("est") =!= col("merged_users")).count()
+    assert(mismatch == 0)
+  }
+}
