@@ -101,6 +101,10 @@ object SparkEntry {
     // rows-only gate: DataSketches estimates have no DuckDB twin;
     // error bounds are asserted in SketchSpec instead
     "q78_hll_rollup" -> q(Sketches.q78),
+    "q79_audience_overlap" -> q(Relational.q79),
+    "q80_value_histogram" -> q(Relational.q80),
+    "q81_streaks" -> q(Relational.q81),
+    "q82_activity_profile" -> q(Relational.q82),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -822,6 +826,50 @@ object SparkEntry {
         |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
         |FROM rk WHERE rk <= 3
         |ORDER BY qid, rk""".stripMargin,
+    "q79_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS inter
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, inter,
+        |       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM p JOIN s sa ON sa.event_type = ta
+        |       JOIN s sb ON sb.event_type = tb
+        |ORDER BY ta, tb""".stripMargin,
+    "q80_value_histogram" ->
+      """WITH f AS (SELECT MIN(value) AS lo, MAX(value) AS hi
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT event_type,
+        |       LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
+        |       COUNT(*) AS n
+        |FROM events, f WHERE value IS NOT NULL
+        |GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+    "q81_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM ud),
+        |g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+        |      FROM r GROUP BY user_id, grp)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       MAX(len) AS max_streak
+        |FROM g GROUP BY user_id
+        |ORDER BY max_streak DESC, user_id
+        |LIMIT 20""".stripMargin,
+    "q82_activity_profile" ->
+      """SELECT event_type,
+        |       CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS isodow,
+        |       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) /
+        |       (COUNT(value) * 100.0) AS avg_value
+        |FROM events
+        |GROUP BY event_type, isodow, hr
+        |ORDER BY event_type, isodow, hr""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

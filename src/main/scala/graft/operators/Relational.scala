@@ -841,6 +841,92 @@ object Relational {
       .orderBy("rq", "fq", "mq")
   }
 
+  /** Q79 — audience-overlap matrix: Jaccard similarity between the
+    * distinct-user sets of every event-type pair. One distinct pass,
+    * then a self-join keyed on user_id — each user carries at most
+    * |types| rows, so the join output is |users|·C(|types|,2) bounded,
+    * never |events|². The segment-overlap primitive behind audience
+    * dedup and campaign reach analysis. */
+  def q79(t: Tables): DataFrame = {
+    val tu = t.events.select("event_type", "user_id").distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = tu.as("a").join(tu.as("b"), "user_id")
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"),
+        col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("ta"),
+        col("n").as("na"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"),
+        col("n").as("nb"))), "tb")
+      .select(col("ta"), col("tb"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Q80 — fixed-bin value histogram per key: global min/max fences in
+    * one tiny aggregate, broadcast onto the scan, bin index by pure
+    * arithmetic (identical double ops on both engines → identical
+    * bins). The shape-inspection op profilers run before choosing
+    * partition fences or detecting drift. */
+  def q80(t: Tables): DataFrame = {
+    val fences = t.events.filter(col("value").isNotNull)
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    t.events.filter(col("value").isNotNull)
+      .crossJoin(broadcast(fences))
+      .select(col("event_type"),
+        least(floor((col("value") - col("lo")) /
+          ((col("hi") - col("lo")) / 10)), lit(9L)).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Q81 — gap-and-island streak detection: consecutive-active-day
+    * runs per user via the classic day − row_number() grouping key (two
+    * window-free scans would need a join; one per-user window over the
+    * |user·days| distinct table is the cheap exact form). Output is the
+    * top-20 longest streaks — retention/engagement's "N-day streak"
+    * metric. */
+  def q81(t: Tables): DataFrame = {
+    val ud = t.events.select(col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val grouped = ud
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    grouped.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), max("len").as("max_streak"))
+      .orderBy(col("max_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Q82 — weekday × hour activity profile per event type: pure
+    * calendar bucketing (ISO weekday to dodge engine dow-origin
+    * differences), one hash aggregate, |types|·7·24 bounded output.
+    * The mean is computed over integer cents — double sums are
+    * order-dependent in their last ulp, and partial aggregation orders
+    * differently than any other engine; exact integer sums make the
+    * average bit-identical everywhere. Deliberately NOT rounded: the
+    * exact rationals land on .5 round boundaries where Spark
+    * (half-up) and other engines (half-even) disagree — one IEEE
+    * division is bit-identical, a decimal round of it is not. The
+    * seasonality fingerprint feeding anomaly baselines. */
+  def q82(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "isodow", "hr")
+      .agg(count(lit(1)).as("n"),
+        (sum("cents").cast("double") /
+          (count(col("cents")) * 100).cast("double")).as("avg_value"))
+      .orderBy("event_type", "isodow", "hr")
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

@@ -142,6 +142,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q79 jaccard bounded by 1, intersection bounded by set sizes") {
+    val sizes = tables.events.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.q79(tables).collect()
+    assert(rows.length == sizes.size * (sizes.size - 1) / 2)
+    rows.foreach { r =>
+      val (ta, tb, inter, j) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(inter <= math.min(sizes(ta), sizes(tb)))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q80 bins cover 0..9 and counts sum to non-null values") {
+    val rows = Relational.q80(tables).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    val total = rows.map(_.getLong(2)).sum
+    val expected = tables.events.filter(col("value").isNotNull).count()
+    assert(total == expected)
+  }
+
+  test("q81 max streak bounded by the user's distinct active days") {
+    val days = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Relational.q81(tables).collect().foreach { r =>
+      val (u, nS, mS) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(mS >= 1 && mS <= days(u))
+      assert(nS >= 1 && nS <= days(u))
+    }
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
