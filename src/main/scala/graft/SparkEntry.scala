@@ -105,6 +105,10 @@ object SparkEntry {
     "q80_value_histogram" -> q(Relational.q80),
     "q81_streaks" -> q(Relational.q81),
     "q82_activity_profile" -> q(Relational.q82),
+    // rows-only gate: the coarse quantizer is seeded KMeans with no
+    // DuckDB twin; recall vs brute force is asserted in SimilaritySpec
+    "q83_ivf_topk" -> q(t => Similarity.ivfCosineTopK(t.embeddings)),
+    "q84_ffill_resample" -> q(Relational.q84),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -870,6 +874,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, isodow, hr
         |ORDER BY event_type, isodow, hr""".stripMargin,
+    "q84_ffill_resample" ->
+      """WITH o AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM o),
+        |g AS (
+        |  SELECT t.event_type,
+        |         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b)
+        |SELECT g.event_type, g.hr,
+        |       CAST(LAST_VALUE(o.cents IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.hr) AS DOUBLE) / 100
+        |         AS filled
+        |FROM g LEFT JOIN o ON o.event_type = g.event_type AND o.hr = g.hr
+        |ORDER BY g.event_type, g.hr""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

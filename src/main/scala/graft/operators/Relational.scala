@@ -927,6 +927,33 @@ object Relational {
           (count(col("cents")) * 100).cast("double")).as("avg_value"))
       .orderBy("event_type", "isodow", "hr")
 
+  /** Q84 — resample + forward fill: per-key hourly grid (dimension ×
+    * sequence explode over broadcast global bounds), left join the
+    * observed hourly reduction, then last-observation-carried-forward
+    * via `last(ignoreNulls)` over an unbounded-preceding ROWS frame.
+    * Hours before a key's first observation stay NULL. Observed value
+    * is the hourly max in integer cents (deterministic reduction, no
+    * float-sum ordering). The gap-filling primitive behind every
+    * regular-grid time-series feature. */
+  def q84(t: Tables): DataFrame = {
+    val obs = t.events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(max(round(col("value") * 100).cast("long")).as("cents"))
+    val bounds = obs.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val grid = t.events.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        (last("cents", ignoreNulls = true).over(w).cast("double") / 100)
+          .as("filled"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

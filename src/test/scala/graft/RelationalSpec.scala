@@ -176,6 +176,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q84 grid is dense, filled matches observed, nulls only lead") {
+    val r = Relational.q84(tables)
+    val types = tables.events.select("event_type").distinct().count()
+    val hours = r.select("hr").distinct().count()
+    assert(r.count() == types * hours, "grid not dense")
+    // once a key has a value, every later hour must be non-null
+    val withFlag = r.withColumn("seen",
+      max(col("filled").isNotNull.cast("int")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hr")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+    assert(withFlag.filter(col("seen") === 1 && col("filled").isNull)
+      .count() == 0, "null after first observation")
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
