@@ -109,6 +109,7 @@ object SparkEntry {
     // DuckDB twin; recall vs brute force is asserted in SimilaritySpec
     "q83_ivf_topk" -> q(t => Similarity.ivfCosineTopK(t.embeddings)),
     "q84_ffill_resample" -> q(Relational.q84),
+    "q85_canonical_docs" -> q(t => Dedup.canonicalDocs(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -185,6 +186,32 @@ object SparkEntry {
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** q85 oracle: q42's components + per-cluster argmax(n_chars, tie
+    * min doc_id) and cluster sizes. */
+  private def canonicalOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+       |und(a, b) AS (SELECT doc_i, doc_j FROM pairs
+       |              UNION SELECT doc_j, doc_i FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |         FROM reach GROUP BY a),
+       |cl AS (SELECT c.component, c.doc_id, d.n_chars
+       |       FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |ranked AS (SELECT component, doc_id,
+       |             ROW_NUMBER() OVER (PARTITION BY component
+       |               ORDER BY n_chars DESC, doc_id) AS rk
+       |           FROM cl),
+       |sizes AS (SELECT component, COUNT(*) AS n_docs,
+       |                 MAX(n_chars) AS max_chars
+       |          FROM cl GROUP BY component)
+       |SELECT s.component, s.n_docs, r.doc_id AS canonical_doc, s.max_chars
+       |FROM sizes s JOIN ranked r ON r.component = s.component AND r.rk = 1
+       |ORDER BY s.component""".stripMargin
 
   private def simhashOracle: String = {
     val high = "('8','9','a','b','c','d','e','f')"
@@ -890,6 +917,7 @@ object SparkEntry {
         |         AS filled
         |FROM g LEFT JOIN o ON o.event_type = g.event_type AND o.hr = g.hr
         |ORDER BY g.event_type, g.hr""".stripMargin,
+    "q85_canonical_docs" -> canonicalOracle,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -456,6 +456,28 @@ object Dedup {
     connectedComponentsStar(minhashNearDups(documents))
       .orderBy("doc_id")
 
+  /** Q85 — canonical-document selection: for every near-dup cluster
+    * (q42 components) pick the representative the cleaned corpus keeps
+    * — longest text, doc_id tie-break — via the bounded-heap
+    * [[graft.plans.TopKPerKey]] node with k=1 (a grouped argmax with
+    * O(1) state per cluster, no window sort), plus cluster size. The
+    * keep-decision table a dedup pipeline joins back onto the corpus. */
+  def canonicalDocs(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val clusters = nearDupComponents(documents)
+      .join(documents.select("doc_id", "n_chars"), "doc_id")
+    val sizes = clusters.groupBy("component")
+      .agg(count(lit(1)).as("n_docs"), max("n_chars").as("max_chars"))
+    val canon = graft.plans.TopKPerKey
+      .topK(clusters, Seq("component"),
+        Seq(col("n_chars").desc, col("doc_id")), 1)
+      .select(col("component"), col("doc_id").as("canonical_doc"))
+    canon.join(sizes, "component")
+      .select(col("component"), col("n_docs"), col("canonical_doc"),
+        col("max_chars"))
+      .orderBy("component")
+  }
+
   /** Deduplicated corpus: one keeper (min doc_id) per near-dup
     * component plus every unpaired document. */
   def dedupedCorpus(documents: DataFrame): DataFrame = {

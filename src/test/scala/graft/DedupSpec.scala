@@ -112,6 +112,27 @@ class DedupSpec extends SparkSpec {
     assert(corpus.count() <= tables.documents.count())
   }
 
+  test("q85 canonical doc is the longest member of its cluster") {
+    val comp = Dedup.nearDupComponents(tables.documents)
+      .join(tables.documents.select("doc_id", "n_chars"), "doc_id")
+      .collect().groupBy(_.getLong(1))
+      .map { case (c, rs) =>
+        c -> (rs.length, rs.map(r => (r.getLong(2), r.getLong(0))).toSet)
+      }
+    val rows = Dedup.canonicalDocs(tables.documents).collect()
+    assert(rows.length == comp.size)
+    rows.foreach { r =>
+      val (c, n, canon, maxC) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (size, members) = comp(c)
+      assert(n == size && size >= 2)
+      assert(maxC == members.map(_._1).max)
+      // canonical = min doc_id among the max-length members
+      assert(canon ==
+        members.filter(_._1 == maxC).map(_._2).min)
+    }
+  }
+
   test("simhash: identical docs identical, hamming 0 in near-dups") {
     val docs = Seq(
       (1L, "spark scala engine test"), (2L, "spark scala engine test"),
