@@ -110,6 +110,8 @@ object SparkEntry {
     "q83_ivf_topk" -> q(t => Similarity.ivfCosineTopK(t.embeddings)),
     "q84_ffill_resample" -> q(Relational.q84),
     "q85_canonical_docs" -> q(t => Dedup.canonicalDocs(t.documents)),
+    "q86_chunking" -> q(t => TextAnalysis.chunkDocs(t.documents)),
+    "q87_zipf" -> q(t => TextAnalysis.zipfFit(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -918,6 +920,25 @@ object SparkEntry {
         |FROM g LEFT JOIN o ON o.event_type = g.event_type AND o.hr = g.hr
         |ORDER BY g.event_type, g.hr""".stripMargin,
     "q85_canonical_docs" -> canonicalOracle,
+    "q86_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t,
+        |        unnest(generate_series(0, CAST(CEIL(n / 25.0) AS BIGINT) - 1)) AS chunk_id
+        |      FROM d)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(list_slice(t, chunk_id * 25 + 1, chunk_id * 25 + 50)) AS BIGINT) AS chunk_len,
+        |       md5(array_to_string(list_slice(t, chunk_id * 25 + 1, chunk_id * 25 + 50), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q87_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS n FROM tok
+        |        GROUP BY token ORDER BY n DESC, token LIMIT 200),
+        |rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk FROM cnt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       ROUND(regr_slope(LN(n), LN(rk)), 4) AS zipf_slope,
+        |       ROUND(regr_r2(LN(n), LN(rk)), 4) AS r2
+        |FROM rk""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

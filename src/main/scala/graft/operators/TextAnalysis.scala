@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (SURVEY
@@ -173,6 +174,52 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 4)
           .as("ttr"))
       .orderBy("lang")
+
+  /** q86 — sliding-window document chunking: token windows of
+    * `window` with stride `stride` (tail windows shorter, every token
+    * covered) — the context-length packing step of an LLM training
+    * pipeline. One explode over ceil(n/stride) chunk indexes per doc,
+    * array `slice` per chunk; emits the chunk fingerprint rather than
+    * the text so the result stays narrow (chunk-level dedup joins on
+    * exactly this shape). */
+  def chunkDocs(documents: DataFrame, window: Int = 50,
+      stride: Int = 25): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+    toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          floor((col("n") + (stride - 1)) / stride).cast("long") - 1))
+          .as("ci"))
+      .select(col("doc_id"), col("ci"),
+        slice(col("t"), (col("ci") * stride + 1).cast("int"),
+          lit(window)).as("c"))
+      .select(col("doc_id"), col("ci").as("chunk_id"),
+        size(col("c")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q87 — Zipf rank-frequency fit: the head of the vocabulary (top
+    * 200 tokens by count, deterministic tie-break) regressed as
+    * ln(freq) on ln(rank); a healthy natural-language corpus slopes
+    * near −1, so the single-row output is a drift/synthetic-text
+    * detector. Bounded state: the regression sees only the top-k. */
+  def zipfFit(documents: DataFrame, k: Int = 200): DataFrame = {
+    val top = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+    top
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(regr_slope(log(col("n")), log(col("rk"))), 4)
+          .as("zipf_slope"),
+        round(regr_r2(log(col("n")), log(col("rk"))), 4).as("r2"))
+  }
 
   /** q46 — deterministic hash-based train/test split: assignment is a
     * pure function of content (first md5 nibble), so it is stable

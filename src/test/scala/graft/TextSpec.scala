@@ -29,6 +29,27 @@ class TextSpec extends SparkSpec {
     assert(math.abs(tM - 1.0 / 3) < 1e-3)
   }
 
+  test("chunkDocs: counts, lengths, and full token coverage") {
+    val docs = Seq((1L, (1 to 60).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(docs).collect()
+    // doc 1: n=60 -> ceil(60/25)=3 chunks of len 50,35,10
+    val d1 = rows.filter(_.getLong(0) == 1L).map(_.getLong(2))
+    assert(d1.toSeq == Seq(50, 35, 10))
+    // doc 2: n=3 -> one short chunk
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(3))
+    // doc 3: empty text still yields one chunk of the single empty token
+    assert(rows.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSeq == Seq(1))
+  }
+
+  test("zipfFit: natural-ish corpus slopes negative with sane r2") {
+    val r = TextAnalysis.zipfFit(tables.documents).head()
+    // synthetic corpus vocabulary is small; just need enough points
+    assert(r.getLong(0) > 10)
+    assert(r.getDouble(1) < 0, s"slope ${r.getDouble(1)} not negative")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+  }
+
   test("tokenCountRegex splits on non-word runs") {
     val got = Seq("foo_bar, baz!! qux123")
       .toDF("t").select(TextAnalysis.tokenCountRegex(col("t")))
