@@ -112,6 +112,7 @@ object SparkEntry {
     "q85_canonical_docs" -> q(t => Dedup.canonicalDocs(t.documents)),
     "q86_chunking" -> q(t => TextAnalysis.chunkDocs(t.documents)),
     "q87_zipf" -> q(t => TextAnalysis.zipfFit(t.documents)),
+    "q88_growth_accounting" -> q(Relational.q88),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -939,6 +940,30 @@ object SparkEntry {
         |       ROUND(regr_slope(LN(n), LN(rk)), 4) AS zipf_slope,
         |       ROUND(regr_r2(LN(n), LN(rk)), 4) AS r2
         |FROM rk""".stripMargin,
+    "q88_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |        LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |        LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        |      FROM ud),
+        |act AS (
+        |  SELECT day,
+        |    SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS new_users,
+        |    SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS retained,
+        |    SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS resurrected
+        |  FROM f GROUP BY day),
+        |ch AS (
+        |  SELECT day + 1 AS day, COUNT(*) AS churned
+        |  FROM f, (SELECT MAX(day) AS max_day FROM ud) m
+        |  WHERE day < max_day AND (next IS NULL OR next > day + 1)
+        |  GROUP BY day + 1)
+        |SELECT COALESCE(act.day, ch.day) AS day,
+        |       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+        |       CAST(COALESCE(retained, 0) AS BIGINT) AS retained,
+        |       CAST(COALESCE(resurrected, 0) AS BIGINT) AS resurrected,
+        |       CAST(COALESCE(churned, 0) AS BIGINT) AS churned
+        |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+        |ORDER BY day""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -954,6 +954,43 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** Q88 — growth accounting: per calendar day, split the active user
+    * base into new (first-ever day), retained (also active the
+    * previous day) and resurrected (returning after a gap), and count
+    * churned (active the previous day, absent today) attributed to the
+    * day the user went missing. One distinct (user, day) pass, two
+    * per-user windows (lag for look-back, lead for churn attribution),
+    * full-outer merge of the two day-keyed aggregates. All counts are
+    * integers — no float portability hazards by construction. */
+  def q88(t: Tables): DataFrame = {
+    val ud = t.events.select(col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = ud
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("next", lead("day", 1).over(w))
+    val active = flagged.groupBy("day").agg(
+      sum(when(col("prev").isNull, 1).otherwise(0)).as("new_users"),
+      sum(when(col("prev") === date_sub(col("day"), 1), 1).otherwise(0))
+        .as("retained"),
+      sum(when(col("prev").isNotNull &&
+        col("prev") < date_sub(col("day"), 1), 1).otherwise(0))
+        .as("resurrected"))
+    val maxDay = ud.agg(max("day").as("max_day"))
+    val churn = flagged.crossJoin(broadcast(maxDay))
+      .filter(col("day") < col("max_day") &&
+        (col("next").isNull || col("next") > date_add(col("day"), 1)))
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("churned"))
+    active.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

@@ -192,6 +192,25 @@ class RelationalSpec extends SparkSpec {
       .count() == 0, "null after first observation")
   }
 
+  test("q88 conservation: active(d-1) == retained(d) + churned(d)") {
+    val activeByDay = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("a")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val rows = Relational.q88(tables).collect()
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val (nu, re, rs, ch) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      // today's actives split exactly three ways
+      assert(activeByDay.getOrElse(d, 0L) == nu + re + rs, s"$d split")
+      // yesterday's actives either stayed or churned
+      activeByDay.get(d.minusDays(1)).foreach { prev =>
+        assert(prev == re + ch, s"$d retention")
+      }
+    }
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
