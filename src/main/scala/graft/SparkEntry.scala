@@ -113,6 +113,7 @@ object SparkEntry {
     "q86_chunking" -> q(t => TextAnalysis.chunkDocs(t.documents)),
     "q87_zipf" -> q(t => TextAnalysis.zipfFit(t.documents)),
     "q88_growth_accounting" -> q(Relational.q88),
+    "q89_rolling_wau" -> q(Relational.q89),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -964,6 +965,12 @@ object SparkEntry {
         |       CAST(COALESCE(churned, 0) AS BIGINT) AS churned
         |FROM act FULL OUTER JOIN ch ON act.day = ch.day
         |ORDER BY day""".stripMargin,
+    "q89_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

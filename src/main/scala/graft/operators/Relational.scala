@@ -848,12 +848,22 @@ object Relational {
     * never |events|². The segment-overlap primitive behind audience
     * dedup and campaign reach analysis. */
   def q79(t: Tables): DataFrame = {
-    val tu = t.events.select("event_type", "user_id").distinct()
-    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val pairs = tu.as("a").join(tu.as("b"), "user_id")
-      .filter(col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("ta"),
-        col("b.event_type").as("tb"))
+    // ONE scan + one user_id shuffle: per-user type-sets (bounded at
+    // |types| elements), then pairs by explode×explode and sizes by a
+    // single explode. Both consumers share the identical aggregate
+    // subplan, so ReuseExchange materializes the user shuffle once —
+    // vs the naive distinct-self-join, which scans the fact table
+    // three times (divergent pushed filters defeat plan reuse) and
+    // shuffles it again for the join.
+    val sets = t.events.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("ts"))
+    val sizes = sets.select(explode(col("ts")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = sets
+      .select(explode(col("ts")).as("ta"), col("ts"))
+      .select(col("ta"), explode(col("ts")).as("tb"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(sizes.select(col("event_type").as("ta"),
@@ -988,6 +998,25 @@ object Relational {
         coalesce(col("retained"), lit(0L)).as("retained"),
         coalesce(col("resurrected"), lit(0L)).as("resurrected"),
         coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
+  /** Q89 — rolling 7-day distinct actives (WAU) per window-end day:
+    * each active (user, day) is attributed to the 7 window-ends it can
+    * serve via a sequence-explode, then one distinct + count per day —
+    * the range join "day BETWEEN d-6 AND d" rewritten as an equi-group
+    * (constant 7× expansion, shuffles on a date key; a true range join
+    * would be a per-day rescan). Window-ends restricted to observed
+    * days via a broadcast semi-join. Integer counts only. */
+  def q89(t: Tables): DataFrame = {
+    val ud = t.events.select(col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
       .orderBy("day")
   }
 

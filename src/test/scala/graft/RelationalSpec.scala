@@ -211,6 +211,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q89 wau bounded by DAU-of-window and total users, monotone floor") {
+    val dau = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("a")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val users = tables.events.select(countDistinct(col("user_id")))
+      .head.getLong(0)
+    Relational.q89(tables).collect().foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val wau = r.getLong(1)
+      val windowDau = (0 to 6).flatMap(i => dau.get(d.minusDays(i)))
+      // at least the busiest single day, at most the sum / total users
+      assert(wau >= windowDau.max && wau <= math.min(windowDau.sum, users),
+        s"$d wau=$wau window=$windowDau")
+    }
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
