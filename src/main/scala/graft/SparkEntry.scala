@@ -114,6 +114,7 @@ object SparkEntry {
     "q87_zipf" -> q(t => TextAnalysis.zipfFit(t.documents)),
     "q88_growth_accounting" -> q(Relational.q88),
     "q89_rolling_wau" -> q(Relational.q89),
+    "q90_heavy_hitters" -> q(t => TextAnalysis.heavyHitters(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -971,6 +972,13 @@ object SparkEntry {
         |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "q90_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+        |SELECT token, n, n_total FROM c, tot
+        |WHERE n * 200 > n_total
+        |ORDER BY n DESC, token""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

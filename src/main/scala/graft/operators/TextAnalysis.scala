@@ -221,6 +221,30 @@ object TextAnalysis {
         round(regr_r2(log(col("n")), log(col("rk"))), 4).as("r2"))
   }
 
+  /** q90 — exact heavy hitters by two-pass pruning: a bounded-state
+    * Misra–Gries aggregate ([[graft.functions.MisraGries]], `capacity`
+    * counters total regardless of corpus size) yields a candidate set
+    * guaranteed to contain every token with frequency > n/capacity;
+    * the second pass exact-counts ONLY the ≤capacity candidates via a
+    * broadcast semi-join and applies the threshold. Final output is
+    * exact and deterministic even though the sketch isn't — candidate
+    * noise is filtered by true counts, so the oracle is plain SQL. */
+  def heavyHitters(documents: DataFrame, capacity: Int = 200)
+      : DataFrame = {
+    val toks = documents.select(explode(tokens(col("text"))).as("token"))
+    val cand = toks
+      .agg(graft.functions.MisraGries
+        .mg_candidates(col("token"), capacity).as("cands"))
+      .select(explode(col("cands")).as("token"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * capacity > col("n_total"))
+      .select(col("token"), col("n"), col("n_total"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** q46 — deterministic hash-based train/test split: assignment is a
     * pure function of content (first md5 nibble), so it is stable
     * across runs, engines, and repartitioning — the reproducible-split

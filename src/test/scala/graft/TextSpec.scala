@@ -50,6 +50,23 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
   }
 
+  test("heavyHitters: exact, deterministic, MG guarantee under reshuffles") {
+    val docs = tables.documents
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = exact.agg(sum("n")).head.getLong(0)
+    val expected = exact.filter(col("n") * 200 > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextAnalysis.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // candidate guarantee must hold under adversarial partitioning too
+    val reshuffled = TextAnalysis.heavyHitters(docs.repartition(13))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reshuffled == expected)
+  }
+
   test("tokenCountRegex splits on non-word runs") {
     val got = Seq("foo_bar, baz!! qux123")
       .toDF("t").select(TextAnalysis.tokenCountRegex(col("t")))
