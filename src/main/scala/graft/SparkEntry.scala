@@ -115,6 +115,9 @@ object SparkEntry {
     "q88_growth_accounting" -> q(Relational.q88),
     "q89_rolling_wau" -> q(Relational.q89),
     "q90_heavy_hitters" -> q(t => TextAnalysis.heavyHitters(t.documents)),
+    "q91_referential_audit" -> q(Relational.q91),
+    "q92_pareto" -> q(Relational.q92),
+    "q93_ab_lift" -> q(Relational.q93),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -979,6 +982,69 @@ object SparkEntry {
         |SELECT token, n, n_total FROM c, tot
         |WHERE n * 200 > n_total
         |ORDER BY n DESC, token""".stripMargin,
+    "q91_referential_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relation,
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT) AS orphans,
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE o.o_custkey = c.c_custkey)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    CAST((SELECT COUNT(*) FROM customer c
+        |          WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                            WHERE c.c_nationkey = n.n_nationkey)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'supplier->nation',
+        |    CAST((SELECT COUNT(*) FROM supplier s
+        |          WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                            WHERE s.s_nationkey = n.n_nationkey)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM supplier) AS BIGINT))
+        |ORDER BY relation""".stripMargin,
+    "q92_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile, cents
+        |      FROM cust),
+        |p AS (SELECT decile, COUNT(*) AS n_customers,
+        |             CAST(SUM(cents) AS BIGINT) AS dc
+        |      FROM d GROUP BY decile),
+        |t AS (SELECT CAST(SUM(dc) AS BIGINT) AS tc FROM p)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(n_customers AS BIGINT) AS n_customers,
+        |       CAST(dc AS DOUBLE) / 100 AS revenue,
+        |       CAST(SUM(dc) OVER (ORDER BY decile) AS DOUBLE) / CAST(tc AS DOUBLE) AS cum_share
+        |FROM p, t ORDER BY decile""".stripMargin,
+    "q93_ab_lift" ->
+      """WITH armed AS (
+        |  SELECT event_type,
+        |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |                   IN ('0','1','2','3','4','5','6','7')
+        |              THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS cb
+        |  FROM armed GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |       CAST(ca AS DOUBLE) / CAST(n_a * 100 AS DOUBLE) AS avg_a,
+        |       CAST(cb AS DOUBLE) / CAST(n_b * 100 AS DOUBLE) AS avg_b,
+        |       (CAST(cb AS DOUBLE) / CAST(n_b * 100 AS DOUBLE)) /
+        |       (CAST(ca AS DOUBLE) / CAST(n_a * 100 AS DOUBLE)) - 1.0 AS lift
+        |FROM g ORDER BY event_type""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -1020,6 +1020,94 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Q91 — referential-integrity audit: orphan counts for every FK
+    * edge of the star schema in one result. Each edge is a left-anti
+    * join against the (broadcastable) key side plus a total count;
+    * at warehouse scale the anti-join shuffles only the FK column
+    * (column pruning) and the dimension sides broadcast. The
+    * data-quality gate run before any pipeline trusts its joins. */
+  def q91(t: Tables): DataFrame = {
+    def audit(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk))),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val total = fact.agg(count(lit(1)).as("total"))
+      orphans.crossJoin(total).select(lit(name).as("relation"),
+        col("orphans"), col("total"))
+    }
+    audit("lineitem->orders", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey")
+      .unionAll(audit("orders->customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"))
+      .unionAll(audit("customer->nation", t.customer, "c_nationkey",
+        t.nation, "n_nationkey"))
+      .unionAll(audit("supplier->nation", t.supplier, "s_nationkey",
+        t.nation, "n_nationkey"))
+      .orderBy("relation")
+  }
+
+  /** Q92 — revenue concentration (Pareto curve by customer decile):
+    * per-customer revenue in exact integer cents, ntile(10) deciles
+    * with a total order, per-decile rollup and cumulative share. The
+    * rank window runs over the |customers|-row aggregate; shares are
+    * single IEEE divisions of exact longs (bit-identical across
+    * engines, no rounding step). "Top 10% of customers drive X% of
+    * revenue" — the concentration metric behind sampling and
+    * stratification decisions. */
+  def q92(t: Tables): DataFrame = {
+    val cust = t.orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val deciles = cust.select(
+      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey")))
+        .cast("long").as("decile"),
+      col("cents"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
+    val total = deciles.agg(sum("dc").as("tc"))
+    deciles.crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"),
+        (col("dc").cast("double") / 100).as("revenue"),
+        (sum("dc").over(Window.orderBy("decile")).cast("double") /
+          col("tc").cast("double")).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Q93 — deterministic A/B bucket lift: users assigned to arms by
+    * the first md5 nibble of their id (pure content hash — stable
+    * across runs, engines, partitionings; the q46 split idea applied
+    * to experimentation), then per-event-type arm metrics and relative
+    * lift. Means and lift are IEEE expressions over exact integer
+    * cents — reproducible to the bit on any engine. */
+  def q93(t: Tables): DataFrame = {
+    val armed = t.events
+      .select(col("event_type"), col("user_id"),
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B").as("arm"),
+        round(coalesce(col("value"), lit(0.0)) * 100).cast("long")
+          .as("cents"))
+    armed.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === "A", 1).otherwise(0)).as("n_a"),
+        sum(when(col("arm") === "B", 1).otherwise(0)).as("n_b"),
+        sum(when(col("arm") === "A", col("cents")).otherwise(0L))
+          .as("ca"),
+        sum(when(col("arm") === "B", col("cents")).otherwise(0L))
+          .as("cb"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("ca").cast("double") / (col("n_a") * 100).cast("double"))
+          .as("avg_a"),
+        (col("cb").cast("double") / (col("n_b") * 100).cast("double"))
+          .as("avg_b"),
+        ((col("cb").cast("double") / (col("n_b") * 100).cast("double")) /
+          (col("ca").cast("double") / (col("n_a") * 100).cast("double"))
+          - 1.0).as("lift"))
+      .orderBy("event_type")
+  }
+
   /** Q62 — z-score anomaly flags: per-key mean/stddev (constant-state
     * aggregates), broadcast back onto the stream, keep |z| beyond the
     * threshold. The stats side is |keys| rows — the fact table is

@@ -150,4 +150,34 @@ class PropertySpec extends SparkSpec {
       assert(keepers.count() == docs.select("text").distinct().count())
     }
   }
+
+  test("Misra-Gries candidates contain every item above n/capacity, " +
+      "under random reduce/merge tree shapes") {
+    val itemsGen = for {
+      n <- Gen.choose(50, 400)
+      items <- Gen.listOfN(n, Gen.choose(0, 40).map(i => s"w$i"))
+      capacity <- Gen.choose(3, 12)
+      splits <- Gen.choose(2, 8)
+    } yield (items, capacity, splits)
+    forSamples(itemsGen, n = 20) { case (items, capacity, splits) =>
+      val agg = new graft.functions.MisraGries(capacity)
+      // partition the stream arbitrarily, reduce each slice, then
+      // merge left-to-right — simulates map-side partials + shuffle
+      val slices = items.grouped(
+        math.max(1, items.size / splits)).toList
+      val partials = slices.map(s =>
+        s.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)))
+      val candidates = agg.finish(
+        partials.reduce((a, b) => agg.merge(a, b))).toSet
+      val exact = items.groupBy(identity).view.mapValues(_.size)
+      val threshold = items.size.toDouble / capacity
+      exact.foreach { case (item, freq) =>
+        if (freq > threshold)
+          assert(candidates.contains(item),
+            s"item $item freq=$freq > n/cap=$threshold missing " +
+              s"(cap=$capacity splits=${slices.size})")
+      }
+      assert(candidates.size <= capacity)
+    }
+  }
 }

@@ -228,6 +228,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q91 clean testdata has zero orphans and true totals") {
+    val r = Relational.q91(tables).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size == 4)
+    r.values.foreach { case (orphans, _) => assert(orphans == 0) }
+    assert(r("lineitem->orders")._2 == tables.lineitem.count())
+    assert(r("customer->nation")._2 == tables.customer.count())
+  }
+
+  test("q92 cumulative share is monotone and ends at exactly 1.0") {
+    val rows = Relational.q92(tables).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 1.0)
+    // decile revenue is non-increasing (sorted by revenue desc)
+    val rev = rows.map(_.getDouble(2))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q93 arm counts partition events; assignment is hash-stable") {
+    val perType = tables.events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = Relational.q93(tables).collect()
+    r1.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perType(r.getString(0)))
+    }
+    // repartitioning must not move any user between arms: the md5
+    // assignment is a pure function of user_id
+    def arms(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        substring(md5(col("user_id").cast("string")), 1, 1).as("nib"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(arms(tables.events) == arms(tables.events.repartition(17)))
+  }
+
   test("q15 sessions are at least 1 and at most the event count") {
     val r = Relational.q15(tables)
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
