@@ -118,6 +118,14 @@ object SparkEntry {
     "q91_referential_audit" -> q(Relational.q91),
     "q92_pareto" -> q(Relational.q92),
     "q93_ab_lift" -> q(Relational.q93),
+    "q94_repetition" -> q(t => TextAnalysis.repetitionStats(t.documents)),
+    "q95_decontamination" ->
+      q(t => Dedup.decontaminationPairs(t.documents)),
+    "q96_scd2" -> q(Relational.q96),
+    "q97_attribution" -> q(Relational.q97),
+    "q98_ewma" -> q(Relational.q98),
+    "q99_mad" -> q(Relational.q99),
+    "q100_semdedup" -> q(t => Similarity.semanticDedup(t.embeddings)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -183,6 +191,38 @@ object SparkEntry {
 
   /** q42 oracle: transitive closure of the q20 pairs via a recursive
     * CTE, component = min reachable node. */
+  /** Shared CTE chain of q35/q100: md5-hyperplane LSH candidate pairs
+    * over the embeddings table, cosine-scored (DuckDB twin of
+    * [[graft.operators.Similarity.embeddingNearDupsPortable]]). */
+  private def embedPairCtes: String =
+    """plane AS (
+      |  SELECT i, j,
+      |         CASE WHEN substr(md5(CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,1)
+      |                   IN ('8','9','a','b','c','d','e','f')
+      |              THEN 1.0 ELSE -1.0 END AS s
+      |  FROM range(0,16) t1(i), range(0,64) t2(j)),
+      |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |proj AS (
+      |  SELECT v.vec_id, p.i, SUM(v.e[p.j + 1] * p.s) AS d
+      |  FROM v, plane p GROUP BY v.vec_id, p.i),
+      |sig AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM proj GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, b, (sg >> (b * 4)) & 15 AS bkey
+      |  FROM sig, range(0,4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vi, b.vec_id AS vj
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT vi AS vec_i, vj AS vec_j,
+      |    ROUND(list_sum(list_transform(range(1,65), k -> x.e[k]*y.e[k])) /
+      |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
+      |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
+      |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)""".stripMargin
+
   private def componentsOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
        |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
@@ -491,33 +531,7 @@ object SparkEntry {
     // identical md5-derived hyperplane matrix on both sides: sign(i,j)
     // = high bit of md5('i:j'); candidates from 4-bit band collisions.
     "q35_embed_near_dup" ->
-      """WITH plane AS (
-        |  SELECT i, j,
-        |         CASE WHEN substr(md5(CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,1)
-        |                   IN ('8','9','a','b','c','d','e','f')
-        |              THEN 1.0 ELSE -1.0 END AS s
-        |  FROM range(0,16) t1(i), range(0,64) t2(j)),
-        |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |proj AS (
-        |  SELECT v.vec_id, p.i, SUM(v.e[p.j + 1] * p.s) AS d
-        |  FROM v, plane p GROUP BY v.vec_id, p.i),
-        |sig AS (
-        |  SELECT vec_id,
-        |         CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
-        |  FROM proj GROUP BY vec_id),
-        |bands AS (
-        |  SELECT vec_id, b, (sg >> (b * 4)) & 15 AS bkey
-        |  FROM sig, range(0,4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vi, b.vec_id AS vj
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-        |scored AS (
-        |  SELECT vi AS vec_i, vj AS vec_j,
-        |    ROUND(list_sum(list_transform(range(1,65), k -> x.e[k]*y.e[k])) /
-        |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
-        |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
-        |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)
+      s"""WITH $embedPairCtes
         |SELECT vec_i, vec_j, cos FROM scored WHERE cos >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
     "q36_rollup" ->
@@ -1045,6 +1059,130 @@ object SparkEntry {
         |       (CAST(cb AS DOUBLE) / CAST(n_b * 100 AS DOUBLE)) /
         |       (CAST(ca AS DOUBLE) / CAST(n_a * 100 AS DOUBLE)) - 1.0 AS lift
         |FROM g ORDER BY event_type""".stripMargin,
+    "q94_repetition" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |t AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) >= 3),
+        |g AS (
+        |  SELECT doc_id, n, 'uni' AS k, unnest(t) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, n, 'bi' AS k,
+        |         unnest([array_to_string(t[i:i+1], ' ') for i in range(1, n)]) AS g
+        |  FROM t
+        |  UNION ALL
+        |  SELECT doc_id, n, 'tri' AS k,
+        |         unnest([array_to_string(t[i:i+2], ' ') for i in range(1, n-1)]) AS g
+        |  FROM t),
+        |c AS (SELECT doc_id, n, k, g, COUNT(*) AS cnt
+        |      FROM g GROUP BY doc_id, n, k, g),
+        |s AS (SELECT doc_id, n, k, MAX(cnt) AS mx, COUNT(*) AS dist,
+        |             SUM(cnt) AS tot
+        |      FROM c GROUP BY doc_id, n, k),
+        |r AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    CAST(MAX(CASE WHEN k='uni' THEN mx END) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS top_token_frac,
+        |    CAST(MAX(CASE WHEN k='bi' THEN mx END) AS DOUBLE)
+        |      / CAST(n-1 AS DOUBLE) AS top_bigram_frac,
+        |    CAST(MAX(CASE WHEN k='tri' THEN tot END)
+        |         - MAX(CASE WHEN k='tri' THEN dist END) AS DOUBLE)
+        |      / CAST(MAX(CASE WHEN k='tri' THEN tot END) AS DOUBLE)
+        |      AS dup_trigram_frac
+        |  FROM s GROUP BY doc_id, n)
+        |SELECT *, CAST(CASE WHEN top_token_frac <= 0.20
+        |                     AND top_bigram_frac <= 0.18
+        |                     AND dup_trigram_frac <= 0.30
+        |               THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q95_decontamination" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      [array_to_string(t[i:i+3], ' ') for i in range(1, len(t)-2)])) AS g
+        |  FROM t0 WHERE len(t) >= 4)
+        |SELECT c.doc_id, b.doc_id AS bench_id,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        |FROM sh c JOIN sh b ON c.g = b.g
+        |WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id, b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+    "q96_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM o),
+        |iv AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, version, event_type)
+        |SELECT user_id, version, event_type, valid_from, n_events,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  CAST(CASE WHEN lead(valid_from) OVER wv IS NULL
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    "q97_attribution" ->
+      """WITH w0 AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT COALESCE(channel, 'direct') AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS purchases,
+        |       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+        |            AS DOUBLE) / 100 AS revenue
+        |FROM w0 WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q98_ewma" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  (COALESCE(CAST(cents AS DOUBLE), 0) * 1.0
+        |   + COALESCE(CAST(lag(cents, 1) OVER w AS DOUBLE), 0) * 0.5
+        |   + COALESCE(CAST(lag(cents, 2) OVER w AS DOUBLE), 0) * 0.25
+        |   + COALESCE(CAST(lag(cents, 3) OVER w AS DOUBLE), 0) * 0.125
+        |   + COALESCE(CAST(lag(cents, 4) OVER w AS DOUBLE), 0) * 0.0625
+        |   + COALESCE(CAST(lag(cents, 5) OVER w AS DOUBLE), 0) * 0.03125
+        |   + COALESCE(CAST(lag(cents, 6) OVER w AS DOUBLE), 0) * 0.015625
+        |   + COALESCE(CAST(lag(cents, 7) OVER w AS DOUBLE), 0) * 0.0078125
+        |  ) / 100 AS ewma
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q99_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |       FROM d GROUP BY event_type)
+        |SELECT event_type, ROUND(m.med, 4) AS median, ROUND(md.mad, 4) AS mad
+        |FROM m JOIN md USING (event_type) ORDER BY event_type""".stripMargin,
+    "q100_semdedup" ->
+      s"""WITH RECURSIVE $embedPairCtes,
+        |pairs AS (SELECT vec_i, vec_j FROM scored WHERE cos >= 0.4),
+        |und(a, b) AS (SELECT vec_i, vec_j FROM pairs
+        |              UNION SELECT vec_j, vec_i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+        |         FROM reach GROUP BY a)
+        |SELECT vec_id, component AS kept_id FROM comp
+        |WHERE vec_id <> component ORDER BY vec_id""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

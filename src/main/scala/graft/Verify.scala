@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional substring filter for focused local iteration; the driver
+    // sets no filter and always dumps the full set
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    SparkEntry.queries
+      .filter { case (n, _) =>
+        filter.forall(f => f.split(',').exists(n.contains)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -544,4 +544,39 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_i", "doc_j")
   }
+
+  /** q95 — benchmark decontamination: for every corpus document, count
+    * the n-token shingles it shares with any document of a benchmark
+    * set (the GPT-3 appendix-C / Gopher eval-decontamination shape:
+    * k-gram overlap against held-out eval data; here the benchmark is
+    * the deterministic doc_id % benchMod == 0 slice so the oracle can
+    * reproduce it). GPT-3 used 13-grams on web text; n defaults to 4
+    * here because the synthetic corpus's vocabulary is tiny — on real
+    * text, pass the published 8–13.
+    *
+    * Scale posture: the benchmark side is tiny relative to the corpus
+    * (eval sets are MBs against a 100 TB corpus), so its shingle index
+    * is broadcast — the corpus side streams map-side with NO shuffle of
+    * corpus data at all. Shingles join on their 64-bit xxhash
+    * fingerprint (8-byte key, same Broder-fingerprint tradeoff as
+    * [[sizedShingleIndex]]); distinctness is computed on true strings
+    * first, so counts are exact up to 2⁻⁶⁵-probability collisions. */
+  def decontaminationPairs(
+      documents: DataFrame,
+      n: Int = 4,
+      benchMod: Int = 97): DataFrame = {
+    val idx = documents
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    val bench = idx.filter(col("doc_id") % benchMod === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    val corpus = idx.filter(col("doc_id") % benchMod =!= 0)
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy("doc_id", "bench_id")
+  }
 }

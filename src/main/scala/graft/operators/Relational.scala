@@ -1122,4 +1122,98 @@ object Relational {
         round(col("value"), 4).as("value"), round(z, 4).as("z"))
       .orderBy("event_id")
   }
+
+  /** q96 — SCD Type-2 interval build: collapse each user's event-type
+    * stream into validity intervals (valid_from/valid_to/is_current,
+    * versioned) — the warehouse slowly-changing-dimension shape, built
+    * with change-point detection (lag) + a running sum for the run id,
+    * then one aggregate per run. Windows partition by user_id: state is
+    * bounded by one user's history, never the table. */
+  def q96(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = runs.groupBy("user_id", "version", "event_type")
+      .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    iv.withColumn("valid_to", lead("valid_from", 1).over(wv))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .orderBy("user_id", "version")
+  }
+
+  /** q98 — exponential smoothing (EWMA) over each user's event stream:
+    * ewma_i = Σ_{j=0..7} cents_{i-j} · 2⁻ʲ, a lag-chain window pass.
+    * α = 1/2 over integer cents makes every term and every partial sum
+    * exactly representable in IEEE double (the mantissa never exceeds
+    * ~24 bits), so results are bit-identical across engines, partition
+    * layouts, and retries — no rounding tolerance needed. One window,
+    * no arrays, state bounded by 8 lags per user. */
+  def q98(t: Tables): DataFrame = ewma(t.events)
+
+  def ewma(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withCents = events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      round(coalesce(col("value"), lit(0.0)) * 100).cast("long")
+        .as("cents"))
+    val terms = (0 until 8).map { j =>
+      coalesce(lag(col("cents"), j).over(w).cast("double"), lit(0.0)) *
+        lit(math.pow(0.5, j))
+    }
+    withCents
+      .withColumn("ewma_cents", terms.reduce(_ + _))
+      .select(col("event_id"), col("user_id"),
+        (col("ewma_cents") / 100).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** q99 — robust dispersion profile: per-event-type median and median
+    * absolute deviation (MAD), i.e. median(|x − median(x)|) — the
+    * outlier-resistant counterpart to q62's mean/stddev z-scores. Two
+    * passes of the scale-safe exact-quantile machinery (histogram +
+    * two-level prefix sums — never buffers a group), with the |types|-
+    * row median frame broadcast onto the second scan. */
+  def q99(t: Tables): DataFrame = {
+    val med = quantileCont(t.events, "event_type", "value",
+      Seq("med" -> 0.5))
+    val dev = t.events.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = quantileCont(dev, "event_type", "adev", Seq("mad" -> 0.5))
+    med.join(mad, Seq("event_type"))
+      .select(col("event_type"), round(col("med"), 4).as("median"),
+        round(col("mad"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
+  /** q97 — last-touch revenue attribution: each purchase is credited
+    * to the user's most recent non-purchase event type (or 'direct'
+    * when none precedes it), then revenue rolls up per channel.
+    * `last(..., ignoreNulls)` over a PRECEDING-only frame is the
+    * one-pass sessionless attribution shape; exact integer cents keep
+    * the revenue sums engine-portable. */
+  def q97(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        round(coalesce(col("value"), lit(0.0)) * 100).cast("long")
+          .as("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("purchases"),
+        (sum("cents").cast("double") / 100).as("revenue"))
+      .orderBy("channel")
+  }
 }

@@ -457,4 +457,23 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .orderBy("vec_i", "vec_j")
   }
+
+  /** q100 — SemDeDup (Abbas et al. 2023) semantic deduplication:
+    * embedding-space near-dup pairs from the engine-portable LSH
+    * operator (q35 semantics), closed transitively with the diameter-
+    * independent star components, each cluster keeping its min vec_id.
+    * Output is the DROP LIST — (vec_id, kept_id) for every vector a
+    * semantic-dedup pass removes. Every stage is a bucketed equi-join
+    * (LSH band → candidate pairs → per-node min aggregates); the
+    * corpus is never compared all-pairs, which is what lets the
+    * "cluster then prune within cluster" shape run at 100 TB. */
+  def semanticDedup(
+      embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val pairs = embeddingNearDupsPortable(embeddings, minCos = minCos)
+      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
+    Dedup.connectedComponentsStar(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"), col("component").as("kept_id"))
+      .orderBy("vec_id")
+  }
 }

@@ -478,4 +478,64 @@ object TextAnalysis {
         .as("sw_ratio"))
       .orderBy("doc_id")
   }
+
+  /** q94 — Gopher-style repetition quality filters (Rae et al. 2021
+    * §A1.1 re-expressed over whitespace tokens): per document, the
+    * most-common-token ratio, top-bigram fraction, and duplicate-
+    * trigram mass, plus the keep/drop gate those thresholds imply.
+    *
+    * Shape: ONE explode of kind-tagged n-grams (uni/bi/tri built with
+    * array HOFs in the same pass) into one (doc, kind, gram) hash
+    * aggregate, then a |docs|·3-row rollup. Linear in corpus token
+    * count and fully distributed — deliberately NOT the per-row
+    * nested-loop `filter(grams, g -> g = x)` form, which is O(len²)
+    * per document and would melt on long documents at scale. */
+  def repetitionStats(
+      documents: DataFrame,
+      maxTokenFrac: Double = 0.20,
+      maxBigramFrac: Double = 0.18,
+      maxDupTrigramFrac: Double = 0.30): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 3)
+    val grams = base.selectExpr(
+      "doc_id", "n",
+      """explode(concat(
+        |  transform(t, x -> struct('uni' AS k, x AS g)),
+        |  transform(sequence(0, n-2),
+        |    i -> struct('bi' AS k, concat_ws(' ', t[i], t[i+1]) AS g)),
+        |  transform(sequence(0, n-3),
+        |    i -> struct('tri' AS k,
+        |                concat_ws(' ', t[i], t[i+1], t[i+2]) AS g))
+        |)) AS gr""".stripMargin)
+      .select(col("doc_id"), col("n"), col("gr.k").as("k"),
+        col("gr.g").as("g"))
+    val counts = grams.groupBy("doc_id", "n", "k", "g")
+      .agg(count(lit(1)).as("cnt"))
+    val perKind = counts.groupBy("doc_id", "n", "k")
+      .agg(max("cnt").as("mx"), count(lit(1)).as("dist"),
+        sum("cnt").as("tot"))
+    perKind.groupBy("doc_id", "n")
+      .agg(
+        max(when(col("k") === "uni", col("mx"))).as("top_tok"),
+        max(when(col("k") === "bi", col("mx"))).as("top_bi"),
+        max(when(col("k") === "tri", col("dist"))).as("tri_dist"),
+        max(when(col("k") === "tri", col("tot"))).as("tri_tot"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (col("top_tok").cast("double") / col("n").cast("double"))
+          .as("top_token_frac"),
+        (col("top_bi").cast("double") / (col("n") - 1).cast("double"))
+          .as("top_bigram_frac"),
+        ((col("tri_tot") - col("tri_dist")).cast("double") /
+          col("tri_tot").cast("double")).as("dup_trigram_frac"))
+      .withColumn("keep",
+        (col("top_token_frac") <= maxTokenFrac &&
+          col("top_bigram_frac") <= maxBigramFrac &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -144,4 +144,29 @@ class DedupSpec extends SparkSpec {
     val nd = Dedup.simhashNearDups(docs, 0).collect()
     assert(nd.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("decontaminationPairs: shared k-grams with the benchmark slice") {
+    import spark.implicits._
+    // doc 0 is in the benchmark slice (0 % 97 == 0); doc 1 embeds one
+    // of its 3-token runs inside a 4-gram, doc 2 shares nothing
+    val docs = Seq(
+      (0L, "w x y z q"),           // benchmark
+      (1L, "a w x y z b"),         // shares "w x y z" (2 distinct 4-grams? no: 1)
+      (2L, "m n o p q r"),
+      (97L, "a w x y z b"))        // 97 % 97 == 0: also benchmark
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminationPairs(docs, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares "w x y z" with doc 0 and ALL its 3 distinct 4-grams
+    // with benchmark doc 97 (identical text); doc 2 matches nothing;
+    // benchmark docs never appear on the corpus side
+    assert(got.toSet == Set((1L, 0L, 1L), (1L, 97L, 3L)))
+  }
+
+  test("decontaminationPairs is empty when the corpus is clean") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e"), (1L, "v w x y z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.decontaminationPairs(docs, n = 4).count() == 0)
+  }
 }

@@ -270,4 +270,68 @@ class RelationalSpec extends SparkSpec {
     assert(r.filter(col("sessions") < 1 || col("sessions") > col("events"))
       .count() == 0)
   }
+
+  test("q96 SCD2 intervals: versions count runs, exactly one current") {
+    val r = Relational.q96(tables)
+    // versions are 1..k dense per user
+    val perUser = r.groupBy("user_id")
+      .agg(max("version").as("mx"), count(lit(1)).as("n"),
+        sum("is_current").as("cur"))
+    assert(perUser.filter(col("mx") =!= col("n")).count() == 0)
+    assert(perUser.filter(col("cur") =!= 1).count() == 0)
+    // intervals tile: valid_to of version v equals valid_from of v+1,
+    // n_events sums to the user's event count
+    val nEvents = tables.events.groupBy("user_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val sums = r.groupBy("user_id").agg(sum("n_events").as("s")).collect()
+    sums.foreach(x => assert(x.getLong(1) == nEvents(x.getLong(0))))
+  }
+
+  test("q97 attribution conserves purchase count and revenue") {
+    val r = Relational.q97(tables).collect()
+    val purchases = tables.events
+      .filter(col("event_type") === "purchase")
+    assert(r.map(_.getLong(1)).sum == purchases.count())
+    val totalRev = purchases
+      .select(sum(round(coalesce(col("value"), lit(0.0)) * 100)
+        .cast("long"))).collect()(0).getLong(0)
+    assert(math.abs(r.map(_.getDouble(2)).sum - totalRev / 100.0) < 1e-6)
+    // purchase events never credit themselves as a channel
+    assert(!r.map(_.getString(0)).contains("purchase"))
+  }
+
+  test("q98 EWMA is exact on a crafted lag chain") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) =
+      new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, t(0), 7L, "view", 1.00),
+      (2L, t(1), 7L, "view", 2.00),
+      (3L, t(2), 7L, "view", 4.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Relational.ewma(ev)
+    // third event: 400*1 + 200*0.5 + 100*0.25 = 525 cents
+    val r = got.collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) == 1.00 && r(2L) == 2.50 && r(3L) == 5.25)
+  }
+
+  test("q99 MAD matches a local brute force per event type") {
+    val r = Relational.q99(tables).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val vals = tables.events.select("event_type", "value").collect()
+      .filter(!_.isNullAt(1))
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    vals.foreach { case (k, xs) =>
+      val med = medianOf(xs.toArray)
+      val mad = medianOf(xs.map(x => math.abs(x - med)).toArray)
+      val (gm, gd) = r(k)
+      assert(math.abs(gm - med) < 1e-4 && math.abs(gd - mad) < 1e-4, k)
+    }
+  }
 }

@@ -78,4 +78,26 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.embeddingNearDups(tables.embeddings, 64, 0.9)
     assert(r.filter(col("cos") < 0.9).count() == 0)
   }
+
+  test("semanticDedup equals the transitive closure of the pair list") {
+    val pairs = Similarity.embeddingNearDupsPortable(tables.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find over the collected pair list (small at
+    // this SF) — the drop list must keep exactly one min id per group
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = members.map(m => m -> find(m))
+      .filter { case (m, r) => m != r }.toMap
+    val got = Similarity.semanticDedup(tables.embeddings)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }

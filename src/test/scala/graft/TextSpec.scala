@@ -131,4 +131,40 @@ class TextSpec extends SparkSpec {
       .select(TextAnalysis.rollingFingerprint(col("t"))).as[Long].collect()
     assert(got(0) != got(1) && got(0) == got(2))
   }
+
+  test("repetitionStats: hand-checked fracs and keep gate") {
+    // doc 1: "a a a a" — top token 4/4, bigram "a a" 3/3, trigrams
+    //        "a a a" twice of 2 -> dup frac 1/2: dropped on all gates
+    // doc 2: 7 distinct tokens — 1/7, 1/6, 0: under every threshold
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+    assert(got(0).getDouble(2) == 1.0)          // top_token_frac
+    assert(got(0).getDouble(3) == 1.0)          // top_bigram_frac
+    assert(got(0).getDouble(4) == 0.5)          // dup_trigram_frac
+    assert(got(0).getLong(5) == 0L)             // dropped
+    assert(got(1).getDouble(2) == 1.0 / 7 && got(1).getDouble(4) == 0.0)
+    assert(got(1).getLong(5) == 1L)             // kept
+  }
+
+  test("repetitionStats matches a brute-force local computation") {
+    val got = TextAnalysis.repetitionStats(tables.documents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val docs = tables.documents.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    docs.filter(_._2.split(" ").length >= 3).take(50).foreach {
+      case (id, text) =>
+        val t = text.split(" ")
+        def grams(n: Int) = t.sliding(n).map(_.mkString(" ")).toSeq
+        val top = t.groupBy(identity).values.map(_.length).max
+        val bi = grams(2)
+        val tri = grams(3)
+        val exp = (
+          top.toDouble / t.length,
+          bi.groupBy(identity).values.map(_.length).max.toDouble / bi.length,
+          (tri.length - tri.distinct.length).toDouble / tri.length)
+        assert(got(id) == exp, s"doc $id")
+    }
+  }
 }
