@@ -26,7 +26,8 @@ object Bench {
     // optional substring filter for focused iteration runs
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val benched = SparkEntry.queries.filter(_._1.startsWith("q"))
-      .filter { case (n, _) => filter.forall(n.contains) }
+      .filter { case (n, _) =>
+        filter.forall(f => f.split(',').exists(n.contains)) }
       .toSeq.sortBy(_._1)
     // full unmeasured warmup pass: every query touches its own codegen
     // paths, JIT tiers, and parquet footer caches — warming only one

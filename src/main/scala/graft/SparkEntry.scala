@@ -126,6 +126,10 @@ object SparkEntry {
     "q98_ewma" -> q(Relational.q98),
     "q99_mad" -> q(Relational.q99),
     "q100_semdedup" -> q(t => Similarity.semanticDedup(t.embeddings)),
+    "q101_event_paths" -> q(Relational.q101),
+    "q102_winsorized" -> q(Relational.q102),
+    "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),
+    "q104_hist_sketch_rollup" -> q(Sketches.q104),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1183,6 +1187,73 @@ object SparkEntry {
         |         FROM reach GROUP BY a)
         |SELECT vec_id, component AS kept_id FROM comp
         |WHERE vec_id <> component ORDER BY vec_id""".stripMargin,
+    "q101_event_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type, 1) OVER w AS p1,
+        |         lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q102_winsorized" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.event_type,
+        |         CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+        |         CAST(ROUND(q.p05 * 100) AS BIGINT) AS lo,
+        |         CAST(ROUND(q.p95 * 100) AS BIGINT) AS hi
+        |  FROM events e JOIN q USING (event_type)
+        |  WHERE e.value IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS DOUBLE)
+        |    / CAST(COUNT(*) * 100 AS DOUBLE) AS winsorized_mean,
+        |  CAST(SUM(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS DOUBLE)
+        |    / CAST(COUNT(CASE WHEN cents BETWEEN lo AND hi THEN cents END) * 100
+        |           AS DOUBLE) AS trimmed_mean,
+        |  CAST(COUNT(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS BIGINT)
+        |    AS n_kept
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q103_boilerplate" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |         array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS first_doc
+        |FROM p GROUP BY source, prefix HAVING COUNT(*) >= 2
+        |ORDER BY source, prefix""".stripMargin,
+    "q104_hist_sketch_rollup" ->
+      """WITH nn AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |            FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |      FROM nn GROUP BY event_type),
+        |sk AS (
+        |  SELECT n.event_type, n.day,
+        |         LEAST(31, CAST(FLOOR((n.value - f.lo) / ((f.hi - f.lo) / 32))
+        |                        AS INT)) AS bin,
+        |         f.lo, f.hi, COUNT(*) AS cnt
+        |  FROM nn n JOIN f USING (event_type)
+        |  GROUP BY n.event_type, n.day, bin, f.lo, f.hi),
+        |m AS (SELECT event_type, bin, lo, hi, SUM(cnt) AS cnt
+        |      FROM sk GROUP BY event_type, bin, lo, hi),
+        |c AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM m)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(n * 0.5)
+        |                 THEN lo + (hi - lo) / 32 * bin END), 4) AS p50_bin_edge,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(n * 0.9)
+        |                 THEN lo + (hi - lo) / 32 * bin END), 4) AS p90_bin_edge,
+        |  CAST(COUNT(*) AS BIGINT) AS bins_used
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -565,15 +565,19 @@ object Dedup {
       documents: DataFrame,
       n: Int = 4,
       benchMod: Int = 97): DataFrame = {
-    val idx = documents
+    // partition the corpus BEFORE building shingles: the benchmark
+    // subplan then scans only its 1/benchMod slice (the modulo filter
+    // sits directly on the parquet scan), not a filtered copy of the
+    // full exploded index
+    def idx(side: DataFrame) = side
       .select(col("doc_id"),
         array_distinct(shingles(col("text"), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-    val bench = idx.filter(col("doc_id") % benchMod === 0)
+    val bench = idx(documents.filter(col("doc_id") % benchMod === 0))
       .withColumnRenamed("doc_id", "bench_id")
-    val corpus = idx.filter(col("doc_id") % benchMod =!= 0)
+    val corpus = idx(documents.filter(col("doc_id") % benchMod =!= 0))
     corpus.join(broadcast(bench), "g")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_ngrams"))

@@ -1194,6 +1194,56 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q101 — behavioral path analysis: the top-20 three-step event-type
+    * paths across all user streams (the "what do users do before X"
+    * query). Two lags over the per-user window build the trigram, one
+    * hash aggregate counts it, and the global top-k plans as
+    * TakeOrderedAndProject — |distinct paths| ≤ |types|³ keys, so the
+    * aggregate state is constant-bounded regardless of event volume. */
+  def q101(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q102 — winsorized and trimmed means per event type: p05/p95
+    * fences from the scale-safe quantile machinery (broadcast back
+    * onto the scan), values clamped/trimmed in INTEGER CENTS so the
+    * sums — and therefore the means — are exact and engine-portable
+    * with no floating-point tolerance. The robust-mean counterpart to
+    * q99's MAD. */
+  def q102(t: Tables): DataFrame = {
+    val fences = quantileCont(
+      t.events.filter(col("value").isNotNull), "event_type", "value",
+      Seq("p05" -> 0.05, "p95" -> 0.95))
+    val cents = round(col("value") * 100).cast("long")
+    val lo = round(col("p05") * 100).cast("long")
+    val hi = round(col("p95") * 100).cast("long")
+    t.events.filter(col("value").isNotNull)
+      .join(broadcast(fences), "event_type")
+      .select(col("event_type"),
+        greatest(lo, least(hi, cents)).as("wc"),
+        when(cents.between(lo, hi), cents).as("tc"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum("wc").cast("double") / (count(lit(1)) * 100).cast("double"))
+          .as("winsorized_mean"),
+        (sum("tc").cast("double") / (count("tc") * 100).cast("double"))
+          .as("trimmed_mean"),
+        count("tc").as("n_kept"))
+      .orderBy("event_type")
+  }
+
   /** q97 — last-touch revenue attribution: each purchase is credited
     * to the user's most recent non-purchase event type (or 'direct'
     * when none precedes it), then revenue rolls up per channel.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch operators (Apache DataSketches HLL, built into
@@ -39,4 +40,58 @@ object Sketches {
       .select(col("event_type"), col("n_days"), col("sum_daily"),
         col("merged_users"))
       .orderBy("event_type")
+
+  /** The histogram "sketch table": per (event_type, day, bin) counts
+    * over fixed equi-width bins fenced by the per-type min/max — the
+    * DETERMINISTIC mergeable-quantile structure: merging two sketches
+    * is vector addition of counts, and a quantile read off merged bins
+    * is wrong by at most one bin width. Unlike HLL/KLL it carries no
+    * randomness, so a cross-engine oracle can reproduce it bit-for-bit.
+    * Fences are a tiny per-type frame (broadcast); the sketch build is
+    * one map-side pass + one hash aggregate over ≤ |types|·days·bins
+    * keys. */
+  def dailyValueHistograms(
+      events: DataFrame, bins: Int = 32): DataFrame = {
+    val nn = events.filter(col("value").isNotNull)
+    val fences = nn.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val w = (col("hi") - col("lo")) / bins
+    nn.join(broadcast(fences), "event_type")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        least(lit(bins - 1),
+          floor((col("value") - col("lo")) / w).cast("int")).as("bin"),
+        col("lo"), col("hi"))
+      .groupBy("event_type", "day", "bin", "lo", "hi")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q104 — quantile rollup OFF THE SKETCH TABLE: merge the per-day
+    * histograms (plain sum — no rescan of events) and read approximate
+    * p50/p90 as the lower edge of the covering bin. Companion to q78's
+    * HLL rollup: together they give distinct-count AND quantile
+    * answers from pre-aggregated kilobyte state, the shape that turns
+    * a 100 TB fact table into an interactively queryable summary.
+    * Error is bounded by one bin width (asserted in SketchSpec); the
+    * arithmetic is deterministic, so unlike q78 this one carries a
+    * full hash-match oracle. */
+  def q104(t: Tables): DataFrame = {
+    val merged = dailyValueHistograms(t.events)
+      .groupBy("event_type", "bin", "lo", "hi")
+      .agg(sum("cnt").as("cnt"))
+    val wv = Window.partitionBy("event_type").orderBy("bin")
+    val cum = merged
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy("event_type")))
+      .withColumn("cum", sum("cnt").over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def edge(p: Double) = min(when(
+      col("cum") >= ceil(col("n") * p),
+      col("lo") + (col("hi") - col("lo")) / 32 * col("bin")))
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"),
+        round(edge(0.5), 4).as("p50_bin_edge"),
+        round(edge(0.9), 4).as("p90_bin_edge"),
+        count(lit(1)).as("bins_used"))
+      .orderBy("event_type")
+  }
 }

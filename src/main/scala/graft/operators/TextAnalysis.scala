@@ -479,6 +479,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q103 — boilerplate/template detection: documents within a source
+    * that share the same leading k tokens (headers, footers, injected
+    * site chrome — the C4/CCNet cleaning signal). One projection to the
+    * prefix, one (source, prefix) hash aggregate; output bounded by
+    * the number of repeated templates, never the corpus. At 100 TB the
+    * prefix would be fingerprinted (xxhash64) before the shuffle; kept
+    * as the string here so the report is directly readable. */
+  def boilerplate(
+      documents: DataFrame, k: Int = 3, minDocs: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .filter(size(toks) >= k)
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", slice(toks, 1, k)).as("prefix"))
+      .groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("source", "prefix")
+  }
+
   /** q94 — Gopher-style repetition quality filters (Rae et al. 2021
     * §A1.1 re-expressed over whitespace tokens): per document, the
     * most-common-token ratio, top-bigram fraction, and duplicate-

@@ -316,6 +316,55 @@ class RelationalSpec extends SparkSpec {
     assert(r(1L) == 1.00 && r(2L) == 2.50 && r(3L) == 5.25)
   }
 
+  test("q101 paths: counts conserve to events minus 2 per active user") {
+    val full = {
+      // same construction without the top-20 limit
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      tables.events
+        .withColumn("p2", lag("event_type", 2).over(w))
+        .filter(col("p2").isNotNull).count()
+    }
+    val expected = tables.events.groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 2, lit(0L)))).collect()(0)
+      .getLong(0)
+    assert(full == expected)
+    val top = Relational.q101(tables).collect()
+    assert(top.length <= 20)
+    assert(top.map(_.getLong(1)).sameElements(
+      top.map(_.getLong(1)).sortBy(-_)))
+    top.foreach(r => assert(r.getString(0).split(">").length == 3))
+  }
+
+  test("q102 winsorized/trimmed means match a local brute force") {
+    def qcont(s: Array[Double], p: Double): Double = {
+      val rank = (s.length - 1) * p
+      val lo = rank.toInt
+      val hi = math.ceil(rank).toInt
+      s(lo) + (s(hi) - s(lo)) * (rank - lo)
+    }
+    val got = Relational.q102(tables).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    tables.events.select("event_type", "value").collect()
+      .filter(!_.isNullAt(1))
+      .groupBy(_.getString(0)).foreach { case (k, rows) =>
+        val vals = rows.map(_.getDouble(1)).sorted
+        val lo = math.round(qcont(vals, 0.05) * 100)
+        val hi = math.round(qcont(vals, 0.95) * 100)
+        val cents = vals.map(v => math.round(v * 100))
+        val win = cents.map(c => math.max(lo, math.min(hi, c)))
+        val kept = cents.filter(c => c >= lo && c <= hi)
+        val (n, wMean, tMean, nKept) = got(k)
+        assert(n == cents.length && nKept == kept.length, k)
+        assert(math.abs(wMean - win.sum.toDouble / (win.length * 100))
+          < 1e-9, k)
+        assert(math.abs(tMean - kept.sum.toDouble / (kept.length * 100))
+          < 1e-9, k)
+      }
+  }
+
   test("q99 MAD matches a local brute force per event type") {
     val r = Relational.q99(tables).collect()
       .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap

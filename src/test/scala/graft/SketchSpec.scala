@@ -56,4 +56,38 @@ class SketchSpec extends SparkSpec {
       .filter(col("est") =!= col("merged_users")).count()
     assert(mismatch == 0)
   }
+
+  test("q104 histogram-sketch quantiles are within one bin width") {
+    val approx = Sketches.q104(tables).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = tables.events.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        ((max("value") - min("value")) / 32).as("w"))
+      .collect()
+    exact.foreach { r =>
+      val (a50, a90) = approx(r.getString(0))
+      val w = r.getDouble(3)
+      assert(math.abs(a50 - r.getDouble(1)) <= w + 1e-9,
+        s"${r.getString(0)} p50")
+      assert(math.abs(a90 - r.getDouble(2)) <= w + 1e-9,
+        s"${r.getString(0)} p90")
+    }
+  }
+
+  test("histogram sketches merge associatively (day rollup == direct)") {
+    // merging the per-day sketch table must equal histogramming the
+    // raw values directly — the mergeability property that lets
+    // incremental days append without rescanning history
+    val viaDays = Sketches.dailyValueHistograms(events)
+      .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+    val direct = Sketches
+      .dailyValueHistograms(events.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+    assert(viaDays.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaDays).count() == 0)
+  }
 }

@@ -132,6 +132,19 @@ class TextSpec extends SparkSpec {
     assert(got(0) != got(1) && got(0) == got(2))
   }
 
+  test("boilerplate: repeated leading k-grams surface per source") {
+    val docs = Seq(
+      (1L, "copyright acme corp page one", "web"),
+      (2L, "copyright acme corp page two", "web"),
+      (3L, "copyright acme corp other", "mail"),   // other source
+      (4L, "unique document body here", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.boilerplate(docs)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("web", "copyright acme corp", 2L, 1L)))
+  }
+
   test("repetitionStats: hand-checked fracs and keep gate") {
     // doc 1: "a a a a" — top token 4/4, bigram "a a" 3/3, trigrams
     //        "a a a" twice of 2 -> dup frac 1/2: dropped on all gates
