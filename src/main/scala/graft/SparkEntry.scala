@@ -130,6 +130,9 @@ object SparkEntry {
     "q102_winsorized" -> q(Relational.q102),
     "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),
     "q104_hist_sketch_rollup" -> q(Sketches.q104),
+    "q105_length_batching" ->
+      q(t => TextAnalysis.lengthBatching(t.documents)),
+    "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1254,6 +1257,35 @@ object SparkEntry {
         |                 THEN lo + (hi - lo) / 32 * bin END), 4) AS p90_bin_edge,
         |  CAST(COUNT(*) AS BIGINT) AS bins_used
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q105_length_batching" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |             CAST(FLOOR(n_tokens / 32.0) AS BIGINT) AS bucket FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY bucket ORDER BY doc_id) - 1 AS rk FROM b)
+        |SELECT bucket, CAST(FLOOR(rk / 16.0) AS BIGINT) AS batch_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+        |         AS padded_waste
+        |FROM r GROUP BY bucket, batch_id
+        |ORDER BY bucket, batch_id""".stripMargin,
+    "q106_data_mixture" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rkey
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER
+        |        (PARTITION BY source ORDER BY rkey, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS selected_tokens
+        |FROM c WHERE cum - n_tokens < 3000
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -499,6 +499,75 @@ object TextAnalysis {
       .orderBy("source", "prefix")
   }
 
+  /** q105 — length-bucketed batch packing: assign documents to fixed-
+    * size training batches within token-length buckets (the sequence-
+    * packing prep that minimizes padding waste), and report per batch
+    * the padding a naive unbucketed batcher would have paid.
+    *
+    * The within-bucket sequence number is computed with a TWO-LEVEL
+    * rank — doc_id sub-ranges counted per (bucket, sub), cumulative
+    * offsets broadcast, row_number only within (bucket, sub) — so no
+    * window task ever sorts a whole bucket: at 100 TB a popular length
+    * bucket holds billions of documents and a plain
+    * `row_number() OVER (PARTITION BY bucket)` would be a single-task
+    * sort. Same pattern as the exact-quantile cumulative histogram. */
+  def lengthBatching(
+      documents: DataFrame, bucketTokens: Int = 32,
+      batchSize: Int = 16, subRange: Long = 1000): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("bucket",
+        floor(col("n_tokens") / lit(bucketTokens.toDouble)).cast("long"))
+      .withColumn("sub", floor(col("doc_id") / lit(subRange.toDouble))
+        .cast("long"))
+    val subCounts = base.groupBy("bucket", "sub")
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("bucket").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subCounts
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select("bucket", "sub", "off")
+    val wSub = Window.partitionBy("bucket", "sub").orderBy("doc_id")
+    base.join(broadcast(offsets), Seq("bucket", "sub"))
+      .withColumn("rk",
+        row_number().over(wSub).cast("long") + col("off") - 1)
+      .withColumn("batch_id",
+        floor(col("rk") / lit(batchSize.toDouble)).cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").cast("long").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padded_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  /** q106 — training-data mixture construction (the Pile/Dolma shape):
+    * each source contributes documents up to a token budget, selected
+    * in md5(doc_id) order — a deterministic, engine- and partitioning-
+    * independent shuffle of the corpus, so re-runs and backfills pick
+    * the identical subset. A document is included iff the budget is
+    * not yet exhausted when it starts (cumulative tokens of its
+    * predecessors < budget), which admits exactly one boundary-
+    * crossing document per source. Per-source running totals partition
+    * by source; the same two-level offset pattern as [[lengthBatching]]
+    * applies when single sources outgrow a task. */
+  def dataMixture(
+      documents: DataFrame, budgetTokens: Long = 3000): DataFrame = {
+    val base = documents.select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("rkey"))
+    val w = Window.partitionBy("source").orderBy("rkey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("selected_tokens"))
+      .orderBy("source")
+  }
+
   /** q94 — Gopher-style repetition quality filters (Rae et al. 2021
     * §A1.1 re-expressed over whitespace tokens): per document, the
     * most-common-token ratio, top-bigram fraction, and duplicate-

@@ -145,6 +145,49 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq == Seq(("web", "copyright acme corp", 2L, 1L)))
   }
 
+  test("lengthBatching: two-level rank == plain window, waste bounded") {
+    val got = TextAnalysis.lengthBatching(tables.documents)
+    // bucketing bounds per-doc padding by the bucket width
+    assert(got.filter(
+      col("padded_waste") > col("n_docs") * 32).count() == 0)
+    assert(got.filter(col("n_docs") > 16).count() == 0)
+    // the broadcast two-level rank must reproduce the plain
+    // single-window batching exactly (same doc->batch assignment)
+    import org.apache.spark.sql.expressions.Window
+    val toks = tables.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / 32.0).cast("long"))
+    val plain = toks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bucket").orderBy("doc_id")).cast("long") - 1)
+      .withColumn("batch_id", floor(col("rk") / 16.0).cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").cast("long").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padded_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+    assert(got.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(got).count() == 0)
+  }
+
+  test("dataMixture: budget rule and partitioning-independence") {
+    val got = TextAnalysis.dataMixture(tables.documents).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every selected doc started under budget: selected_tokens can
+    // overshoot 3000 by at most one document's length
+    val maxDoc = tables.documents
+      .select(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    got.values.foreach { case (_, tok) =>
+      assert(tok < 3000 + maxDoc)
+    }
+    // deterministic under repartitioning
+    val again = TextAnalysis
+      .dataMixture(tables.documents.repartition(13)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("repetitionStats: hand-checked fracs and keep gate") {
     // doc 1: "a a a a" — top token 4/4, bigram "a a" 3/3, trigrams
     //        "a a a" twice of 2 -> dup frac 1/2: dropped on all gates
