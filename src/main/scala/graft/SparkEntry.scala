@@ -133,6 +133,8 @@ object SparkEntry {
     "q105_length_batching" ->
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
+    "q107_click_to_purchase" -> q(Relational.q107),
+    "q108_shipping_priority" -> q(Relational.q108),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1286,6 +1288,25 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS selected_tokens
         |FROM c WHERE cum - n_tokens < 3000
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q107_click_to_purchase" ->
+      """SELECT p.user_id, p.event_id AS p_event, c.event_id AS c_event
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q108_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+        |                            * 10000) AS BIGINT)) AS DOUBLE)
+        |        / 10000, 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

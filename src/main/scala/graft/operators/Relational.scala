@@ -1194,6 +1194,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q107 — batch twin of the STREAM-STREAM interval join
+    * ([[graft.streaming.EventsStreaming.clicksBeforePurchase]]): every
+    * (purchase, click) pair for the same user with the click at most
+    * one hour before. Same body as the streaming form (watermarks are
+    * no-ops on batch), so the oracle hash-match transitively locks the
+    * streaming operator's join semantics too. Plans as an equi-join on
+    * user_id with the time predicates as post-join filters — the
+    * bounded-state shape, never a cross product. */
+  def q107(t: Tables): DataFrame =
+    graft.streaming.EventsStreaming.clicksBeforePurchase(t.events)
+      .orderBy("user_id", "p_event", "c_event")
+
+  /** q108 — the TPC-H Q3 "shipping priority" composite: segment-
+    * filtered customers ⋈ orders before D ⋈ lineitems shipped after D,
+    * revenue-ranked top 10. Dimension side broadcast, lineitem never
+    * pre-shuffled, top-k as TakeOrderedAndProject. Revenue is summed
+    * in exact 10⁻⁴ units (price·(1−discount) carries 4 decimals), so
+    * the aggregate is order-independent and engine-portable. */
+  def q108(t: Tables): DataFrame = {
+    val cutoff = "1997-06-01"
+    val cust = t.customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    t.lineitem
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long")).as("rev_e4"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        round(col("rev_e4").cast("double") / 10000, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** q101 — behavioral path analysis: the top-20 three-step event-type
     * paths across all user streams (the "what do users do before X"
     * query). Two lags over the per-user window build the trigram, one

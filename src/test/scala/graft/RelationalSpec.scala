@@ -316,6 +316,15 @@ class RelationalSpec extends SparkSpec {
     assert(r(1L) == 1.00 && r(2L) == 2.50 && r(3L) == 5.25)
   }
 
+  test("q108 plans broadcast joins and keeps revenue descending") {
+    val df = Relational.q108(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+    val rev = df.collect().map(_.getDouble(2))
+    assert(rev.sameElements(rev.sortBy(-_)))
+  }
+
   test("q101 paths: counts conserve to events minus 2 per active user") {
     val full = {
       // same construction without the top-20 limit
