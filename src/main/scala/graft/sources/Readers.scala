@@ -144,6 +144,16 @@ object Readers {
   /** ORC source — columnar alternative to parquet (some warehouses are
     * ORC-native); predicate pushdown and column pruning apply the same
     * way. */
+  /** Schema-evolution parquet read: union the footers of every file in
+    * the directory (mergeSchema) so a table whose writers added columns
+    * over time reads as the superset schema, old files null-filling
+    * the new columns — the append-only table-evolution contract a
+    * long-lived 100 TB dataset needs (mergeSchema is off by default
+    * because footer-merging costs a pass over file metadata; turn it
+    * on per-read, not globally). */
+  def evolvedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -63,6 +63,48 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-sorted parquet write — the data-skipping layout: rows are
+    * range-partitioned AND sorted within partitions on `sortCol`, so
+    * every output file covers a disjoint, tight min/max interval of the
+    * key. Parquet stores those min/max in footers/row-group stats, and
+    * any reader filtering on `sortCol` skips whole files without
+    * opening them — the poor-man's zone map / Z-order for a single
+    * dimension, and the highest-leverage layout decision a 100 TB table
+    * owner makes (a timestamp-sorted event log turns every time-range
+    * query into a file-count problem instead of a scan problem).
+    * Disjointness is asserted per-file in IoSpec. */
+  def rangeSorted(
+      df: DataFrame, path: String, sortCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+
+  /** Small-file compaction — the operational counterpart to streaming
+    * and incremental sinks, which accrete many small files that rot
+    * scan performance (footer/open overhead dominates) and overload
+    * the file listing. Rewrites a parquet directory into
+    * `ceil(bytes / targetBytes)` files (size-aware, never fewer than
+    * one), preserving content exactly; atomically swaps via a temp dir
+    * next to the target so a crash leaves either old or new layout. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    spark.read.parquet(path)
+      .repartition(files.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.rename(hadoopPath, old)
+    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true)
+    files
+  }
+
   /** S9 — timestamped output layout
     * `<out>/<ts>_parsedData|_featureData|_models|_predictions`
     * (reference JobRunner.scala:31,59-61,70-71). */

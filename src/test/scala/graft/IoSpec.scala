@@ -237,4 +237,56 @@ class IoSpec extends SparkSpec {
     assert(parts.length == 1)
     assert(parts(0).getName.endsWith(".csv.bz2"))
   }
+
+  test("rangeSorted: files cover disjoint key intervals") {
+    val out = s"$dir/range_sorted"
+    val events = tables.events.select("event_id", "user_id", "value")
+    Writers.rangeSorted(events, out, "event_id", numFiles = 4)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(parts.length >= 2, s"expected multiple files, got ${parts.length}")
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min("event_id"), max("event_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $hi >= $lo2")
+      case _ =>
+    }
+    // content preserved
+    assert(spark.read.parquet(out).exceptAll(events).count() == 0)
+    assert(events.exceptAll(spark.read.parquet(out)).count() == 0)
+  }
+
+  test("compact: collapses a small-file directory, preserves content") {
+    val out = s"$dir/compact_me"
+    val events = tables.events.select("event_id", "user_id", "value")
+    events.repartition(64).write.parquet(out)
+    def partFiles = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(partFiles == 64)
+    Writers.compact(spark, out, targetBytes = 1024L * 1024 * 1024)
+    assert(partFiles == 1, s"expected 1 file after compaction, got $partFiles")
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(events).count() == 0 &&
+      events.exceptAll(back).count() == 0)
+    // no temp/old residue
+    assert(!new java.io.File(out + "._compact_tmp").exists())
+    assert(!new java.io.File(out + "._compact_old").exists())
+  }
+
+  test("evolvedParquet: mergeSchema unions schemas, null-fills old files") {
+    import spark.implicits._
+    val out = s"$dir/evolving"
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(out)
+    Seq((2L, 9.5)).toDF("id", "new_col")
+      .write.mode("append").parquet(out)
+    val merged = Readers.evolvedParquet(spark, out)
+    assert(merged.columns.sorted.toSeq == Seq("id", "new_col", "old_col"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getString(2) == "a" && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) == 9.5 && rows(1).isNullAt(2))
+  }
 }
