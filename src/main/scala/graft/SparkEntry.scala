@@ -135,6 +135,9 @@ object SparkEntry {
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
     "q107_click_to_purchase" -> q(Relational.q107),
     "q108_shipping_priority" -> q(Relational.q108),
+    "q109_supplier_hhi" -> q(Relational.q109),
+    "q110_string_suite" -> q(Relational.q110),
+    "q111_subqueries" -> q(Relational.q111),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1307,6 +1310,45 @@ object SparkEntry {
         |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l.l_orderkey, o.o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q109_supplier_hhi" ->
+      """WITH ps AS (
+        |  SELECT p.p_type, l.l_suppkey,
+        |         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_type, l.l_suppkey),
+        |t AS (SELECT p_type, CAST(SUM(q) AS BIGINT) AS tot,
+        |             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |      FROM ps GROUP BY p_type)
+        |SELECT ps.p_type, t.n_suppliers,
+        |       ROUND(SUM(POWER(CAST(ps.q AS DOUBLE) / CAST(t.tot AS DOUBLE),
+        |                       2)), 6) AS hhi
+        |FROM ps JOIN t USING (p_type)
+        |GROUP BY ps.p_type, t.n_suppliers
+        |ORDER BY p_type""".stripMargin,
+    "q110_string_suite" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        |  lpad(p_brand, 12, '#') AS brand_pad,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_replace(p_name, '[^a-z]', '', 'g') AS letters_only,
+        |  reverse(lower(p_type)) AS type_rev,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part WHERE p_partkey % 7 = 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q111_subqueries" ->
+      """SELECT c.c_custkey,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT MAX(o.o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        WHERE n_regionkey < 3)
+        |ORDER BY c_custkey""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

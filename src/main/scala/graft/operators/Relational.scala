@@ -1233,6 +1233,74 @@ object Relational {
       .limit(10)
   }
 
+  /** q109 — supply-chain concentration: per part type, the Herfindahl–
+    * Hirschman index of supplier shipment shares (Σ share²) — the
+    * standard market-concentration analytic. Shares are built from
+    * exact integer quantity sums per (type, supplier) so only the
+    * final |suppliers|-per-type squared-share reduction is floating
+    * point (rounded to 6); the fact table aggregates once, the |types|-
+    * row totals frame broadcasts back. */
+  def q109(t: Tables): DataFrame = {
+    val qty = round(col("l_quantity")).cast("long")
+    val perSupp = t.lineitem
+      .join(broadcast(t.part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(qty).as("q"))
+    val totals = perSupp.groupBy("p_type").agg(sum("q").as("tot"),
+      count(lit(1)).as("n_suppliers"))
+    perSupp.join(broadcast(totals), "p_type")
+      .groupBy(col("p_type"), col("n_suppliers"))
+      .agg(round(sum(pow(col("q").cast("double") / col("tot").cast("double"),
+        2)), 6).as("hhi"))
+      .select(col("p_type"), col("n_suppliers"), col("hhi"))
+      .orderBy("p_type")
+  }
+
+  /** q110 — scalar string-function sweep: translate / lpad /
+    * split_part / regexp stripping / reversed casing, all in one
+    * projection over part names — pure codegen Columns, breadth
+    * coverage for the §2.8 scalar surface. */
+  def q110(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_partkey") % 7 === 0)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        substring_index(col("p_name"), " ", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[^a-z]", "").as("letters_only"),
+        reverse(lower(col("p_type"))).as("type_rev"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** q111 — correlated-subquery SQL surface: scalar subquery, EXISTS,
+    * and IN in one statement, planned by Catalyst's subquery rewrites
+    * (RewriteCorrelatedScalarSubquery → left outer join; exists/in →
+    * semi joins) — the declarative forms analysts actually write,
+    * proving the engine's SQL entry point handles them with join
+    * plans rather than per-row re-execution. */
+  def q111(t: Tables): DataFrame = {
+    val s = t.events.sparkSession
+    Seq("orders" -> t.orders, "customer" -> t.customer,
+      "nation" -> t.nation)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    s.sql(
+      """SELECT c.c_custkey,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT MAX(o.o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        WHERE n_regionkey < 3)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q101 — behavioral path analysis: the top-20 three-step event-type
     * paths across all user streams (the "what do users do before X"
     * query). Two lags over the per-user window build the trigram, one

@@ -325,6 +325,24 @@ class RelationalSpec extends SparkSpec {
     assert(rev.sameElements(rev.sortBy(-_)))
   }
 
+  test("q109 HHI bounded by [1/n, 1]") {
+    Relational.q109(tables).collect().foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"${r.getString(0)}: hhi $hhi n $n")
+    }
+  }
+
+  test("q111 subqueries plan as joins, not per-row re-execution") {
+    val df = Relational.q111(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst rewrites: EXISTS/IN -> semi joins, scalar subqueries ->
+    // aggregates joined back; nothing should remain as an uncorrelated
+    // per-row InSubqueryExec over the orders table
+    assert(plan.contains("Join"), plan.take(400))
+    assert(df.count() > 0)
+  }
+
   test("q101 paths: counts conserve to events minus 2 per active user") {
     val full = {
       // same construction without the top-20 limit
