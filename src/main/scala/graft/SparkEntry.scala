@@ -138,6 +138,8 @@ object SparkEntry {
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
     "q111_subqueries" -> q(Relational.q111),
+    "q112_leakage_safe_split" ->
+      q(t => Dedup.leakageSafeSplit(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1349,6 +1351,27 @@ object SparkEntry {
         |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
         |                        WHERE n_regionkey < 3)
         |ORDER BY c_custkey""".stripMargin,
+    "q112_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+        |und(a, b) AS (SELECT doc_i, doc_j FROM pairs
+        |              UNION SELECT doc_j, doc_i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |         FROM reach GROUP BY a),
+        |w AS (
+        |  SELECT d.doc_id,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)) AS h
+        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+        |SELECT CASE WHEN h < 'c' THEN 'train'
+        |            WHEN h < 'e' THEN 'valid' ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY 1 ORDER BY split""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -478,6 +478,29 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** q112 — leakage-safe train/valid/test split: assignment is keyed
+    * on the near-dup COMPONENT root, not the document, so a document
+    * and all its near-duplicates always land in the same split — the
+    * eval-contamination guard a naive per-doc hash split silently
+    * violates (a test document's near-twin in train is leakage). The
+    * md5-of-root hex string is compared lexicographically ('c'/'e'
+    * thresholds → 75/12.5/12.5), which is uniform, engine-portable,
+    * and stable under repartitioning/backfills. Unpaired documents are
+    * their own root; the component frame is |paired docs| rows. */
+  def leakageSafeSplit(documents: DataFrame): DataFrame = {
+    val comp = nearDupComponents(documents)
+    val h = md5(coalesce(col("component"), col("doc_id")).cast("string"))
+    documents
+      .join(comp, Seq("doc_id"), "left")
+      .select(
+        when(h < "c", "train").when(h < "e", "valid").otherwise("test")
+          .as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split")
+  }
+
   /** Deduplicated corpus: one keeper (min doc_id) per near-dup
     * component plus every unpaired document. */
   def dedupedCorpus(documents: DataFrame): DataFrame = {

@@ -163,6 +163,26 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 0L, 1L), (1L, 97L, 3L)))
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles two splits") {
+    val comp = Dedup.nearDupComponents(tables.documents)
+    val h = md5(col("component").cast("string"))
+    val splitOf = comp.select(col("doc_id"),
+      when(h < "c", "train").when(h < "e", "valid").otherwise("test")
+        .as("split"))
+    val pairs = Dedup.minhashNearDups(tables.documents)
+    val crossSplit = pairs
+      .join(splitOf.withColumnRenamed("doc_id", "doc_i")
+        .withColumnRenamed("split", "si"), "doc_i")
+      .join(splitOf.withColumnRenamed("doc_id", "doc_j")
+        .withColumnRenamed("split", "sj"), "doc_j")
+      .filter(col("si") =!= col("sj"))
+    assert(crossSplit.count() == 0)
+    // totals conserve the corpus
+    val total = Dedup.leakageSafeSplit(tables.documents)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == tables.documents.count())
+  }
+
   test("decontaminationPairs is empty when the corpus is clean") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e"), (1L, "v w x y z"))
