@@ -140,6 +140,7 @@ object SparkEntry {
     "q111_subqueries" -> q(Relational.q111),
     "q112_leakage_safe_split" ->
       q(t => Dedup.leakageSafeSplit(t.documents)),
+    "q113_null_semantics" -> q(Relational.q113),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1372,6 +1373,19 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM w GROUP BY 1 ORDER BY split""".stripMargin,
+    "q113_null_semantics" ->
+      """WITH keyed AS (
+        |  SELECT NULLIF(event_type, 'error') AS k, value, user_id
+        |  FROM events),
+        |g AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |         CAST(COUNT(value) AS BIGINT) AS n_vals,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |  FROM keyed GROUP BY k),
+        |d AS (SELECT DISTINCT k AS dk FROM keyed)
+        |SELECT g.k, g.n_all, g.n_vals, g.users
+        |FROM g JOIN d ON g.k IS NOT DISTINCT FROM d.dk
+        |ORDER BY k NULLS FIRST""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -1301,6 +1301,24 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q113 — NULL-semantics parity surface: NULLIF-derived NULL group
+    * keys, count(*) vs count(col) (NULL-skipping), and a NULL-SAFE
+    * equi-join (`<=>` / IS NOT DISTINCT FROM) that keeps the NULL-key
+    * row matched — the exact semantics corner where engines silently
+    * diverge, pinned under the hash oracle. */
+  def q113(t: Tables): DataFrame = {
+    val keyed = t.events
+      .select(nullif(col("event_type"), lit("error")).as("k"),
+        col("value"), col("user_id"))
+    val g = keyed.groupBy("k")
+      .agg(count(lit(1)).as("n_all"), count("value").as("n_vals"),
+        countDistinct("user_id").as("users"))
+    val d = keyed.select(col("k").as("dk")).distinct()
+    g.join(d, col("k") <=> col("dk"))
+      .select(col("k"), col("n_all"), col("n_vals"), col("users"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** q101 — behavioral path analysis: the top-20 three-step event-type
     * paths across all user streams (the "what do users do before X"
     * query). Two lags over the per-user window build the trigram, one

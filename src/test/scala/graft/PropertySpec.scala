@@ -180,4 +180,34 @@ class PropertySpec extends SparkSpec {
       assert(candidates.size <= capacity)
     }
   }
+
+  test("ewma matches the sequential local model on random streams") {
+    val evGen = for {
+      n <- Gen.choose(1, 60)
+      users <- Gen.listOfN(n, Gen.choose(1L, 5L))
+      vals <- Gen.listOfN(n, Gen.choose(0, 99900).map(_ / 100.0))
+    } yield users.zip(vals).zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        u, "view", v)
+    }
+    forSamples(evGen) { rows =>
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value")
+      val got = graft.operators.Relational.ewma(df).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // sequential model: per user, ewma_i = sum_{j<8} cents[i-j]/2^j
+      rows.groupBy(_._3).foreach { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._2.getTime, e._1))
+        val cents = ordered.map(e => math.round(e._5 * 100))
+        ordered.indices.foreach { i =>
+          val expected = (0 until 8).map { j =>
+            if (i - j >= 0) cents(i - j).toDouble * math.pow(0.5, j)
+            else 0.0
+          }.sum / 100
+          assert(got(ordered(i)._1) == expected,
+            s"event ${ordered(i)._1}")
+        }
+      }
+    }
+  }
 }
