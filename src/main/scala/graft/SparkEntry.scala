@@ -141,6 +141,8 @@ object SparkEntry {
     "q112_leakage_safe_split" ->
       q(t => Dedup.leakageSafeSplit(t.documents)),
     "q113_null_semantics" -> q(Relational.q113),
+    "q114_revenue_share" -> q(Relational.q114),
+    "q115_debounce" -> q(Relational.q115),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1386,6 +1388,39 @@ object SparkEntry {
         |SELECT g.k, g.n_all, g.n_vals, g.users
         |FROM g JOIN d ON g.k IS NOT DISTINCT FROM d.dk
         |ORDER BY k NULLS FIRST""".stripMargin,
+    "q114_revenue_share" ->
+      """WITH pn AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name),
+        |w AS (SELECT *,
+        |        SUM(cents) OVER (PARTITION BY region) AS region_cents,
+        |        SUM(cents) OVER () AS total_cents,
+        |        RANK() OVER (PARTITION BY region
+        |                     ORDER BY cents DESC, nation) AS rk
+        |      FROM pn)
+        |SELECT region, nation,
+        |  CAST(cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+        |    AS share_of_total,
+        |  CAST(rk AS BIGINT) AS rank_in_region
+        |FROM w ORDER BY region, rank_in_region""".stripMargin,
+    "q115_debounce" ->
+      """SELECT user_id, event_type,
+        |       CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |       MIN(event_id) AS first_event,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS suppressed
+        |FROM events
+        |GROUP BY user_id, event_type, hour_bucket
+        |ORDER BY user_id, event_type, hour_bucket""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -1301,6 +1301,62 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q114 — hierarchical share-of-parent/share-of-total: revenue per
+    * nation with its share of the region, share of the world, and rank
+    * within region — the drill-down OLAP report. Revenue aggregates to
+    * exact integer cents BEFORE the |nations|-row window stage, so the
+    * shares are IEEE divisions of exact integers (portable, no
+    * tolerance); windows run over a 25-row frame, never the fact
+    * table. */
+  def q114(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val perNation = t.orders
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(cents).as("cents"))
+    val wr = Window.partitionBy("region")
+    // world total as a broadcast 1-row frame (not an unpartitioned
+    // window — keeps the plan free of single-partition window stages)
+    val total = perNation.agg(sum("cents").as("total_cents"))
+    perNation
+      .withColumn("region_cents", sum("cents").over(wr))
+      .crossJoin(broadcast(total))
+      .select(col("region"), col("nation"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        (col("cents").cast("double") / col("region_cents").cast("double"))
+          .as("share_of_region"),
+        (col("cents").cast("double") / col("total_cents").cast("double"))
+          .as("share_of_total"),
+        rank().over(wr.orderBy(col("cents").desc, col("nation")))
+          .cast("long").as("rank_in_region"))
+      .orderBy("region", "rank_in_region")
+  }
+
+  /** q115 — debounce / first-event-per-window: keep only the first
+    * event of each (user, type) inside every tumbling hour — the
+    * at-source dedup an event collector applies before fan-in (repeat
+    * clicks, retry storms). Tumbling assignment is integer epoch
+    * division (no session state), then one min-aggregate per
+    * (window, user, type): two shuffle-free map stages + one hash
+    * aggregate, trivially parallel at any scale. */
+  def q115(t: Tables): DataFrame = {
+    val hour = floor(unix_timestamp(col("ts")) / 3600).cast("long")
+    t.events
+      .select(col("user_id"), col("event_type"), hour.as("hour_bucket"),
+        col("event_id"))
+      .groupBy("user_id", "event_type", "hour_bucket")
+      .agg(min("event_id").as("first_event"),
+        count(lit(1)).as("n_events"))
+      .withColumn("suppressed", col("n_events") - 1)
+      .orderBy("user_id", "event_type", "hour_bucket")
+  }
+
   /** q113 — NULL-semantics parity surface: NULLIF-derived NULL group
     * keys, count(*) vs count(col) (NULL-skipping), and a NULL-SAFE
     * equi-join (`<=>` / IS NOT DISTINCT FROM) that keeps the NULL-key

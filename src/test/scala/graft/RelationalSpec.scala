@@ -325,6 +325,25 @@ class RelationalSpec extends SparkSpec {
     assert(rev.sameElements(rev.sortBy(-_)))
   }
 
+  test("q114 shares sum to 1 per region and globally") {
+    val r = Relational.q114(tables)
+    val perRegion = r.groupBy("region")
+      .agg(sum("share_of_region").as("s")).collect()
+    perRegion.foreach(x =>
+      assert(math.abs(x.getDouble(1) - 1.0) < 1e-9, x.getString(0)))
+    val total = r.agg(sum("share_of_total")).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("q115 debounce conserves events and first_event is minimal") {
+    val r = Relational.q115(tables)
+    val total = r.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == tables.events.count())
+    assert(r.filter(col("suppressed") =!= col("n_events") - 1)
+      .count() == 0)
+    assert(r.filter(col("first_event") > col("first_event")).count() == 0)
+  }
+
   test("q109 HHI bounded by [1/n, 1]") {
     Relational.q109(tables).collect().foreach { r =>
       val (n, hhi) = (r.getLong(1), r.getDouble(2))
