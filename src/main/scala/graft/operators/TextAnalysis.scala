@@ -588,15 +588,22 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= 3)
+    // grams are carried as 64-bit xxhash fingerprints, not strings:
+    // the aggregate only needs equality (max count, distinct count),
+    // so 8-byte keys replace variable-length gram strings in the
+    // shuffle — the same Broder-fingerprint tradeoff as the shingle
+    // join, with the 2⁻⁶⁵-probability collision caveat documented
+    // there; the oracle computes on true strings and still matches
     val grams = base.selectExpr(
       "doc_id", "n",
       """explode(concat(
-        |  transform(t, x -> struct('uni' AS k, x AS g)),
+        |  transform(t, x -> struct(0 AS k, xxhash64(x) AS g)),
         |  transform(sequence(0, n-2),
-        |    i -> struct('bi' AS k, concat_ws(' ', t[i], t[i+1]) AS g)),
+        |    i -> struct(1 AS k,
+        |                xxhash64(concat_ws(' ', t[i], t[i+1])) AS g)),
         |  transform(sequence(0, n-3),
-        |    i -> struct('tri' AS k,
-        |                concat_ws(' ', t[i], t[i+1], t[i+2]) AS g))
+        |    i -> struct(2 AS k,
+        |                xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])) AS g))
         |)) AS gr""".stripMargin)
       .select(col("doc_id"), col("n"), col("gr.k").as("k"),
         col("gr.g").as("g"))
@@ -607,10 +614,10 @@ object TextAnalysis {
         sum("cnt").as("tot"))
     perKind.groupBy("doc_id", "n")
       .agg(
-        max(when(col("k") === "uni", col("mx"))).as("top_tok"),
-        max(when(col("k") === "bi", col("mx"))).as("top_bi"),
-        max(when(col("k") === "tri", col("dist"))).as("tri_dist"),
-        max(when(col("k") === "tri", col("tot"))).as("tri_tot"))
+        max(when(col("k") === 0, col("mx"))).as("top_tok"),
+        max(when(col("k") === 1, col("mx"))).as("top_bi"),
+        max(when(col("k") === 2, col("dist"))).as("tri_dist"),
+        max(when(col("k") === 2, col("tot"))).as("tri_tot"))
       .select(
         col("doc_id"),
         col("n").cast("long").as("n_tokens"),
