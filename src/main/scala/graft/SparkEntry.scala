@@ -143,6 +143,8 @@ object SparkEntry {
     "q113_null_semantics" -> q(Relational.q113),
     "q114_revenue_share" -> q(Relational.q114),
     "q115_debounce" -> q(Relational.q115),
+    "q116_activity_gaps" -> q(Relational.q116),
+    "q117_bounce_rate" -> q(Relational.q117),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1421,6 +1423,40 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, event_type, hour_bucket
         |ORDER BY user_id, event_type, hour_bucket""".stripMargin,
+    "q116_activity_gaps" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1
+        |          AS gap
+        |      FROM ud)
+        |SELECT user_id,
+        |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(COUNT(*) AS BIGINT) AS active_days,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap,
+        |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT) AS missing_days
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q117_bounce_rate" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+        |         event_id
+        |  FROM marked),
+        |sz AS (SELECT user_id, sess_id, COUNT(*) AS n_events
+        |       FROM sess GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS bounces,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        |FROM sz GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

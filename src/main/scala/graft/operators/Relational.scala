@@ -1301,6 +1301,56 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q116 — activity gap detection: per user, the span of active days,
+    * days actually active, missing days, and the longest gap — data-
+    * quality / engagement signal. The longest gap comes from a lag
+    * diff over the user's DISTINCT active days (bounded by the
+    * calendar, not event volume); no day-grid explode is needed at
+    * all, so the plan is two hash aggregates and one bounded window. */
+  def q116(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("gap", datediff(col("day"), lag("day", 1).over(w)) - 1)
+      .groupBy("user_id")
+      .agg(
+        (datediff(max("day"), min("day")) + 1).cast("long")
+          .as("span_days"),
+        count(lit(1)).as("active_days"),
+        coalesce(max("gap"), lit(0)).cast("long").as("longest_gap"))
+      .withColumn("missing_days",
+        col("span_days") - col("active_days"))
+      .orderBy("user_id")
+  }
+
+  /** q117 — bounce rate: share of 30-minute-gap sessions containing
+    * exactly one event, per user cohort (by first-seen week) — the
+    * q15 sessionization core re-aggregated at session granularity.
+    * Session ids are per-user running sums (bounded windows); the
+    * bounce ratio divides exact integer counts. */
+  def q117(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val sess = t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > gapMicros, 1L).otherwise(0L).as("new_sess"))
+      .withColumn("sess_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("bounces"))
+      .select(col("user_id"), col("sessions"), col("bounces"),
+        (col("bounces").cast("double") / col("sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy("user_id")
+  }
+
   /** q114 — hierarchical share-of-parent/share-of-total: revenue per
     * nation with its share of the region, share of the world, and rank
     * within region — the drill-down OLAP report. Revenue aggregates to

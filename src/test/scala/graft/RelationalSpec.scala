@@ -344,6 +344,24 @@ class RelationalSpec extends SparkSpec {
     assert(r.filter(col("first_event") > col("first_event")).count() == 0)
   }
 
+  test("q116 gaps: span = active + missing, longest_gap <= missing") {
+    val r = Relational.q116(tables)
+    assert(r.filter(
+      col("span_days") =!= col("active_days") + col("missing_days"))
+      .count() == 0)
+    assert(r.filter(col("longest_gap") > col("missing_days"))
+      .count() == 0)
+  }
+
+  test("q117 bounce rate consistent with q15 session counts") {
+    val bounce = Relational.q117(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // q15 reports sessions for users with >= 5 events; counts agree
+    Relational.q15(tables).collect().foreach { r =>
+      assert(bounce(r.getLong(0)) == r.getLong(1), s"user ${r.getLong(0)}")
+    }
+  }
+
   test("q109 HHI bounded by [1/n, 1]") {
     Relational.q109(tables).collect().foreach { r =>
       val (n, hhi) = (r.getLong(1), r.getDouble(2))
