@@ -145,6 +145,9 @@ object SparkEntry {
     "q115_debounce" -> q(Relational.q115),
     "q116_activity_gaps" -> q(Relational.q116),
     "q117_bounce_rate" -> q(Relational.q117),
+    "q118_window_extras" -> q(Relational.q118),
+    "q119_benford" -> q(Relational.q119),
+    "q120_seasonality" -> q(Relational.q120),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1457,6 +1460,53 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
         |FROM sz GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q118_window_extras" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, prio, cents,
+        |    cume_dist() OVER wo AS cd,
+        |    nth_value(o_orderkey, 3) OVER wf AS third_key,
+        |    first_value(o_orderkey) OVER wf AS cheapest,
+        |    last_value(o_orderkey) OVER wf AS priciest
+        |  FROM base
+        |  WINDOW wo AS (PARTITION BY prio ORDER BY cents, o_orderkey),
+        |         wf AS (PARTITION BY prio ORDER BY cents, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND UNBOUNDED FOLLOWING))
+        |SELECT o_orderkey, prio, CAST(cents AS DOUBLE) / 100 AS price,
+        |       ROUND(cd, 6) AS cume_dist, third_key, cheapest, priciest
+        |FROM w WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q119_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE ROUND(o_totalprice * 100) > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM c GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford
+        |FROM g, t ORDER BY digit""".stripMargin,
+    "q120_seasonality" ->
+      """WITH m AS (
+        |  SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS month,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents,
+        |         CAST(COUNT(*) AS BIGINT) AS orders
+        |  FROM orders GROUP BY MONTH(o_orderdate)),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+        |             CAST(COUNT(*) AS BIGINT) AS n_months FROM m)
+        |SELECT month, orders,
+        |  CAST(cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(cents AS DOUBLE) * CAST(n_months AS DOUBLE)
+        |    / CAST(tot AS DOUBLE) AS seasonality_index,
+        |  CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM m, t ORDER BY month""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

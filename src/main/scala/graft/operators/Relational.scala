@@ -1301,6 +1301,75 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q119 — Benford leading-digit audit: distribution of the first
+    * digit of order amounts (in cents) against Benford's expectation
+    * log10(1 + 1/d) — the classic synthetic-data / fraud signal. One
+    * hash aggregate over 9 keys; shares divide exact integers, the
+    * expectation is rounded to 6 to absorb libm ulp differences. */
+  def q119(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = t.orders
+      .filter(cents > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double"))
+          .as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford"))
+      .orderBy("digit")
+  }
+
+  /** q120 — seasonality index: monthly revenue vs the all-month mean
+    * (index 1.0 = average month) plus each month's share — exact
+    * integer cents throughout, the index an IEEE division of exact
+    * integers so it is engine-portable without tolerance. */
+  def q120(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val monthly = t.orders
+      .groupBy(month(col("o_orderdate")).cast("long").as("month"))
+      .agg(sum(cents).as("cents"), count(lit(1)).as("orders"))
+    val total = monthly.agg(sum("cents").as("tot"),
+      count(lit(1)).as("n_months"))
+    monthly.crossJoin(broadcast(total))
+      .select(col("month"), col("orders"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        (col("cents").cast("double") * col("n_months").cast("double") /
+          col("tot").cast("double")).as("seasonality_index"),
+        (col("cents").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .orderBy("month")
+  }
+
+  /** q118 — the second window-suite: cume_dist, nth_value, first/last
+    * value with explicit full frames over order-priority partitions —
+    * completes the §2.5 window-function surface beyond q45's ranking
+    * set. Ordering is made total (cents, key) so every function is
+    * deterministic; output is thinned AFTER the windows so the frame
+    * semantics stay intact. */
+  def q118(t: Tables): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = t.orders.select(col("o_orderkey"),
+      col("o_orderpriority").as("prio"), cents.as("cents"))
+    val wo = Window.partitionBy("prio").orderBy("cents", "o_orderkey")
+    val wf = wo.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("cd", cume_dist().over(wo))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(wf))
+      .withColumn("cheapest", first(col("o_orderkey")).over(wf))
+      .withColumn("priciest", last(col("o_orderkey")).over(wf))
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("prio"),
+        (col("cents").cast("double") / 100).as("price"),
+        round(col("cd"), 6).as("cume_dist"),
+        col("third_key"), col("cheapest"), col("priciest"))
+      .orderBy("o_orderkey")
+  }
+
   /** q116 — activity gap detection: per user, the span of active days,
     * days actually active, missing days, and the longest gap — data-
     * quality / engagement signal. The longest gap comes from a lag

@@ -362,6 +362,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q119/q120 shares and indices conserve") {
+    val b = Relational.q119(tables)
+    assert(math.abs(b.agg(sum("share")).collect()(0).getDouble(0) - 1.0)
+      < 1e-9)
+    assert(b.filter(col("digit") < 1 || col("digit") > 9).count() == 0)
+    val s = Relational.q120(tables).collect()
+    assert(math.abs(s.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    val meanIdx = s.map(_.getDouble(3)).sum / s.length
+    assert(math.abs(meanIdx - 1.0) < 1e-9)
+  }
+
   test("q109 HHI bounded by [1/n, 1]") {
     Relational.q109(tables).collect().foreach { r =>
       val (n, hhi) = (r.getLong(1), r.getDouble(2))
