@@ -148,6 +148,8 @@ object SparkEntry {
     "q118_window_extras" -> q(Relational.q118),
     "q119_benford" -> q(Relational.q119),
     "q120_seasonality" -> q(Relational.q120),
+    "q121_bag_setops" -> q(Relational.q121),
+    "q122_lateral_top1" -> q(Relational.q122),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1507,6 +1509,27 @@ object SparkEntry {
         |    / CAST(tot AS DOUBLE) AS seasonality_index,
         |  CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM m, t ORDER BY month""".stripMargin,
+    "q121_bag_setops" ->
+      """WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT event_type FROM events WHERE event_id % 2 = 1),
+        |i AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |      GROUP BY event_type),
+        |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |      GROUP BY event_type)
+        |SELECT 'intersect_all' AS op, event_type, n FROM i
+        |UNION ALL
+        |SELECT 'except_all' AS op, event_type, n FROM e
+        |ORDER BY op, event_type""".stripMargin,
+    "q122_lateral_top1" ->
+      """SELECT c.c_custkey, t.o_orderkey AS best_order,
+        |       t.o_totalprice AS best_price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

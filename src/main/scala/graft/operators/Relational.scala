@@ -1301,6 +1301,46 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q121 — BAG (multiset) set operations: INTERSECT ALL / EXCEPT ALL
+    * between the even- and odd-event_id halves of the stream,
+    * summarized per type — completes §2.7 beyond q11's set-semantics
+    * forms. Spark plans these as aggregate+generate (count-min /
+    * count-difference), never a row-by-row comparison. */
+  def q121(t: Tables): DataFrame = {
+    val a = t.events.filter(col("event_id") % 2 === 0)
+      .select("event_type")
+    val b = t.events.filter(col("event_id") % 2 === 1)
+      .select("event_type")
+    val i = a.intersectAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    i.unionByName(e).select("op", "event_type", "n")
+      .orderBy("op", "event_type")
+  }
+
+  /** q122 — correlated LATERAL subquery: each customer's single
+    * highest-value order fetched by a per-row ordered-and-limited
+    * lateral — the SQL spelling of grouped top-1, which Catalyst
+    * decorrelates into a window/join plan rather than re-executing the
+    * subquery per row (same physical shape class as
+    * [[graft.plans.TopKPerKey]] k=1). */
+  def q122(t: Tables): DataFrame = {
+    val s = t.orders.sparkSession
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey AS best_order,
+        |       t.o_totalprice AS best_price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** q119 — Benford leading-digit audit: distribution of the first
     * digit of order amounts (in cents) against Benford's expectation
     * log10(1 + 1/d) — the classic synthetic-data / fraud signal. One

@@ -362,6 +362,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q121 bag semantics: intersect+except counts reconstruct side A") {
+    // |A| per type == intersectAll + exceptAll per type (multiset law)
+    val r = Relational.q121(tables).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(x => x.getString(0) -> x.getLong(2)).toMap)
+    val aCounts = tables.events
+      .filter(col("event_id") % 2 === 0)
+      .groupBy("event_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    aCounts.foreach { case (tpe, n) =>
+      val m = r.getOrElse(tpe, Map.empty)
+      assert(m.getOrElse("intersect_all", 0L)
+        + m.getOrElse("except_all", 0L) == n, tpe)
+    }
+  }
+
+  test("q122 lateral picks each customer's true max order") {
+    val got = Relational.q122(tables).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expected = tables.orders.groupBy("o_custkey")
+      .agg(max("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("q119/q120 shares and indices conserve") {
     val b = Relational.q119(tables)
     assert(math.abs(b.agg(sum("share")).collect()(0).getDouble(0) - 1.0)
