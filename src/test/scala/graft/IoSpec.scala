@@ -285,8 +285,11 @@ class IoSpec extends SparkSpec {
       .write.mode("append").parquet(out)
     val merged = Readers.evolvedParquet(spark, out)
     assert(merged.columns.sorted.toSeq == Seq("id", "new_col", "old_col"))
+    // access by NAME: mergeSchema makes no column-order guarantee
     val rows = merged.orderBy("id").collect()
-    assert(rows(0).getString(2) == "a" && rows(0).isNullAt(1))
-    assert(rows(1).getDouble(1) == 9.5 && rows(1).isNullAt(2))
+    assert(rows(0).getAs[String]("old_col") == "a" &&
+      rows(0).isNullAt(rows(0).fieldIndex("new_col")))
+    assert(rows(1).getAs[Double]("new_col") == 9.5 &&
+      rows(1).isNullAt(rows(1).fieldIndex("old_col")))
   }
 }
