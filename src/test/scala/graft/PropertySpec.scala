@@ -181,6 +181,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 runs match a sequential fold on random streams") {
+    val evGen = for {
+      n <- Gen.choose(1, 50)
+      users <- Gen.listOfN(n, Gen.choose(1L, 4L))
+      types <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield users.zip(types).zipWithIndex.map { case ((u, tp), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        u, tp, 1.0)
+    }
+    forSamples(evGen) { rows =>
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value")
+      // reuse the operator through a Tables-free path: same window body
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val got = df
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("chg", when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getString(2), r.getLong(3))).toMap
+      // sequential fold builds the expected run-length encoding
+      rows.groupBy(_._3).foreach { case (u, evs) =>
+        val ordered = evs.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+        val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+          case ((t, n) :: rest, x) if t == x => (t, n + 1) :: rest
+          case (acc, x) => (x, 1L) :: acc
+        }.reverse
+        runs.zipWithIndex.foreach { case ((tp, n), i) =>
+          assert(got((u, i + 1L)) == (tp, n), s"user $u run ${i + 1}")
+        }
+      }
+    }
+  }
+
   test("ewma matches the sequential local model on random streams") {
     val evGen = for {
       n <- Gen.choose(1, 60)
