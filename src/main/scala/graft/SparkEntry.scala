@@ -150,6 +150,7 @@ object SparkEntry {
     "q120_seasonality" -> q(Relational.q120),
     "q121_bag_setops" -> q(Relational.q121),
     "q122_lateral_top1" -> q(Relational.q122),
+    "q123_customer_360" -> q(Relational.q123),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1530,6 +1531,35 @@ object SparkEntry {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         |ORDER BY c.c_custkey""".stripMargin,
+    "q123_customer_360" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |eng AS (SELECT user_id AS cust, CAST(COUNT(*) AS BIGINT) AS events
+        |        FROM events GROUP BY user_id),
+        |j AS (
+        |  SELECT COALESCE(rev.cust, eng.cust) AS cust,
+        |         COALESCE(cents, 0) AS cents,
+        |         COALESCE(events, 0) AS events
+        |  FROM rev FULL OUTER JOIN eng ON rev.cust = eng.cust),
+        |m AS (SELECT
+        |        (SELECT quantile_disc(cents, 0.5) FROM j) AS med_cents,
+        |        (SELECT quantile_disc(events, 0.5) FROM j WHERE events > 0)
+        |          AS med_events)
+        |SELECT CASE
+        |         WHEN cents >= med_cents
+        |              AND events > 0 AND events >= med_events
+        |           THEN 'champion'
+        |         WHEN cents >= med_cents THEN 'big_spender'
+        |         WHEN events > 0 AND events >= med_events
+        |           THEN 'window_shopper'
+        |         ELSE 'dormant' END AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+        |       CAST(SUM(events) AS BIGINT) AS total_events
+        |FROM j, m GROUP BY segment ORDER BY segment""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

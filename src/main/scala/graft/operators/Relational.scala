@@ -1301,6 +1301,54 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q123 — customer-360 segmentation: join the commerce domain
+    * (order revenue) with the behavioral domain (event engagement) per
+    * customer, classify against the population MEDIANS of both axes
+    * (scale-safe quantile machinery, thresholds broadcast), and roll
+    * up per segment. The full-outer join keeps customers present in
+    * only one domain; revenue stays in exact integer cents until the
+    * final division. */
+  def q123(t: Tables): DataFrame = {
+    val rev = t.orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val eng = t.events
+      .groupBy(col("user_id").as("cust"))
+      .agg(count(lit(1)).as("events"))
+    val joined = rev.join(eng, Seq("cust"), "full_outer")
+      .select(col("cust"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        coalesce(col("events"), lit(0L)).as("events"))
+    val medRev = quantileDisc(
+      joined.select(lit(1).as("g"), col("cents")), "g", "cents",
+      Seq("m" -> 0.5)).select(col("m").as("med_cents"))
+    // engagement median over ACTIVE customers only: most customers
+    // never emit events, so the all-customer median is 0 and the axis
+    // degenerates (everyone classifies as engaged)
+    val medEng = quantileDisc(
+      joined.filter(col("events") > 0)
+        .select(lit(1).as("g"), col("events")), "g", "events",
+      Seq("m" -> 0.5)).select(col("m").as("med_events"))
+    joined.crossJoin(broadcast(medRev)).crossJoin(broadcast(medEng))
+      .select(
+        (col("events") > 0 && col("events") >= col("med_events"))
+          .as("hi_eng"),
+        (col("cents") >= col("med_cents")).as("hi_rev"),
+        col("cents"), col("events"))
+      .select(
+        when(col("hi_rev") && col("hi_eng"), "champion")
+          .when(col("hi_rev"), "big_spender")
+          .when(col("hi_eng"), "window_shopper")
+          .otherwise("dormant").as("segment"),
+        col("cents"), col("events"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum("cents").cast("double") / 100).as("revenue"),
+        sum("events").as("total_events"))
+      .orderBy("segment")
+  }
+
   /** q121 — BAG (multiset) set operations: INTERSECT ALL / EXCEPT ALL
     * between the even- and odd-event_id halves of the stream,
     * summarized per type — completes §2.7 beyond q11's set-semantics

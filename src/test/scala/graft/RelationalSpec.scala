@@ -362,6 +362,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q123 segments partition the customer universe") {
+    val r = Relational.q123(tables).collect()
+    assert(r.map(_.getString(0)).sorted.toSeq ==
+      Seq("big_spender", "champion", "dormant", "window_shopper"))
+    val universe = tables.orders.select(col("o_custkey").as("c"))
+      .union(tables.events.select(col("user_id").as("c")))
+      .distinct().count()
+    assert(r.map(_.getLong(1)).sum == universe)
+    val totalRev = tables.orders
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(math.abs(r.map(_.getDouble(2)).sum - totalRev / 100.0) < 1e-6)
+  }
+
   test("q121 bag semantics: intersect+except counts reconstruct side A") {
     // |A| per type == intersectAll + exceptAll per type (multiset law)
     val r = Relational.q121(tables).collect()
