@@ -151,6 +151,7 @@ object SparkEntry {
     "q121_bag_setops" -> q(Relational.q121),
     "q122_lateral_top1" -> q(Relational.q122),
     "q123_customer_360" -> q(Relational.q123),
+    "q124_gini" -> q(Relational.q124),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1560,6 +1561,23 @@ object SparkEntry {
         |       CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
         |       CAST(SUM(events) AS BIGINT) AS total_events
         |FROM j, m GROUP BY segment ORDER BY segment""".stripMargin,
+    "q124_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+        |             AS BIGINT) AS i
+        |      FROM cust)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS total_revenue,
+        |  2.0 * CAST(SUM(i * cents) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+        |  - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS gini
+        |FROM r""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

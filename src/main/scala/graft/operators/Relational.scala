@@ -1301,6 +1301,30 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q124 — Gini coefficient of customer revenue concentration (the
+    * single-number companion to q92's Pareto deciles), from the exact
+    * formula over sorted integer cents: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    * with xᵢ ascending. The rank window runs over the |customers|-row
+    * AGGREGATE (never the fact table), and every sum is an exact
+    * integer until the final two divisions. */
+  def q124(t: Tables): DataFrame = {
+    val cust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = cust
+      .repartition(1) // |customers| aggregate rows: bounded by design
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n_customers"),
+      (sum("cents").cast("double") / 100).as("total_revenue"),
+      ((lit(2.0) * sum(col("i") * col("cents")).cast("double") /
+        (count(lit(1)).cast("double") * sum("cents").cast("double"))) -
+        ((count(lit(1)) + 1).cast("double") /
+          count(lit(1)).cast("double"))).as("gini"))
+  }
+
   /** q123 — customer-360 segmentation: join the commerce domain
     * (order revenue) with the behavioral domain (event engagement) per
     * customer, classify against the population MEDIANS of both axes

@@ -362,6 +362,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q124 Gini in [0,1); equal distribution gives ~0") {
+    val g = Relational.q124(tables).collect()(0).getDouble(2)
+    assert(g >= 0.0 && g < 1.0, s"gini $g")
+    // brute-force check on the real data
+    val cents = tables.orders
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = cents.length.toDouble
+    val tot = cents.map(BigInt(_)).sum.toDouble
+    val s = cents.zipWithIndex
+      .map { case (c, i) => (i + 1).toDouble * c }.sum
+    val expected = 2.0 * s / (n * tot) - (n + 1) / n
+    assert(math.abs(g - expected) < 1e-9)
+  }
+
   test("q123 segments partition the customer universe") {
     val r = Relational.q123(tables).collect()
     assert(r.map(_.getString(0)).sorted.toSeq ==
