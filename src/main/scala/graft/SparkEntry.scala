@@ -152,6 +152,8 @@ object SparkEntry {
     "q122_lateral_top1" -> q(Relational.q122),
     "q123_customer_360" -> q(Relational.q123),
     "q124_gini" -> q(Relational.q124),
+    "q125_novelty" -> q(t => TextAnalysis.noveltyScores(t.documents)),
+    "q126_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1578,6 +1580,34 @@ object SparkEntry {
         |  - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS gini
         |FROM r""".stripMargin,
+    "q125_novelty" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, len(t)-1)]) AS s
+        |  FROM t0 WHERE len(t) >= 3),
+        |idx AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |fo AS (SELECT g, MIN(doc_id) AS first_doc FROM idx GROUP BY g)
+        |SELECT idx.doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fo.first_doc = idx.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS novel,
+        |  CAST(SUM(CASE WHEN fo.first_doc = idx.doc_id THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / CAST(n_sh AS DOUBLE) AS novelty
+        |FROM idx JOIN fo USING (g)
+        |GROUP BY idx.doc_id, n_sh ORDER BY doc_id""".stripMargin,
+    "q126_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+        |nd AS (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS new_tokens
+        |       FROM fs GROUP BY first_doc)
+        |SELECT first_doc AS doc_id, new_tokens,
+        |  CAST(SUM(new_tokens) OVER (ORDER BY first_doc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab
+        |FROM nd ORDER BY doc_id""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -568,6 +568,55 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q125 — document novelty: the fraction of a document's distinct
+    * trigram shingles that NO earlier document (lower doc_id) contains
+    * — the "contribution to corpus diversity" score used to prioritize
+    * ingestion and detect template-flooded sources. One
+    * groupBy(shingle) → min(owner) aggregate plus a join back: linear
+    * in corpus shingle volume, the first-owner frame shuffles 8-byte
+    * fingerprints. */
+  def noveltyScores(documents: DataFrame, n: Int = 3): DataFrame = {
+    val idx = documents
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    val firstOwner = idx.groupBy("g").agg(min("doc_id").as("first_doc"))
+    idx.join(firstOwner, "g")
+      .groupBy("doc_id", "n_sh")
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L)
+        .otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+        col("novel"),
+        (col("novel").cast("double") / col("n_sh").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** q126 — vocabulary growth curve (the empirical Heaps-law input):
+    * cumulative distinct-token count as the corpus is read in doc_id
+    * order, sampled every `stride` documents. Running count-distinct
+    * is rewritten as "tokens first seen per doc" (one aggregate) +
+    * a cumulative sum over the |docs|-row frame — no quadratic
+    * re-scan, no state beyond the vocabulary aggregate. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val firstSeen = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy("first_doc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the global window runs over the first-seen aggregate, whose row
+    // count is bounded by min(|vocabulary|, |docs|) — never the corpus
+    firstSeen
+      .withColumn("vocab", sum("new_tokens").over(w))
+      .select(col("first_doc").as("doc_id"), col("new_tokens"),
+        col("vocab"))
+      .orderBy("doc_id")
+  }
+
   /** q94 — Gopher-style repetition quality filters (Rae et al. 2021
     * §A1.1 re-expressed over whitespace tokens): per document, the
     * most-common-token ratio, top-bigram fraction, and duplicate-

@@ -188,6 +188,30 @@ class TextSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("noveltyScores: first doc fully novel, duplicate fully stale") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == 1.0)
+    val real = TextAnalysis.noveltyScores(tables.documents)
+    assert(real.filter(col("novelty") < 0 || col("novelty") > 1)
+      .count() == 0)
+    // the min doc_id is fully novel by construction
+    assert(real.orderBy("doc_id").first().getDouble(3) == 1.0)
+  }
+
+  test("vocabGrowth: monotone, ends at the true vocabulary size") {
+    val g = TextAnalysis.vocabGrowth(tables.documents).collect()
+    val vocab = g.map(_.getLong(2))
+    assert(vocab.sameElements(vocab.sorted))
+    val trueVocab = tables.documents
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(vocab.last == trueVocab)
+    assert(g.map(_.getLong(1)).sum == trueVocab)
+  }
+
   test("repetitionStats: hand-checked fracs and keep gate") {
     // doc 1: "a a a a" — top token 4/4, bigram "a a" 3/3, trigrams
     //        "a a a" twice of 2 -> dup frac 1/2: dropped on all gates
