@@ -129,7 +129,7 @@ object SparkEntry {
     "q101_event_paths" -> q(Relational.q101),
     "q102_winsorized" -> q(Relational.q102),
     "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),
-    "q104_hist_sketch_rollup" -> q(Sketches.q104),
+    "q104_hist_sketch_rollup" -> q(t => Sketches.q104(t)),
     "q105_length_batching" ->
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
@@ -1260,8 +1260,10 @@ object SparkEntry {
         |      FROM nn GROUP BY event_type),
         |sk AS (
         |  SELECT n.event_type, n.day,
-        |         LEAST(31, CAST(FLOOR((n.value - f.lo) / ((f.hi - f.lo) / 32))
-        |                        AS INT)) AS bin,
+        |         CASE WHEN f.hi = f.lo THEN 0
+        |              ELSE LEAST(31, CAST(FLOOR((n.value - f.lo)
+        |                                        / ((f.hi - f.lo) / 32))
+        |                             AS INT)) END AS bin,
         |         f.lo, f.hi, COUNT(*) AS cnt
         |  FROM nn n JOIN f USING (event_type)
         |  GROUP BY n.event_type, n.day, bin, f.lo, f.hi),

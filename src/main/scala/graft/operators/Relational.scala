@@ -1282,7 +1282,7 @@ object Relational {
     * proving the engine's SQL entry point handles them with join
     * plans rather than per-row re-execution. */
   def q111(t: Tables): DataFrame = {
-    val s = t.events.sparkSession
+    val s = t.spark // not t.events.sparkSession: don't load an unused table
     Seq("orders" -> t.orders, "customer" -> t.customer,
       "nation" -> t.nation)
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
@@ -1316,10 +1316,16 @@ object Relational {
     val ranked = cust
       .repartition(1) // |customers| aggregate rows: bounded by design
       .withColumn("i", row_number().over(w).cast("long"))
+    // i·cents can reach ~1e17 per term and ~1e26 summed at billions of
+    // customers — past Long range, where Spark's non-ANSI sum would
+    // wrap silently while DuckDB promotes to HUGEINT. decimal(38,0)
+    // keeps the engine side exact to 10³⁸ (cast BEFORE the multiply).
+    val dec = "decimal(38,0)"
     ranked.agg(
       count(lit(1)).as("n_customers"),
       (sum("cents").cast("double") / 100).as("total_revenue"),
-      ((lit(2.0) * sum(col("i") * col("cents")).cast("double") /
+      ((lit(2.0) * sum(col("i").cast(dec) * col("cents").cast(dec))
+        .cast("double") /
         (count(lit(1)).cast("double") * sum("cents").cast("double"))) -
         ((count(lit(1)) + 1).cast("double") /
           count(lit(1)).cast("double"))).as("gini"))

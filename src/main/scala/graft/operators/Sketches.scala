@@ -56,11 +56,15 @@ object Sketches {
     val fences = nn.groupBy("event_type")
       .agg(min("value").as("lo"), max("value").as("hi"))
     val w = (col("hi") - col("lo")) / bins
+    // degenerate fence (all values equal -> width 0): everything is
+    // bin 0 by definition; without the guard Spark's null-on-/0 path
+    // and DuckDB's inf path diverge
+    val bin = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(lit(bins - 1),
+        floor((col("value") - col("lo")) / w).cast("int")))
     nn.join(broadcast(fences), "event_type")
       .select(col("event_type"), to_date(col("ts")).as("day"),
-        least(lit(bins - 1),
-          floor((col("value") - col("lo")) / w).cast("int")).as("bin"),
-        col("lo"), col("hi"))
+        bin.as("bin"), col("lo"), col("hi"))
       .groupBy("event_type", "day", "bin", "lo", "hi")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -74,8 +78,8 @@ object Sketches {
     * Error is bounded by one bin width (asserted in SketchSpec); the
     * arithmetic is deterministic, so unlike q78 this one carries a
     * full hash-match oracle. */
-  def q104(t: Tables): DataFrame = {
-    val merged = dailyValueHistograms(t.events)
+  def q104(t: Tables, bins: Int = 32): DataFrame = {
+    val merged = dailyValueHistograms(t.events, bins)
       .groupBy("event_type", "bin", "lo", "hi")
       .agg(sum("cnt").as("cnt"))
     val wv = Window.partitionBy("event_type").orderBy("bin")
@@ -84,9 +88,10 @@ object Sketches {
         Window.partitionBy("event_type")))
       .withColumn("cum", sum("cnt").over(
         wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bin width uses the SAME bins value the sketch was built with
     def edge(p: Double) = min(when(
       col("cum") >= ceil(col("n") * p),
-      col("lo") + (col("hi") - col("lo")) / 32 * col("bin")))
+      col("lo") + (col("hi") - col("lo")) / bins * col("bin")))
     cum.groupBy("event_type")
       .agg(max("n").as("n"),
         round(edge(0.5), 4).as("p50_bin_edge"),

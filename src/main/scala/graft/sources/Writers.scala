@@ -92,15 +92,30 @@ object Writers {
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    // a prior crash can strand tmp (never renamed in — safe to drop)
+    // or old (the ORIGINAL data after a crash mid-swap — restore it
+    // before proceeding rather than silently compacting on top)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) {
+      require(!fs.exists(hadoopPath),
+        s"both $path and $old exist — prior compaction crashed " +
+          "post-swap; delete the stale ._compact_old after inspection")
+      require(fs.rename(old, hadoopPath),
+        s"failed to restore $old to $path")
+    }
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
     spark.read.parquet(path)
       .repartition(files.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    fs.rename(hadoopPath, old)
-    fs.rename(tmp, hadoopPath)
+    // every rename is checked: an unchecked false here would report
+    // success over a silent no-op. The two-step swap is not atomic —
+    // a crash between the renames leaves data only in ._compact_old,
+    // which the recovery block above restores on the next call.
+    require(fs.rename(hadoopPath, old), s"rename $path -> $old failed")
+    require(fs.rename(tmp, hadoopPath), s"rename $tmp -> $path failed")
     fs.delete(old, true)
     files
   }

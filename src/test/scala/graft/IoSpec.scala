@@ -277,6 +277,21 @@ class IoSpec extends SparkSpec {
     assert(!new java.io.File(out + "._compact_old").exists())
   }
 
+  test("compact recovers from a simulated mid-swap crash") {
+    val out = s"$dir/compact_crash"
+    val events = tables.events.select("event_id", "user_id")
+    events.repartition(8).write.parquet(out)
+    // simulate the crash window: data renamed away, tmp never swapped in
+    val f = new java.io.File(out)
+    val old = new java.io.File(out + "._compact_old")
+    assert(f.renameTo(old))
+    Writers.compact(spark, out, targetBytes = 1024L * 1024 * 1024)
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(events).count() == 0 &&
+      events.exceptAll(back).count() == 0)
+    assert(!old.exists())
+  }
+
   test("evolvedParquet: mergeSchema unions schemas, null-fills old files") {
     import spark.implicits._
     val out = s"$dir/evolving"

@@ -341,7 +341,18 @@ class RelationalSpec extends SparkSpec {
     assert(total == tables.events.count())
     assert(r.filter(col("suppressed") =!= col("n_events") - 1)
       .count() == 0)
-    assert(r.filter(col("first_event") > col("first_event")).count() == 0)
+    // first_event really is the minimum event_id of its bucket
+    val recomputed = tables.events
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long")
+          .as("hour_bucket"),
+        col("event_id"))
+      .groupBy("user_id", "event_type", "hour_bucket")
+      .agg(min("event_id").as("expected_min"))
+    val mismatches = r
+      .join(recomputed, Seq("user_id", "event_type", "hour_bucket"))
+      .filter(col("first_event") =!= col("expected_min"))
+    assert(mismatches.count() == 0)
   }
 
   test("q116 gaps: span = active + missing, longest_gap <= missing") {

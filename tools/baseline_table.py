@@ -2,11 +2,13 @@
 """Format a graft.Bench JSON line as the BASELINE.md measured table
 (two query columns side by side). Usage: baseline_table.py <bench.json>
 where the file holds the single JSON line Bench prints."""
-import json, math, sys
+import json, math, re, sys
 
 d = json.load(open(sys.argv[1]))
+# numeric query order: q11b sorts with q11, not into the q1xx block
 q = sorted(d["queries"].items(),
-           key=lambda kv: (len(kv[0].split("_")[0]), kv[0]))
+           key=lambda kv: (int(re.match(r"q(\d+)", kv[0]).group(1)),
+                           kv[0]))
 half = math.ceil(len(q) / 2)
 left, right = q[:half], q[half:]
 print("| query | sec | | query | sec |")
