@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order primitives: global row_number / running sum
+  * / ntile WITHOUT an unpartitioned window (SURVEY §4.3 "no
+  * unpartitioned window" discipline).
+  *
+  * `Window.orderBy(...)` with no partition key plans a single-task
+  * WindowExec — one executor sorts every row. Fine on a 10⁴-row
+  * aggregate, fatal on 10⁹ users at 100 TB. This helper is the
+  * generalization of the two-level pattern already proven per-site in
+  * [[graft.ml.Features.rankedScalable]] (Features.scala:72) and
+  * per-bucket in q105 (TextAnalysis.scala), lifted to a GLOBAL order:
+  *
+  *  1. one tiny aggregate computes global [min,max] fences of the sort
+  *     key and is broadcast onto the frame;
+  *  2. `width_bucket` assigns each row a range bucket — the double
+  *     cast is order-preserving, and equal keys always share a bucket,
+  *     so the global (key, tie) order is bucket order + in-bucket
+  *     order;
+  *  3. a windowed running sum within each bucket (parallelism =
+  *     `buckets`, each task sorts ~n/buckets rows);
+  *  4. bucket offsets from the per-bucket totals histogram — at most
+  *     `buckets`+2 rows — via a broadcast nested-loop self-join
+  *     (`prev.bucket < bucket`, O(buckets²) on tiny data), NOT a
+  *     window, so the physical plan contains zero unpartitioned
+  *     WindowExec nodes (asserted in PlanPostureSpec);
+  *  5. global value = bucket offset + in-bucket running value.
+  *
+  * Preconditions: the sort key must be non-null (null keys fall out of
+  * `width_bucket`); (key, tie) must totally order the frame for the
+  * result to be deterministic. Skewed keys degrade gracefully: a
+  * single hot value concentrates its bucket, but the bucket count
+  * bounds the worst task at max(hot-key mass, n/buckets) — same
+  * contract as any range-partitioned sort.
+  */
+object GlobalRank {
+
+  /** `out` = Σ `value` over all rows at-or-before the current row in
+    * global (`key` asc, `tie` asc) order. Descending orders: negate
+    * the key. Appends `out` to `df`'s columns. */
+  def cumSum(
+      df: DataFrame,
+      key: Column,
+      tie: Column,
+      value: Column,
+      out: String,
+      buckets: Int = 256): DataFrame = {
+    val cols = df.columns.toIndexedSeq
+    val keyed = df.withColumn("__gr_k", key.cast("double"))
+    val fences = keyed.agg(
+      min("__gr_k").as("__gr_min"), max("__gr_k").as("__gr_max"))
+    val bucketed = keyed
+      .crossJoin(broadcast(fences))
+      .withColumn("__gr_b",
+        when(col("__gr_max") === col("__gr_min"), lit(1L))
+          .otherwise(width_bucket(
+            col("__gr_k"), col("__gr_min"), col("__gr_max"),
+            lit(buckets))))
+      .drop("__gr_min", "__gr_max")
+    val localW = Window.partitionBy("__gr_b").orderBy(key, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed
+      .withColumn("__gr_loc", sum(value.cast("long")).over(localW))
+    val hist = withLocal.groupBy("__gr_b")
+      .agg(sum(value.cast("long")).as("__gr_tot"))
+    val prev = hist.select(
+      col("__gr_b").as("__gr_pb"), col("__gr_tot").as("__gr_pt"))
+    val offsets = hist
+      .join(broadcast(prev), col("__gr_pb") < col("__gr_b"), "left")
+      .groupBy("__gr_b")
+      .agg(coalesce(sum("__gr_pt"), lit(0L)).as("__gr_off"))
+    withLocal
+      .join(broadcast(offsets), Seq("__gr_b"))
+      .withColumn(out, col("__gr_off") + col("__gr_loc"))
+      .select(cols.map(col) :+ col(out): _*)
+  }
+
+  /** `out` = 1-based global row number in (`key` asc, `tie` asc)
+    * order — running count of 1s. */
+  def rowNumber(
+      df: DataFrame,
+      key: Column,
+      tie: Column,
+      out: String,
+      buckets: Int = 256): DataFrame =
+    cumSum(df, key, tie, lit(1L), out, buckets)
+
+  /** SQL `ntile(k)` bucket code from a 1-based global row number `i`
+    * and total row count `n` (exact long arithmetic; the first
+    * n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the ANSI
+    * contract Spark and DuckDB share). Division is `floor` of an IEEE
+    * quotient of values ≤ n ≤ 2⁵³, so every step is exact. */
+  def ntileExpr(i: Column, n: Column, k: Int): Column = {
+    val kL = lit(k.toLong)
+    val base = floor(n / kL).cast("long")
+    val big = n % kL
+    val cut = big * (base + lit(1L))
+    when(i <= cut,
+      floor((i - lit(1L)) / (base + lit(1L))).cast("long") + lit(1L))
+      .otherwise(big +
+        floor((i - cut - lit(1L)) / base).cast("long") + lit(1L))
+  }
+}

