@@ -57,8 +57,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Truncation-proofing: the round driver captures only the log TAIL,
+    // so a single giant JSON line can lose its head (round 3 lost 50 of
+    // 129 per-query numbers that way). Emit the numbers three ways:
+    //  1. the total on its own short line, first;
+    //  2. one short line per query (each survives tail capture alone);
+    //  3. the full single-line JSON last (the driver's parse target),
+    // and persist the full JSON to target/bench.json as the durable
+    // artifact independent of log capture.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    results.foreach { case (k, v) =>
+      println(f"""{"bench_query":"$k","sec":$v%.3f}""")
+    }
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }
