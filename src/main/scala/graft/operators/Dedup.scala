@@ -458,25 +458,26 @@ object Dedup {
 
   /** Q85 — canonical-document selection: for every near-dup cluster
     * (q42 components) pick the representative the cleaned corpus keeps
-    * — longest text, doc_id tie-break — via the bounded-heap
-    * [[graft.plans.TopKPerKey]] node with k=1 (a grouped argmax with
-    * O(1) state per cluster, no window sort), plus cluster size. The
-    * keep-decision table a dedup pipeline joins back onto the corpus. */
-  def canonicalDocs(documents: DataFrame): DataFrame = {
-    graft.plans.GraftExtensions.register(documents.sparkSession)
-    val clusters = nearDupComponents(documents)
+    * — longest text, doc_id tie-break — plus cluster size and max
+    * length, all from ONE hash aggregate over the component frame. The
+    * argmax is `max(struct(n_chars, -doc_id))`: struct ordering is
+    * field-by-field, so the max carries the longest text and, on
+    * length ties, the smallest doc_id — O(1) aggregation state per
+    * cluster, one shuffle on `component`, no window sort, no second
+    * join-back (the pre-fusion form derived sizes and the argmax in
+    * separate passes). The keep-decision table a dedup pipeline joins
+    * back onto the corpus. */
+  def canonicalDocs(documents: DataFrame): DataFrame =
+    nearDupComponents(documents)
       .join(documents.select("doc_id", "n_chars"), "doc_id")
-    val sizes = clusters.groupBy("component")
-      .agg(count(lit(1)).as("n_docs"), max("n_chars").as("max_chars"))
-    val canon = graft.plans.TopKPerKey
-      .topK(clusters, Seq("component"),
-        Seq(col("n_chars").desc, col("doc_id")), 1)
-      .select(col("component"), col("doc_id").as("canonical_doc"))
-    canon.join(sizes, "component")
-      .select(col("component"), col("n_docs"), col("canonical_doc"),
-        col("max_chars"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("component"), col("n_docs"),
+        (-col("best.neg_id")).as("canonical_doc"),
+        col("best.n_chars").as("max_chars"))
       .orderBy("component")
-  }
 
   /** q112 — leakage-safe train/valid/test split: assignment is keyed
     * on the near-dup COMPONENT root, not the document, so a document
