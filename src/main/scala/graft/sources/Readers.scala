@@ -169,8 +169,11 @@ object Readers {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add(StructField("_corrupt_record", StringType)))
       .csv(path)
-      // cache before filtering: Spark refuses plans that reference only
-      // the internal corrupt-record column of a raw CSV scan
-      .cache()
+      // materialize before filtering: Spark refuses plans that
+      // reference only the internal corrupt-record column of a raw CSV
+      // scan. localCheckpoint (eager), NOT cache: it leaves no
+      // CacheManager entry for the caller to unpersist — the blocks
+      // are reclaimed by the ContextCleaner when the frame is dropped
+      .localCheckpoint(true)
       .filter(col("_corrupt_record").isNotNull)
 }

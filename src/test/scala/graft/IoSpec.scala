@@ -92,10 +92,14 @@ class IoSpec extends SparkSpec {
     assert(ds.count() == Fixtures.rawDataTsv.linesIterator.size - 1)
   }
 
-  test("badRecords surfaces the malformed row permissively") {
+  test("badRecords surfaces the malformed row permissively, no cache") {
     val bad = Readers.badRecords(
       spark, slPath, Readers.sitelinkSchema, "\t")
     assert(bad.count() == 1)
+    // the debug path must not leave a CacheManager entry behind (the
+    // round-1 leak class): localCheckpoint, not cache
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "badRecords leaked a cached plan")
   }
 
   test("parquet round-trip and ErrorIfExists semantics") {
