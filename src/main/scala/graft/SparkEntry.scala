@@ -1338,10 +1338,12 @@ object SparkEntry {
         |             CAST(COUNT(*) AS BIGINT) AS n_suppliers
         |      FROM ps GROUP BY p_type)
         |SELECT ps.p_type, t.n_suppliers,
-        |       ROUND(SUM(POWER(CAST(ps.q AS DOUBLE) / CAST(t.tot AS DOUBLE),
-        |                       2)), 6) AS hhi
+        |       ROUND(CAST(SUM(CAST(ps.q AS HUGEINT) * CAST(ps.q AS HUGEINT))
+        |                  AS DOUBLE) /
+        |             CAST(CAST(t.tot AS HUGEINT) * CAST(t.tot AS HUGEINT)
+        |                  AS DOUBLE), 6) AS hhi
         |FROM ps JOIN t USING (p_type)
-        |GROUP BY ps.p_type, t.n_suppliers
+        |GROUP BY ps.p_type, t.n_suppliers, t.tot
         |ORDER BY p_type""".stripMargin,
     "q110_string_suite" ->
       """SELECT p_partkey,
@@ -1527,7 +1529,7 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, event_type, n FROM i
         |UNION ALL
         |SELECT 'except_all' AS op, event_type, n FROM e
-        |ORDER BY op, event_type""".stripMargin,
+        |ORDER BY op, event_type NULLS FIRST""".stripMargin,
     "q122_lateral_top1" ->
       """SELECT c.c_custkey, t.o_orderkey AS best_order,
         |       t.o_totalprice AS best_price

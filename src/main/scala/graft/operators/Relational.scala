@@ -1253,13 +1253,16 @@ object Relational {
 
   /** q109 — supply-chain concentration: per part type, the Herfindahl–
     * Hirschman index of supplier shipment shares (Σ share²) — the
-    * standard market-concentration analytic. Shares are built from
-    * exact integer quantity sums per (type, supplier) so only the
-    * final |suppliers|-per-type squared-share reduction is floating
-    * point (rounded to 6); the fact table aggregates once, the |types|-
-    * row totals frame broadcasts back. */
+    * standard market-concentration analytic. HHI = Σq²/tot² with BOTH
+    * sums exact integers (decimal(38,0) — q² terms overflow a long at
+    * scale) and ONE final IEEE division, mirroring the q124 Gini
+    * discipline: a Σ(q/tot)² float sum depends on aggregation order
+    * and can flip the 6th rounded digit across engines/partitionings.
+    * The fact table aggregates once; the |types|-row totals frame
+    * broadcasts back. */
   def q109(t: Tables): DataFrame = {
     val qty = round(col("l_quantity")).cast("long")
+    val dec = "decimal(38,0)"
     val perSupp = t.lineitem
       .join(broadcast(t.part.select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
@@ -1268,10 +1271,12 @@ object Relational {
     val totals = perSupp.groupBy("p_type").agg(sum("q").as("tot"),
       count(lit(1)).as("n_suppliers"))
     perSupp.join(broadcast(totals), "p_type")
-      .groupBy(col("p_type"), col("n_suppliers"))
-      .agg(round(sum(pow(col("q").cast("double") / col("tot").cast("double"),
-        2)), 6).as("hhi"))
-      .select(col("p_type"), col("n_suppliers"), col("hhi"))
+      .groupBy(col("p_type"), col("n_suppliers"), col("tot"))
+      .agg(sum(col("q").cast(dec) * col("q").cast(dec)).as("sq"))
+      .select(col("p_type"), col("n_suppliers"),
+        round(col("sq").cast("double") /
+          (col("tot").cast(dec) * col("tot").cast(dec)).cast("double"),
+          6).as("hhi"))
       .orderBy("p_type")
   }
 
@@ -1378,7 +1383,16 @@ object Relational {
       joined.filter(col("events") > 0)
         .select(lit(1).as("g"), col("events")), "g", "events",
       Seq("m" -> 0.5)).select(col("m").as("med_events"))
-    joined.crossJoin(broadcast(medRev)).crossJoin(broadcast(medEng))
+    // medEng is EMPTY when no customer has events (the DuckDB oracle's
+    // scalar subquery yields NULL instead) — a crossJoin would zero the
+    // whole result on that degenerate input, so join on a constant key
+    // with left semantics: med_events becomes NULL and every
+    // engagement comparison is gated by events > 0 anyway.
+    joined.crossJoin(broadcast(medRev))
+      .withColumn("__k", lit(1))
+      .join(broadcast(medEng.withColumn("__k", lit(1))), Seq("__k"),
+        "left")
+      .drop("__k")
       .select(
         (col("events") > 0 && col("events") >= col("med_events"))
           .as("hi_eng"),
@@ -1413,8 +1427,10 @@ object Relational {
     val e = a.exceptAll(b).groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("op", lit("except_all"))
+    // explicit NULLS FIRST: set ops preserve NULL event_types, and the
+    // engines' ORDER BY null placement defaults differ (q113 discipline)
     i.unionByName(e).select("op", "event_type", "n")
-      .orderBy("op", "event_type")
+      .orderBy(col("op"), col("event_type").asc_nulls_first)
   }
 
   /** q122 — correlated LATERAL subquery: each customer's single
