@@ -23,7 +23,7 @@ object StatefulSessions {
 
   val GapMicros: Long = 30L * 60 * 1000 * 1000
 
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
   /** Batch-mode state function: events arrive unordered, so sort within
