@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample operator shapes a training
   * pipeline runs over them.
   *
-  * The actual codecs (image/audio/video decode) are NOT in this
-  * container, so the decode kernels are deterministic STUBS — clearly
-  * marked below — while everything Spark-side is real and tested: the
-  * binary schema, metadata struct, partition-parallel batch processing
-  * via mapPartitions, and the pure-Column fast paths.
+  * Decode kernels dispatch on payload CONTENT (magic bytes), not
+  * metadata: PNG/JPEG payloads decode through `javax.imageio` — a real
+  * pixel decoder, zero extra dependencies — and anything else falls
+  * back to the deterministic raw-bytes kernel (byte intensities stand
+  * in for pixels), so the same plumbing covers real images and the
+  * synthetic text-byte payloads of the test corpus. Video/audio codecs
+  * are NOT in this container; their shapes ride the same raw path.
   *
   * Scale: payload bytes stay columnar (parquet BinaryType) and are
   * column-pruned away unless an operator touches them; per-partition
@@ -50,12 +52,18 @@ object Multimodal {
         col("meta.height").as("height"))
       .orderBy("doc_id")
 
-  /** ===== STUB decode kernel =====
-    * Stands in for an image decoder: deterministic pseudo-pixels from
-    * the payload bytes. A real deployment swaps ONLY this function for
-    * a codec call; the partition-batched plumbing around it stays. */
-  private def stubDecode(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
-    val out = new Array[Float](8) // 8 fake channel statistics
+  /** PNG (\x89PNG) or JPEG (\xFF\xD8) magic — the formats
+    * `javax.imageio` ships decoders for on every JDK. */
+  private def isImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+      p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+
+  /** Raw-bytes kernel (non-image payloads): byte intensities stand in
+    * for pixels — channel i is the mean of bytes ≡ i (mod 8), scaled
+    * to [0,1]. Deterministic, content-only. */
+  private def rawStats(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
       out(i % 8) += (payload(i) & 0xff) / 255.0f
@@ -66,6 +74,46 @@ object Multimodal {
     out
   }
 
+  /** REAL image kernel: `javax.imageio` decode to pixels, then the
+    * aHash-style statistics — mean luminance (mean of R,G,B / 255)
+    * over a 2-row × 4-column grid of the image, one value per cell in
+    * row-major order. MultimodalSpec checks these against
+    * hand-computed pixel averages on generated PNGs. */
+  private def imageDecode(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO
+      .read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](8)
+    val counts = new Array[Int](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / (3.0 * 255.0)
+        val cell = math.min(y * 2 / h, 1) * 4 + math.min(x * 4 / w, 3)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < 8) {
+      out(i) = (sums(i) / math.max(counts(i), 1)).toFloat; i += 1
+    }
+    out
+  }
+
+  /** Content-dispatched decode: real ImageIO for PNG/JPEG, raw-bytes
+    * kernel otherwise. */
+  private def decode(payload: Array[Byte]): Array[Float] =
+    if (isImage(payload)) imageDecode(payload) else rawStats(payload)
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
@@ -74,32 +122,50 @@ object Multimodal {
     * processing — the Scala analogue of an Arrow-batched decode UDF:
     * one `mapPartitions` pass, codec state initialized once per
     * partition, rows streamed through it. */
-  def extractFeatures(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    val media = withMedia(documents)
-      .select("doc_id", "media", "meta.width", "meta.height")
+  def extractFeatures(documents: DataFrame): DataFrame =
+    extractFeaturesFromMedia(withMedia(documents))
+
+  /** Same, over a frame that ALREADY carries (doc_id, media) — the
+    * entry point for real ingested payloads. */
+  def extractFeaturesFromMedia(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
-    media.mapPartitions { rows =>
+    media.select("doc_id", "media").mapPartitions { rows =>
       // per-partition init happens HERE in a real codec (decoder handle)
       rows.map { r =>
-        val feats = stubDecode(
-          r.getAs[Array[Byte]]("media"), r.getAs[Int]("width"),
-          r.getAs[Int]("height"))
+        val feats = decode(r.getAs[Array[Byte]]("media"))
         Row(r.getAs[Long]("doc_id"), feats.toSeq)
       }
     }(enc)
   }
 
-  /** ===== STUB resize kernel =====
-    * Stands in for an image resampler: keeps every `factor`-th payload
-    * byte (deterministic decimation). Swap for a real scaler; the
-    * partition-batched plumbing and metadata arithmetic stay. */
-  private def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+  /** Raw-bytes resize (non-image payloads): keeps every `factor`-th
+    * byte — deterministic decimation. */
+  private def rawDecimate(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = payload(i * factor); i += 1 }
     out
+  }
+
+  /** REAL image resize: ImageIO decode → Graphics2D scaled redraw →
+    * PNG re-encode. Returns the new payload plus actual output
+    * dimensions. */
+  private def imageResize(
+      payload: Array[Byte], factor: Int): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO
+      .read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val nw = math.max(img.getWidth / factor, 1)
+    val nh = math.max(img.getHeight / factor, 1)
+    val out = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, nw, nh, null)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    (baos.toByteArray, nw, nh)
   }
 
   val resizedSchema: StructType = StructType(Seq(
@@ -109,19 +175,30 @@ object Multimodal {
     StructField("height", IntegerType)))
 
   /** Resize media payloads by an integer factor: per-partition batch
-    * pass (decoder/scaler state initialized once per partition);
-    * metadata dimensions scale with the payload. */
-  def resize(documents: DataFrame, factor: Int = 2): DataFrame = {
-    val media = withMedia(documents)
-      .select("doc_id", "media", "meta.width", "meta.height")
+    * pass (decoder/scaler state initialized once per partition).
+    * PNG/JPEG payloads go through the real ImageIO scaler and report
+    * ACTUAL output dimensions; raw payloads are byte-decimated with
+    * metadata-arithmetic dimensions. */
+  def resize(documents: DataFrame, factor: Int = 2): DataFrame =
+    resizeMedia(withMedia(documents)
+      .select("doc_id", "media", "meta.width", "meta.height"), factor)
+
+  /** Same, over a frame that ALREADY carries
+    * (doc_id, media, width, height). */
+  def resizeMedia(media: DataFrame, factor: Int): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(resizedSchema)
-    media.mapPartitions { rows =>
+    media.select("doc_id", "media", "width", "height").mapPartitions { rows =>
       rows.map { r =>
-        val scaled = stubResize(r.getAs[Array[Byte]]("media"), factor)
-        Row(r.getAs[Long]("doc_id"), scaled,
-          math.max(r.getAs[Int]("width") / factor, 1),
-          math.max(r.getAs[Int]("height") / factor, 1))
+        val payload = r.getAs[Array[Byte]]("media")
+        if (isImage(payload)) {
+          val (scaled, nw, nh) = imageResize(payload, factor)
+          Row(r.getAs[Long]("doc_id"), scaled, nw, nh)
+        } else {
+          Row(r.getAs[Long]("doc_id"), rawDecimate(payload, factor),
+            math.max(r.getAs[Int]("width") / factor, 1),
+            math.max(r.getAs[Int]("height") / factor, 1))
+        }
       }
     }(enc)
   }
@@ -144,7 +221,7 @@ object Multimodal {
     // like simhashNearDups if a looser radius is ever needed)
     require(maxHamming <= 2,
       s"maxHamming=$maxHamming exceeds the probe index's radius (2)")
-    val nBits = 8 // = |stub channel statistics|; 64 for a real 8×8 aHash
+    val nBits = 8 // = |decode grid cells|; 64 for a full 8×8 aHash
     val feats = extractFeatures(documents)
     val mean = aggregate(col("features"), lit(0.0d),
       (acc, x) => acc + x.cast("double")) / nBits

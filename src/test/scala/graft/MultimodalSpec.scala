@@ -57,6 +57,51 @@ class MultimodalSpec extends SparkSpec {
     assert(full.count() == longDocs.count())
   }
 
+  /** A w×h PNG whose 2-row × 4-column grid cells are constant gray
+    * levels `levels(0..7)` (row-major). */
+  private def gridPng(w: Int, h: Int, levels: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = levels(math.min(y * 2 / h, 1) * 4 + math.min(x * 4 / w, 3))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("ImageIO kernel: PNG decodes to hand-computed grid luminances") {
+    import spark.implicits._
+    val levels = Seq(0, 30, 60, 90, 120, 150, 180, 210)
+    // cell-aligned 8×4 (each cell constant) and a non-aligned 10×6
+    // (cells averaged over uneven pixel counts — still constant here)
+    val media = Seq(
+      (1L, gridPng(8, 4, levels)),
+      (2L, gridPng(10, 6, levels))).toDF("doc_id", "media")
+    val feats = Multimodal.extractFeaturesFromMedia(media)
+      .collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expected = levels.map(_ / 255.0f)
+    for (id <- Seq(1L, 2L); i <- 0 until 8)
+      assert(math.abs(feats(id)(i) - expected(i)) < 1e-6,
+        s"doc $id cell $i: got ${feats(id)(i)}, want ${expected(i)}")
+  }
+
+  test("ImageIO resize halves real dimensions; output is decodable PNG") {
+    import spark.implicits._
+    val media = Seq((1L, gridPng(8, 4, Seq.fill(8)(128)), 8, 4))
+      .toDF("doc_id", "media", "width", "height")
+    val out = Multimodal.resizeMedia(media, 2).collect().head
+    assert(out.getInt(2) == 4 && out.getInt(3) == 2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("media")))
+    assert(img != null && img.getWidth == 4 && img.getHeight == 2)
+    // uniform gray input stays uniform gray after scaling
+    val rgb = img.getRGB(1, 1)
+    assert(((rgb >> 16) & 0xff) == 128 && (rgb & 0xff) == 128)
+  }
+
   test("perceptualNearDups: identical payloads pair at hamming 0, " +
     "probe join misses nothing within the bound") {
     import spark.implicits._
