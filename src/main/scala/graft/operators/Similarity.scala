@@ -458,6 +458,82 @@ object Similarity {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** One band's bucket key (rows bits) from the deterministic xxhash64
+    * hyperplanes — per-band columns instead of one packed long, so the
+    * total bit budget is NOT capped at 64 (the adaptive path can need
+    * rows × bands > 64). */
+  private def bandKey(v: Column, dim: Int, band: Int, rows: Int): Column =
+    (0 until rows).map { i =>
+      val plane = band * rows + i
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * when(pmod(xxhash64(lit(plane), j), lit(2)) === 0,
+            1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Density-adaptive LSH granularity: rows-per-band keeps EXPECTED
+    * bucket occupancy ≤ `targetOccupancy` (candidate pairs ~linear in
+    * corpus size instead of quadratic-in-occupancy), bands deliver
+    * `targetRecall` for pairs at cosine ≥ `minCos` under the
+    * random-hyperplane collision model p = 1 − acos(cos)/π. Pure
+    * arithmetic — unit-tested directly in SimilaritySpec. */
+  def adaptiveLshParams(
+      n: Long, minCos: Double, targetOccupancy: Long = 128,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    val rows = math.max(1, math.min(24, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(minCos, 1.0))) / math.Pi
+    val missPerBand = 1.0 - math.pow(p, rows)
+    val bands =
+      if (missPerBand <= 0.0) 1
+      else math.max(1, math.min(16, math.ceil(
+        math.log(1.0 - targetRecall) / math.log(missPerBand)).toInt))
+    (rows, bands)
+  }
+
+  /** Embedding near-dup pairs with DENSITY-ADAPTIVE LSH — the 100 TB
+    * default. The fixed-granularity operators above ([[embeddingNearDups]],
+    * [[embeddingNearDupsPortable]]) keep 2⁴ buckets per band for oracle
+    * portability, so bucket occupancy grows with the corpus and the
+    * candidate-pair volume quadratically (measured 25× wall-clock for
+    * 10× vectors in the sf1 rehearsal, BASELINE.md). This variant
+    * spends one `count()` to size the bucket space: occupancy stays
+    * ≤ targetOccupancy regardless of corpus size, so candidates grow
+    * linearly; band count is derived from the recall target at the
+    * cosine threshold. Everything downstream is the same bucketed
+    * equi-join + exact-cosine verify. */
+  def embeddingNearDupsAdaptive(
+      embeddings: DataFrame, dim: Int = 64, minCos: Double = 0.95,
+      targetOccupancy: Long = 128, targetRecall: Double = 0.9): DataFrame = {
+    val n = embeddings.count()
+    val (rows, bands) = adaptiveLshParams(
+      n, minCos, targetOccupancy, targetRecall)
+    val sig = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val banded = sig.select(
+      col("vec_id"), col("v"), col("n"),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col("v"), dim, b, rows)): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+      .select(col("vec_i"), col("vec_j"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_i", "vec_j")
+  }
+
   /** q100 — SemDeDup (Abbas et al. 2023) semantic deduplication:
     * embedding-space near-dup pairs from the engine-portable LSH
     * operator (q35 semantics), closed transitively with the diameter-

@@ -79,6 +79,56 @@ class SimilaritySpec extends SparkSpec {
     assert(r.filter(col("cos") < 0.9).count() == 0)
   }
 
+  test("adaptiveLshParams: occupancy bounded, bands track recall target") {
+    for (n <- Seq(1L, 100L, 1000L, 100000L, 10000000L, 1000000000L)) {
+      val (rows, bands) =
+        Similarity.adaptiveLshParams(n, 0.95, targetOccupancy = 128)
+      assert(rows >= 1 && rows <= 24 && bands >= 1 && bands <= 16)
+      if (n >= 128 && rows < 24)
+        assert(n.toDouble / (1L << rows) <= 128.0,
+          s"n=$n rows=$rows occupancy ${n.toDouble / (1L << rows)}")
+    }
+    // doubling the corpus adds at most one row-bit: occupancy constant,
+    // candidate volume ~linear
+    val (r1, _) = Similarity.adaptiveLshParams(100000L, 0.95)
+    val (r2, _) = Similarity.adaptiveLshParams(200000L, 0.95)
+    assert(r2 - r1 <= 1 && r2 >= r1)
+    // a stricter recall target never uses fewer bands
+    val (_, bLoose) =
+      Similarity.adaptiveLshParams(100000L, 0.9, targetRecall = 0.8)
+    val (_, bTight) =
+      Similarity.adaptiveLshParams(100000L, 0.9, targetRecall = 0.99)
+    assert(bTight >= bLoose)
+  }
+
+  test("embeddingNearDupsAdaptive: recall vs brute force, deterministic") {
+    val minCos = 0.4
+    val e = tables.embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val brute = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    val got = Similarity
+      .embeddingNearDupsAdaptive(tables.embeddings, 64, minCos,
+        targetOccupancy = 128, targetRecall = 0.9)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), "adaptive emitted a below-threshold pair")
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"adaptive LSH recall at cos≥$minCos = $recall " +
+      s"(${got.size}/${brute.size})")
+    assert(recall >= 0.75, s"recall $recall")
+    val again = Similarity
+      .embeddingNearDupsAdaptive(tables.embeddings, 64, minCos,
+        targetOccupancy = 128, targetRecall = 0.9)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("semanticDedup equals the transitive closure of the pair list") {
     val pairs = Similarity.embeddingNearDupsPortable(tables.embeddings)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
