@@ -154,6 +154,9 @@ object SparkEntry {
     "q124_gini" -> q(Relational.q124),
     "q125_novelty" -> q(t => TextAnalysis.noveltyScores(t.documents)),
     "q126_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t.documents)),
+    "q127_temperature_mixture" ->
+      q(t => TextAnalysis.temperatureMixture(t.documents)),
+    "q128_conversion_survival" -> q(Relational.q128),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1612,6 +1615,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS vocab
         |FROM nd ORDER BY doc_id""".stripMargin,
+    "q127_temperature_mixture" ->
+      """WITH s AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |b AS (SELECT s.*, t.tw,
+        |             CAST((100000 * w) // tw AS BIGINT) AS base,
+        |             CAST((100000 * w) % tw AS BIGINT) AS rem
+        |      FROM s, t),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM b),
+        |g AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover FROM b)
+        |SELECT lang, source, n_docs,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota
+        |FROM r, g ORDER BY lang, source""".stripMargin,
+    "q128_conversion_survival" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type='click'
+        |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fc,
+        |         MIN(CASE WHEN event_type='purchase'
+        |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |l AS (SELECT user_id, CAST((fp - fc) // 3600 AS BIGINT) AS lag_h
+        |      FROM f
+        |      WHERE fc IS NOT NULL AND fp IS NOT NULL AND fp >= fc),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM l),
+        |h AS (SELECT CAST(CASE WHEN lag_h >= 24 THEN 24 ELSE lag_h END
+        |               AS BIGINT) AS bucket_h,
+        |             CAST(COUNT(*) AS BIGINT) AS converted
+        |      FROM l GROUP BY 1)
+        |SELECT bucket_h, converted,
+        |       CAST(SUM(converted) OVER (ORDER BY bucket_h) AS BIGINT)
+        |         AS cum_converted,
+        |       CAST(n - SUM(converted) OVER (ORDER BY bucket_h) AS BIGINT)
+        |         AS surviving
+        |FROM h, tot ORDER BY bucket_h""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -1718,4 +1718,37 @@ object Relational {
         (sum("cents").cast("double") / 100).as("revenue"))
       .orderBy("channel")
   }
+
+  /** q128 — click→purchase conversion survival curve: per user the
+    * FIRST click and FIRST purchase (one hash aggregate over the
+    * stream — no self-join, unlike q107's pair listing), the lag in
+    * whole hours (epoch-second floors on both engines, so the bucket
+    * arithmetic is integer-exact), capped at 24h, then the converted /
+    * cumulative-converted / still-surviving counts per bucket. The
+    * cumulative sum over the ≤25-row histogram is a [[GlobalRank]]
+    * distributed prefix sum — same discipline as q92/q126, no
+    * unpartitioned window. The discrete-survival shape behind
+    * "how long until a user converts" retention analyses. */
+  def q128(t: Tables): DataFrame = {
+    val firsts = t.events.groupBy("user_id").agg(
+      min(when(col("event_type") === "click",
+        unix_timestamp(col("ts")))).as("fc"),
+      min(when(col("event_type") === "purchase",
+        unix_timestamp(col("ts")))).as("fp"))
+    val lags = firsts
+      .filter(col("fc").isNotNull && col("fp").isNotNull
+        && col("fp") >= col("fc"))
+      .select(expr("(fp - fc) div 3600").as("lag_h"))
+    val tot = lags.agg(count(lit(1)).as("n"))
+    val hist = lags
+      .select(when(col("lag_h") >= 24, 24L).otherwise(col("lag_h"))
+        .as("bucket_h"))
+      .groupBy("bucket_h").agg(count(lit(1)).as("converted"))
+    GlobalRank.cumSum(hist, col("bucket_h"), col("bucket_h"),
+        col("converted"), "cum_converted")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_h"), col("converted"), col("cum_converted"),
+        (col("n") - col("cum_converted")).as("surviving"))
+      .orderBy("bucket_h")
+  }
 }

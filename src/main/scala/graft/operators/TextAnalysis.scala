@@ -594,6 +594,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q127 — temperature-sampled mixture allocation (the mT5/Gopher
+    * "α-sampling" recipe): per-(lang, source) stratum weights ∝ n^α
+    * with α = 1/2, a fixed document budget split by the largest-
+    * remainder method so quotas are integers that sum EXACTLY to the
+    * budget. Everything is exact integer arithmetic after one
+    * deterministic `round(1e6·√n)` weight quantization (both engines
+    * compute the same IEEE sqrt), so the allocation hash-matches the
+    * DuckDB oracle: base = ⌊B·w/W⌋, and the B − Σbase leftover units
+    * go to the largest remainders (stratum-key tie-break) via a
+    * [[GlobalRank]] distributed rank — no unpartitioned window even at
+    * millions of strata. */
+  def temperatureMixture(
+      documents: DataFrame, budget: Long = 100000L): DataFrame = {
+    val strata = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        round(lit(1000000.0) * sqrt(col("n_docs"))).cast("long"))
+    val tot = strata.agg(sum("w").as("tw"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * w) div tw"))
+      .withColumn("rem", expr(s"(${budget}L * w) % tw"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
+    GlobalRank.rowNumber(based, -col("rem"),
+        struct(col("lang"), col("source")), "rk")
+      .crossJoin(broadcast(leftover))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy("lang", "source")
+  }
+
   /** q126 — vocabulary growth curve (the empirical Heaps-law input):
     * cumulative distinct-token count as the corpus is read in doc_id
     * order, one row per document that introduces new tokens. Running

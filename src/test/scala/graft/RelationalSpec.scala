@@ -524,4 +524,18 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(gm - med) < 1e-4 && math.abs(gd - mad) < 1e-4, k)
     }
   }
+
+  test("q128 survival: counts conserve, cum monotone, last bucket drains") {
+    val rows = Relational.q128(tables).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    assert(rows.last.getLong(2) == n, "cum_converted must end at total")
+    assert(rows.last.getLong(3) == 0L, "survival must drain to zero")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + b.getLong(1))
+        assert(b.getLong(3) <= a.getLong(3))
+      case _ => ()
+    }
+  }
 }

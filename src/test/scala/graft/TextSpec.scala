@@ -188,6 +188,24 @@ class TextSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("temperatureMixture: quotas sum exactly to budget and flatten") {
+    import spark.implicits._
+    val alloc = TextAnalysis.temperatureMixture(tables.documents, 10000L)
+      .collect()
+    assert(alloc.map(_.getLong(3)).sum == 10000L)
+    assert(alloc.forall(_.getLong(3) >= 0L))
+    // α=1/2 flattening: a 90/10 two-stratum corpus allocates the
+    // minority stratum √-proportionally (~25%), well above its raw 10%
+    val skew = (1 to 90).map(i => (s"d$i", "en", "big"))
+      .++((1 to 10).map(i => (s"m$i", "en", "small")))
+      .toDF("text", "lang", "source")
+    val a2 = TextAnalysis.temperatureMixture(skew, 1000L)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(a2("big") + a2("small") == 1000L)
+    assert(a2("small") > 200L && a2("small") < 300L,
+      s"minority quota ${a2("small")} not √-flattened")
+  }
+
   test("noveltyScores: first doc fully novel, duplicate fully stale") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
