@@ -2,9 +2,6 @@ package graft
 
 import graft.operators.{GlobalRank, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,32 +71,33 @@ class GlobalRankSpec extends SparkSpec {
   // --- plan posture: the judge-graded gate ---------------------------
 
   /** Fails if the executed plan contains a WindowExec with an empty
-    * partitionSpec or a shuffle to a single partition. */
+    * partitionSpec or an explicit shuffle to a single partition
+    * (scalar aggregates' ENSURE_REQUIREMENTS single-partition exchange
+    * is benign: its input is one partial-agg row per task). */
   private def assertDistributed(dfq: DataFrame, name: String): Unit = {
     dfq.collect() // finalize any adaptive plan
-    val plan = dfq.queryExecution.executedPlan
-    val unwrapped = plan.collect {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-    } match {
-      case Seq() => plan
-      case inner => inner.head
+    val hazards = graft.plans.PlanAudit.singleTaskHazards(dfq)
+    assert(hazards.isEmpty,
+      s"$name has single-task hazards: ${hazards.mkString("; ")}")
+  }
+
+  test("PlanAudit flags unpartitioned windows and repartition(1)") {
+    val byWindow = df.withColumn("rn",
+      row_number().over(Window.orderBy("k", "id")))
+    byWindow.collect()
+    assert(graft.plans.PlanAudit.singleTaskHazards(byWindow)
+      .exists(_.kind == "unpartitioned-window"))
+    val byRepart = df.repartition(1).groupBy("k").count()
+    byRepart.collect()
+    assert(graft.plans.PlanAudit.singleTaskHazards(byRepart)
+      .exists(_.kind == "single-partition-shuffle"))
+    intercept[IllegalStateException] {
+      graft.plans.PlanAudit.assertScalable(byWindow)
     }
-    val badWindows = unwrapped.collectWithSubqueries {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
-    assert(badWindows.isEmpty,
-      s"$name plans an unpartitioned WindowExec:\n$unwrapped")
-    // Scalar aggregates legitimately finish on one partition (their
-    // input is one partial-agg row per task); the killer is an
-    // EXPLICIT repartition(1) of a data frame, which has no partial
-    // reduction in front of it.
-    val singleRepartitions = unwrapped.collectWithSubqueries {
-      case s: ShuffleExchangeExec
-          if s.outputPartitioning.numPartitions == 1
-            && s.shuffleOrigin != ENSURE_REQUIREMENTS => s
-    }
-    assert(singleRepartitions.isEmpty,
-      s"$name explicitly repartitions to a single partition:\n$unwrapped")
+    // a clean distributed plan passes and chains
+    val clean = GlobalRank.rowNumber(df, col("k"), col("id"), "i", 16)
+    clean.collect()
+    assert(graft.plans.PlanAudit.assertScalable(clean) eq clean)
   }
 
   test("q75 / q92 / q124 plans have no single-task window or shuffle") {
