@@ -157,6 +157,8 @@ object SparkEntry {
     "q127_temperature_mixture" ->
       q(t => TextAnalysis.temperatureMixture(t.documents)),
     "q128_conversion_survival" -> q(Relational.q128),
+    "q129_split_contamination" ->
+      q(t => Dedup.crossSplitContamination(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1654,6 +1656,28 @@ object SparkEntry {
         |       CAST(n - SUM(converted) OVER (ORDER BY bucket_h) AS BIGINT)
         |         AS surviving
         |FROM h, tot ORDER BY bucket_h""".stripMargin,
+    "q129_split_contamination" ->
+      """WITH t0 AS (SELECT doc_id,
+        |              CASE WHEN substr(md5(text), 1, 1) < 'c'
+        |                   THEN 'train' ELSE 'test' END AS split,
+        |              string_split(text, ' ') AS t
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, len(t)-1)]) AS s
+        |  FROM t0 WHERE len(t) >= 3),
+        |idx AS (SELECT doc_id, split, len(s) AS n_sh, unnest(s) AS g
+        |        FROM sh),
+        |tr AS (SELECT DISTINCT g FROM idx WHERE split = 'train')
+        |SELECT idx.doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS contaminated,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contamination
+        |FROM idx LEFT JOIN tr USING (g)
+        |WHERE idx.split = 'test'
+        |GROUP BY idx.doc_id, n_sh ORDER BY doc_id""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -607,4 +607,41 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
       .orderBy("doc_id", "bench_id")
   }
+
+  /** q129 — cross-split contamination audit: the fraction of each TEST
+    * document's distinct shingles that also occur anywhere in the
+    * TRAIN split (q46's content-hash split rule) — the "did my test
+    * set leak through the split boundary" metric that complements
+    * [[leakageSafeSplit]] (which prevents it) and
+    * [[benchmarkDecontamination]] (which audits against an external
+    * benchmark). Shape: one shingle explode per side on 8-byte
+    * xxhash64 fingerprints, the train side reduced to DISTINCT gram
+    * keys, one equi-join on the fingerprint — linear in corpus shingle
+    * volume, never doc×doc. Unlike the benchmark index, the train gram
+    * set is corpus-sized, so it stays a shuffle join (NOT broadcast). */
+  def crossSplitContamination(
+      documents: DataFrame, n: Int = 3,
+      trainNibbles: Int = 12): DataFrame = {
+    val nibble =
+      conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+    val idx = documents
+      .select(col("doc_id"),
+        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
+          .as("split"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("split"), size(col("sh")).as("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    val trainGrams = idx.filter(col("split") === "train")
+      .select("g").distinct().withColumn("hit", lit(1L))
+    idx.filter(col("split") === "test")
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy("doc_id", "n_sh")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+        col("contaminated"),
+        (col("contaminated").cast("double") / col("n_sh").cast("double"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
 }

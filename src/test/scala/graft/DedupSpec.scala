@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -188,5 +188,28 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((0L, "a b c d e"), (1L, "v w x y z"))
       .toDF("doc_id", "text")
     assert(Dedup.decontaminationPairs(docs, n = 4).count() == 0)
+  }
+
+  test("crossSplitContamination: bounds, split coverage, degenerate splits") {
+    import spark.implicits._
+    val c = Dedup.crossSplitContamination(tables.documents).collect()
+    assert(c.nonEmpty)
+    assert(c.forall { r =>
+      val (n, hit, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      hit >= 0 && hit <= n && f >= 0.0 && f <= 1.0
+    })
+    // one row per shingle-bearing test doc under the q46 split rule
+    val testDocs = TextAnalysis.hashSplit(tables.documents)
+      .filter(col("split") === "test")
+      .join(tables.documents, "doc_id")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .count()
+    assert(c.length.toLong == testDocs)
+    // everything train -> no test rows; everything test -> zero hits
+    assert(Dedup.crossSplitContamination(
+      tables.documents, trainNibbles = 16).count() == 0)
+    val allTest =
+      Dedup.crossSplitContamination(tables.documents, trainNibbles = 0)
+    assert(allTest.filter(col("contaminated") =!= 0L).count() == 0)
   }
 }
