@@ -67,7 +67,10 @@ object Bench {
     //  3. the full single-line JSON last (the driver's parse target),
     // and persist the full JSON to target/bench.json as the durable
     // artifact independent of log capture.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    // NOTE: keyed "bench_total", NOT "metric" — exactly ONE line in the
+    // whole output matches "metric":"total" (the full JSON below), so
+    // one-line grep parsers keep working
+    println(f"""{"bench_total":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     results.foreach { case (k, v) =>
       println(f"""{"bench_query":"$k","sec":$v%.3f}""")
     }

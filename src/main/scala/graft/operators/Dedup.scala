@@ -622,12 +622,9 @@ object Dedup {
   def crossSplitContamination(
       documents: DataFrame, n: Int = 3,
       trainNibbles: Int = 12): DataFrame = {
-    val nibble =
-      conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
     val idx = documents
       .select(col("doc_id"),
-        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
-          .as("split"),
+        TextAnalysis.splitOf(col("text"), trainNibbles).as("split"),
         array_distinct(shingles(col("text"), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("split"), size(col("sh")).as("n_sh"),

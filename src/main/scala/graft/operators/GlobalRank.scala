@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *     WindowExec nodes (asserted in PlanPostureSpec);
   *  5. global value = bucket offset + in-bucket running value.
   *
-  * Preconditions: the sort key must be non-null (null keys fall out of
-  * `width_bucket`); (key, tie) must totally order the frame for the
-  * result to be deterministic. Skewed keys degrade gracefully: a
+  * Null and NaN keys are kept, in Spark's ascending order (nulls
+  * first, NaN last) — they route to dedicated buckets rather than
+  * falling out of `width_bucket`. (key, tie) must totally order the
+  * frame for the result to be deterministic. Skewed keys degrade
+  * gracefully: a
   * single hot value concentrates its bucket, but the bucket count
   * bounds the worst task at max(hot-key mass, n/buckets) — same
   * contract as any range-partitioned sort.
@@ -59,12 +61,21 @@ object GlobalRank {
     // ContextCleaner, no CacheManager entry.
     val keyed = df.withColumn("__gr_k", key.cast("double"))
       .localCheckpoint(true)
+    // fences over FINITE keys only: a NaN max would poison width_bucket
+    // into null buckets for every row
+    val finite = when(!isnan(col("__gr_k")), col("__gr_k"))
     val fences = keyed.agg(
-      min("__gr_k").as("__gr_min"), max("__gr_k").as("__gr_max"))
+      min(finite).as("__gr_min"), max(finite).as("__gr_max"))
+    // null keys → bucket 0 (Spark's nulls-first asc order), NaN keys →
+    // the top bucket (NaN sorts greatest) — NO silent row drops; a bare
+    // width_bucket would return null for both and the bucket join would
+    // eat those rows
     val bucketed = keyed
       .crossJoin(broadcast(fences))
       .withColumn("__gr_b",
-        when(col("__gr_max") === col("__gr_min"), lit(1L))
+        when(col("__gr_k").isNull, lit(0L))
+          .when(isnan(col("__gr_k")), lit(buckets.toLong + 2L))
+          .when(col("__gr_max") === col("__gr_min"), lit(1L))
           .otherwise(width_bucket(
             col("__gr_k"), col("__gr_min"), col("__gr_max"),
             lit(buckets))))

@@ -55,9 +55,10 @@ object Multimodal {
   /** PNG (\x89PNG) or JPEG (\xFF\xD8) magic — the formats
     * `javax.imageio` ships decoders for on every JDK. */
   private def isImage(p: Array[Byte]): Boolean =
-    (p.length >= 8 && (p(0) & 0xff) == 0x89 &&
-      p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
-      (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+    p != null &&
+      ((p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+        p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8))
 
   /** Raw-bytes kernel (non-image payloads): byte intensities stand in
     * for pixels — channel i is the mean of bytes ≡ i (mod 8), scaled
@@ -82,6 +83,8 @@ object Multimodal {
   private def imageDecode(payload: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO
       .read(new java.io.ByteArrayInputStream(payload))
+    // caller guarantees img != null (decode() falls back on corrupt
+    // payloads); kept as a belt-and-braces guard
     require(img != null, "undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
@@ -110,9 +113,16 @@ object Multimodal {
   }
 
   /** Content-dispatched decode: real ImageIO for PNG/JPEG, raw-bytes
-    * kernel otherwise. */
+    * kernel otherwise. One bad row must never kill a 100 TB batch:
+    * null payloads yield zero statistics, and a payload that carries
+    * image magic but fails to decode (truncated/corrupt) falls back to
+    * the raw-bytes kernel instead of throwing. */
   private def decode(payload: Array[Byte]): Array[Float] =
-    if (isImage(payload)) imageDecode(payload) else rawStats(payload)
+    if (payload == null) new Array[Float](8)
+    else if (isImage(payload)) {
+      try imageDecode(payload)
+      catch { case _: Exception => rawStats(payload) }
+    } else rawStats(payload)
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -191,14 +201,18 @@ object Multimodal {
     media.select("doc_id", "media", "width", "height").mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("media")
+        def rawRow = Row(r.getAs[Long]("doc_id"),
+          if (payload == null) null else rawDecimate(payload, factor),
+          math.max(r.getAs[Int]("width") / factor, 1),
+          math.max(r.getAs[Int]("height") / factor, 1))
         if (isImage(payload)) {
-          val (scaled, nw, nh) = imageResize(payload, factor)
-          Row(r.getAs[Long]("doc_id"), scaled, nw, nh)
-        } else {
-          Row(r.getAs[Long]("doc_id"), rawDecimate(payload, factor),
-            math.max(r.getAs[Int]("width") / factor, 1),
-            math.max(r.getAs[Int]("height") / factor, 1))
-        }
+          // corrupt image magic: fall back to decimation, don't kill
+          // the batch
+          try {
+            val (scaled, nw, nh) = imageResize(payload, factor)
+            Row(r.getAs[Long]("doc_id"), scaled, nw, nh)
+          } catch { case _: Exception => rawRow }
+        } else rawRow
       }
     }(enc)
   }

@@ -1072,6 +1072,9 @@ object Relational {
       .agg(sum(round(col("o_totalprice") * 100).cast("long"))
         .as("cents"))
     val n = cust.agg(count(lit(1)).as("n_tot"))
+    // the 10-row decile frame feeds three consumers (total, prior,
+    // main chain) — checkpoint so the full customer rank pipeline
+    // behind it runs once, not three times
     val deciles = GlobalRank
       .rowNumber(cust, -col("cents"), col("o_custkey"), "__i")
       .crossJoin(broadcast(n))
@@ -1079,6 +1082,7 @@ object Relational {
         .as("decile"), col("cents"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
+      .localCheckpoint(true)
     val total = deciles.agg(sum("dc").as("tc"))
     val prior = deciles.select(col("decile").as("pd"), col("dc").as("pdc"))
     deciles

@@ -488,7 +488,9 @@ object Similarity {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(minCos, 1.0))) / math.Pi
     val missPerBand = 1.0 - math.pow(p, rows)
     val bands =
-      if (missPerBand <= 0.0) 1
+      if (missPerBand <= 0.0) 1 // p = 1: every band collides, one is enough
+      else if (missPerBand >= 1.0) 16 // p = 0: no band count reaches the
+      // recall target — saturate at the cap instead of Int.MinValue→1
       else math.max(1, math.min(16, math.ceil(
         math.log(1.0 - targetRecall) / math.log(missPerBand)).toInt))
     (rows, bands)
@@ -514,11 +516,16 @@ object Similarity {
     val sig = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
+    // checkpoint: the banded frame feeds BOTH sides of the self-join,
+    // and the bands × rows × dim hyperplane aggregates are the
+    // expensive part — evaluate them once (the GlobalRank multi-
+    // consumer discipline; blocks reclaimed by the ContextCleaner)
     val banded = sig.select(
       col("vec_id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(b =>
         bandKey(col("v"), dim, b, rows)): _*))
         .as(Seq("band", "bkey")))
+      .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

@@ -245,21 +245,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** THE q46 split rule, shared by every operator that partitions on
+    * it ([[hashSplit]], [[corpusPipeline]],
+    * [[Dedup.crossSplitContamination]]): 'train' iff the first md5
+    * nibble of `text` < trainNibbles. One definition — the
+    * train/test-audit consistency DedupSpec asserts depends on all
+    * consumers using the same rule. */
+  def splitOf(text: Column, trainNibbles: Int): Column = {
+    val nibble = conv(substring(md5(text), 1, 1), 16, 10).cast("int")
+    when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
+  }
+
   /** q46 — deterministic hash-based train/test split: assignment is a
     * pure function of content (first md5 nibble), so it is stable
     * across runs, engines, and repartitioning — the reproducible-split
     * pattern pretraining pipelines use instead of `randomSplit` (whose
     * assignment depends on partitioning). 12/16 nibbles → train (75%),
     * rest → test. */
-  def hashSplit(documents: DataFrame, trainNibbles: Int = 12): DataFrame = {
-    val nibble = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+  def hashSplit(documents: DataFrame, trainNibbles: Int = 12): DataFrame =
     documents
-      .select(
-        col("doc_id"),
-        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
-          .as("split"))
+      .select(col("doc_id"),
+        splitOf(col("text"), trainNibbles).as("split"))
       .orderBy("doc_id")
-  }
 
   /** Stratified sampling by a stratum column (seeded Bernoulli per
     * stratum) — corpus subsampling with per-language quotas. Seeded →
@@ -397,13 +404,11 @@ object TextAnalysis {
         / size(toks).cast("double")).as("sw_ratio"))
     val thresh = Relational
       .quantileDisc(scored, "lang", "sw_ratio", Seq("p50" -> gateQuantile))
-    val nibble = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
     scored.join(broadcast(thresh), "lang")
       .filter(col("sw_ratio") >= col("p50"))
       .select(col("doc_id"), col("lang"),
         round(col("sw_ratio"), 4).as("sw_ratio"),
-        when(nibble < trainNibbles, lit("train")).otherwise(lit("test"))
-          .as("split"))
+        splitOf(col("text"), trainNibbles).as("split"))
       .orderBy("doc_id")
   }
 

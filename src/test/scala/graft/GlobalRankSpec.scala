@@ -14,12 +14,14 @@ class GlobalRankSpec extends SparkSpec {
   import spark.implicits._
 
   // 1000 rows with heavy ties (k has ~50 distinct values), negatives,
-  // and a deterministic unique tie-break id.
+  // and a deterministic unique tie-break id. localCheckpoint, not
+  // cache: suites share one session, so a leaked cache entry here
+  // would poison other suites' CacheManager assertions.
   private lazy val df: DataFrame = spark.range(0, 1000)
     .select(col("id"),
       (pmod(hash(col("id")), lit(50)) - lit(25)).cast("long").as("k"),
       pmod(hash(col("id"), lit(7)), lit(100)).cast("long").as("v"))
-    .cache()
+    .localCheckpoint(true)
 
   test("rowNumber matches row_number over an unpartitioned window") {
     val expected = df.withColumn("i",
@@ -41,6 +43,18 @@ class GlobalRankSpec extends SparkSpec {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expected = df.withColumn("s", sum(col("v")).over(w))
     val got = GlobalRank.cumSum(df, col("k"), col("id"), col("v"), "s", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("null and NaN keys are kept in Spark's asc order, no row loss") {
+    val mixed = df.withColumn("kd",
+      when(col("id") % 7 === 0, lit(Double.NaN))
+        .when(col("id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("k").cast("double")))
+    val expected = mixed.withColumn("i",
+      row_number().over(Window.orderBy(col("kd"), col("id"))).cast("long"))
+    val got = GlobalRank.rowNumber(mixed, col("kd"), col("id"), "i", 16)
+    assert(got.count() == mixed.count(), "rows must never drop")
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 

@@ -88,6 +88,26 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id cell $i: got ${feats(id)(i)}, want ${expected(i)}")
   }
 
+  test("null and corrupt payloads never kill the batch") {
+    import spark.implicits._
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4,
+      5, 6, 7, 8) // PNG magic, undecodable body
+    val media = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, corrupt),
+      (3L, gridPng(8, 4, Seq.fill(8)(64)))).toDF("doc_id", "media")
+    val feats = Multimodal.extractFeaturesFromMedia(media)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 3)
+    assert(feats(1L).forall(_ == 0.0f), "null payload -> zero stats")
+    assert(feats(2L).forall(v => !v.isNaN), "corrupt -> raw fallback")
+    val rs = Multimodal.resizeMedia(
+      Seq((1L, null.asInstanceOf[Array[Byte]], 8, 4),
+        (2L, corrupt, 8, 4)).toDF("doc_id", "media", "width", "height"),
+      2).collect()
+    assert(rs.length == 2) // no task death
+  }
+
   test("ImageIO resize halves real dimensions; output is decodable PNG") {
     import spark.implicits._
     val media = Seq((1L, gridPng(8, 4, Seq.fill(8)(128)), 8, 4))

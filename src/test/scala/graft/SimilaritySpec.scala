@@ -99,6 +99,10 @@ class SimilaritySpec extends SparkSpec {
     val (_, bTight) =
       Similarity.adaptiveLshParams(100000L, 0.9, targetRecall = 0.99)
     assert(bTight >= bLoose)
+    // degenerate thresholds: p=1 (everything collides) -> 1 band;
+    // p=0 (nothing collides) -> saturate at the cap, not Int.MinValue
+    assert(Similarity.adaptiveLshParams(100000L, 1.0)._2 == 1)
+    assert(Similarity.adaptiveLshParams(100000L, -1.0)._2 == 16)
   }
 
   test("embeddingNearDupsAdaptive: recall vs brute force, deterministic") {
