@@ -115,6 +115,58 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState event-time timers close idle sessions " +
+    "exactly once (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def t(s: String) = Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = graft.streaming.TwsTimedSessions
+        .sessionize(spark, mem.toDF().toDF("user_id", "ts")).toDF()
+        .writeStream.format("memory").queryName("tws_timed")
+        .outputMode("append").start()
+      try {
+        // batch 1: two keys open sessions
+        mem.addData((1L, t("2024-01-01 10:00:00")),
+          (1L, t("2024-01-01 10:10:00")), (2L, t("2024-01-01 10:05:00")))
+        q.processAllAvailable()
+        // batch 2: u1's late event closes its first session in-batch
+        mem.addData((1L, t("2024-01-01 12:00:00")))
+        q.processAllAvailable()
+        // sentinel batches advance the watermark so the TIMERS close
+        // the idle sessions of u2 (10:35 deadline) and u1 (12:30)
+        mem.addData((99L, t("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 15:00:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 17:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_timed")
+        .select(col("user_id"), col("start").cast("string"),
+          col("end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      val expected = Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L),
+        (1L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L),
+        (2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L),
+        (99L, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1L),
+        (99L, "2024-01-01 15:00:00", "2024-01-01 15:00:00", 1L))
+      // exact-once append: every closed session exactly once, the
+      // still-open 17:00 session absent
+      assert(got == expected, s"got $got")
+      assert(spark.table("tws_timed").count() == 5)
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     import org.apache.spark.sql.functions.{count => fcount}
     val userDim = tables.events.select("user_id").distinct()
