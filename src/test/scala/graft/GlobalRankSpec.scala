@@ -122,6 +122,9 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(Relational.q124(tables), "q124")
       assertDistributed(TextAnalysis.vocabGrowth(tables.documents),
         "vocabGrowth")
+      assertDistributed(
+        TextAnalysis.temperatureMixture(tables.documents), "q127")
+      assertDistributed(Relational.q128(tables), "q128")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
