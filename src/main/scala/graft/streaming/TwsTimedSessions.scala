@@ -4,20 +4,38 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues}
+import org.apache.spark.sql.catalyst.util.IntervalUtils
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Event-time TIMERS on `transformWithState` — the append-mode session
   * shape [[TwsSessions]] cannot express: instead of re-emitting a
   * key's cumulative counts every micro-batch (update mode), a closed
-  * session is emitted EXACTLY ONCE — either when a later event proves
-  * the gap elapsed, or when the WATERMARK passes `lastTs + gap` and
-  * the registered timer fires for an idle key. That timer is what lets
-  * a 10⁹-key store drain itself: idle keys emit and clear without
-  * waiting for (possibly never-arriving) further input.
+  * session is emitted EXACTLY ONCE — either when the watermark proves
+  * no merging event can still arrive, or when the registered timer
+  * fires for an idle key. That timer is what lets a 10⁹-key store
+  * drain itself: idle keys emit and clear without waiting for
+  * (possibly never-arriving) further input.
   *
-  * State per key: one open-session triple + one registered timer,
-  * re-armed on every batch that touches the key. O(1) per key.
+  * Out-of-order arrivals (reachable because the watermark lags one
+  * micro-batch even at `delay = 0`, and by up to `delay` beyond that)
+  * are handled by keeping a SORTED LIST of disjoint open sessions per
+  * key and merge-inserting each event: an event lands in the session
+  * it is within `gap` of, bridges two sessions into one when it closes
+  * the hole between them, or opens a new session. A session is emitted
+  * only when it is provably final:
+  *  - watermark ≥ end + gap (always sound — later events are dropped
+  *    by the watermark contract), or
+  *  - `delay = 0` and a later session exists for the key: every future
+  *    event has ts ≥ next watermark ≥ the later session's start ≥
+  *    this session's end + gap, so nothing can merge into it.
+  *
+  * State per key: the open-session list + one registered timer at the
+  * EARLIEST close deadline, re-armed on every batch that touches the
+  * key. The list length is bounded by the lateness horizon —
+  * ⌈delay/gap⌉ + 2 disjoint sessions can be in flight at once, O(1)
+  * for any fixed watermark delay (length 1 when `delay = 0`).
   */
 object TwsTimedSessions {
 
@@ -25,52 +43,105 @@ object TwsTimedSessions {
 
   final case class SessionOut(
       user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
-  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  /** One open session, microsecond bounds (parity with the sibling
+    * sessionizers, which compare micros — ms flooring would split
+    * sub-ms-adjacent events differently). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
-  /** Closes sessions by in-batch gap or by event-time timer. */
-  class Processor(gapMs: Long)
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Closes sessions by watermark, by event-time timer, or (in-order
+    * input only) by evidence of a later session. */
+  class Processor(gapMs: Long, inOrder: Boolean)
       extends StatefulProcessor[Long, Event, SessionOut] {
-    @transient private var open: ValueState[OpenSession] = _
+    private val gapUs = gapMs * 1000L
+    @transient private var open: ListState[OpenSession] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[OpenSession](
+      open = getHandle.getListState[OpenSession](
         "open", Encoders.product[OpenSession], TTLConfig.NONE)
 
-    private def ts(ms: Long) = new Timestamp(ms)
+    /** First ms instant at which the watermark proves `s` closed. */
+    private def deadlineMs(s: OpenSession): Long =
+      Math.floorDiv(s.lastUs + gapUs + 999L, 1000L)
+
+    /** Merge-insert `t` into the sorted disjoint session list:
+      * extends the session within reach, bridges two when `t` closes
+      * the hole between them, or opens a new singleton. */
+    private def insert(
+        sessions: List[OpenSession], t: Long): List[OpenSession] = {
+      val (before, after) = sessions.span(_.startUs <= t)
+      val intoPrev = before.lastOption.exists(p => t <= p.lastUs + gapUs)
+      val intoNext = after.headOption.exists(q => q.startUs - t <= gapUs)
+      (intoPrev, intoNext) match {
+        case (true, true) =>
+          val p = before.last; val q = after.head
+          before.init :::
+            OpenSession(p.startUs, q.lastUs, p.n + q.n + 1) :: after.tail
+        case (true, false) =>
+          val p = before.last
+          before.init :::
+            OpenSession(p.startUs, math.max(p.lastUs, t), p.n + 1) :: after
+        case (false, true) =>
+          val q = after.head
+          before ::: OpenSession(t, q.lastUs, q.n + 1) :: after.tail
+        case (false, false) =>
+          before ::: OpenSession(t, t, 1L) :: after
+      }
+    }
+
+    /** Emit every provably-final session, persist the rest, re-arm the
+      * timer at the earliest remaining deadline. */
+    private def drain(
+        key: Long, sessions: List[OpenSession], watermarkMs: Long)
+        : Iterator[SessionOut] = {
+      val persistable = sessions.filter(s => deadlineMs(s) > watermarkMs)
+      val (closed, kept) =
+        if (inOrder && persistable.nonEmpty)
+          (sessions.filter(s => deadlineMs(s) <= watermarkMs) ++
+            persistable.init, List(persistable.last))
+        else (sessions.filter(s => deadlineMs(s) <= watermarkMs),
+          persistable)
+      open.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (kept.nonEmpty) {
+        open.put(kept.toArray)
+        getHandle.registerTimer(kept.map(deadlineMs).min)
+      }
+      closed.iterator.map(s =>
+        SessionOut(key, toTs(s.startUs), toTs(s.lastUs), s.n))
+    }
 
     override def handleInputRows(
         key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toSeq
-        .map(e => StatefulSessions.micros(e.ts) / 1000L).sorted
-      var out = List.empty[SessionOut]
-      var st: OpenSession = if (open.exists()) open.get() else null
-      sorted.foreach { t =>
-        st match {
-          case null => st = OpenSession(t, t, 1L)
-          case s if t - s.lastMs >= gapMs =>
-            out ::= SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n)
-            st = OpenSession(t, t, 1L)
-          case s =>
-            st = OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1)
-        }
-      }
-      open.update(st)
-      // one armed timer per key: re-arm at the new close deadline
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(st.lastMs + gapMs)
-      out.reverseIterator
+      val sorted =
+        rows.toSeq.map(e => StatefulSessions.micros(e.ts)).sorted
+      val merged =
+        sorted.foldLeft(open.get().toList)((acc, t) => insert(acc, t))
+      drain(key, merged, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(
         key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
-      if (open.exists()) {
-        val s = open.get()
-        open.clear()
-        Iterator.single(SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n))
-      } else Iterator.empty
+      drain(key, open.get().toList,
+        timerValues.getCurrentWatermarkInMs())
   }
+
+  private def delayToMs(delay: String): Long =
+    IntervalUtils.safeStringToInterval(
+      UTF8String.fromString(delay)) match {
+      case null => throw new IllegalArgumentException(
+        s"unparseable watermark delay: '$delay'")
+      case iv =>
+        require(iv.months == 0, s"month-based delay unsupported: $delay")
+        iv.days * 86400000L + iv.microseconds / 1000L
+    }
 
   /** Streaming sessionization with once-per-session append output.
     * `delay` is the watermark lateness bound; timers fire when the
@@ -86,6 +157,7 @@ object TwsTimedSessions {
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(
-        new Processor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+        new Processor(gapMs, inOrder = delayToMs(delay) == 0L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -6,10 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [[GlobalRank]] — the distributed replacement for unpartitioned
-  * rank/ntile/cumsum windows — plus the plan-posture gate: the q75 /
-  * q92 / q124 plans must contain NO single-partition WindowExec and NO
-  * single-partition shuffle (the two shapes that serialize |users|-row
-  * frames through one task at scale). */
+  * rank/ntile/cumsum windows — plus the plan-posture gate: every plan
+  * built on it (q75, q92, q124, q127, q128, vocabGrowth) must contain
+  * NO single-partition WindowExec and NO single-partition shuffle (the
+  * two shapes that serialize |users|-row frames through one task at
+  * scale). */
 class GlobalRankSpec extends SparkSpec {
   import spark.implicits._
 
@@ -114,7 +115,8 @@ class GlobalRankSpec extends SparkSpec {
     assert(graft.plans.PlanAudit.assertScalable(clean) eq clean)
   }
 
-  test("q75 / q92 / q124 plans have no single-task window or shuffle") {
+  test("GlobalRank consumers (q75/q92/q124/q127/q128/vocabGrowth) " +
+    "have no single-task window or shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assertDistributed(Relational.q75(tables), "q75")

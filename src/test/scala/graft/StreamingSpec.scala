@@ -167,6 +167,56 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timed sessionization handles out-of-order events under a " +
+    "nonzero watermark delay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def t(s: String) = Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = graft.streaming.TwsTimedSessions
+        .sessionize(spark, mem.toDF().toDF("user_id", "ts"),
+          delay = "1 hour").toDF()
+        .writeStream.format("memory").queryName("tws_ooo")
+        .outputMode("append").start()
+      try {
+        // batch 1: session opens at 12:00; watermark becomes 11:00
+        mem.addData((1L, t("2024-01-01 12:00:00")))
+        q.processAllAvailable()
+        // batch 2: two LATE-but-in-watermark events. 11:50 is within
+        // the 30-min gap of [12:00,12:00] and must EXTEND its start;
+        // 11:10 is more than a gap earlier and must open a DISTINCT
+        // session — the naive merge would fold both into [12:00,12:00]
+        mem.addData((1L, t("2024-01-01 11:50:00")),
+          (1L, t("2024-01-01 11:10:00")))
+        q.processAllAvailable()
+        // sentinels march the watermark past both close deadlines so
+        // the timer drains u1 (nothing may close on in-batch evidence
+        // here: a bridging event could still arrive under the delay)
+        mem.addData((99L, t("2024-01-01 14:00:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 16:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_ooo")
+        .filter(col("user_id") === 1L)
+        .select(col("user_id"), col("start").cast("string"),
+          col("end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      val expected = Set(
+        (1L, "2024-01-01 11:10:00", "2024-01-01 11:10:00", 1L),
+        (1L, "2024-01-01 11:50:00", "2024-01-01 12:00:00", 2L))
+      assert(got == expected, s"got $got")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     import org.apache.spark.sql.functions.{count => fcount}
     val userDim = tables.events.select("user_id").distinct()
