@@ -159,6 +159,11 @@ object SparkEntry {
     "q128_conversion_survival" -> q(Relational.q128),
     "q129_split_contamination" ->
       q(t => Dedup.crossSplitContamination(t.documents)),
+    "q130_bm25" -> q(t => TextAnalysis.bm25TopK(t.documents,
+      Seq("spark", "table", "join", "vector", "stream"))),
+    "q131_pagerank" -> q(t => Graph.pageRank(t.lineitem)),
+    "q132_exact_substr" ->
+      q(t => Dedup.exactSubstrRuns(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1678,6 +1683,114 @@ object SparkEntry {
         |FROM idx LEFT JOIN tr USING (g)
         |WHERE idx.split = 'test'
         |GROUP BY idx.doc_id, n_sh ORDER BY doc_id""".stripMargin,
+    "q130_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |                AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |                 COUNT(*) AS n FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('spark','table','join','vector','stream')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |         ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+        |              / (df.df + 0.5))
+        |           * (tf.tf * (1.2 + 1))
+        |           / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl
+        |                / (SELECT avgdl FROM stats))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+        |ranked AS (
+        |  SELECT term, doc_id, score, row_number() OVER (
+        |    PARTITION BY term ORDER BY score DESC, doc_id) AS r
+        |  FROM scored)
+        |SELECT term, doc_id, round(score, 4) AS score_r
+        |FROM ranked WHERE r <= 10
+        |ORDER BY term, score_r DESC, doc_id""".stripMargin,
+    "q131_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+        |  FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges
+        |           GROUP BY src),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank
+        |       FROM nodes),
+        |r1 AS (SELECT n.node,
+        |         (15000000000000 // (100 * (SELECT n FROM nn)))
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r0 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node,
+        |         (15000000000000 // (100 * (SELECT n FROM nn)))
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r1 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node,
+        |         (15000000000000 // (100 * (SELECT n FROM nn)))
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r2 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r4 AS (SELECT n.node,
+        |         (15000000000000 // (100 * (SELECT n FROM nn)))
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r3 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r5 AS (SELECT n.node,
+        |         (15000000000000 // (100 * (SELECT n FROM nn)))
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r4 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node)
+        |SELECT CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END
+        |         AS node_type,
+        |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+        |         AS node_key,
+        |       CAST(rank AS BIGINT) AS rank_scaled
+        |FROM r5 ORDER BY rank_scaled DESC, node ASC
+        |LIMIT 20""".stripMargin,
+    "q132_exact_substr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |grams AS (
+        |  SELECT doc_id, p, list_aggr(t[p:p+4], 'string_agg', ' ')
+        |           AS gram
+        |  FROM toks, unnest(range(1, len(t) - 3)) AS u(p)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |         a.p AS pi, a.p - b.p AS diag
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |islands AS (
+        |  SELECT doc_i, doc_j, diag,
+        |         pi - row_number() OVER (
+        |           PARTITION BY doc_i, doc_j, diag ORDER BY pi) AS isl
+        |  FROM m),
+        |runs AS (SELECT doc_i, doc_j, COUNT(*) + 4 AS lcs
+        |         FROM islands GROUP BY doc_i, doc_j, diag, isl)
+        |SELECT doc_i, doc_j, MAX(lcs) AS lcs_tokens
+        |FROM runs GROUP BY doc_i, doc_j
+        |HAVING MAX(lcs) >= 12
+        |ORDER BY doc_i, doc_j""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

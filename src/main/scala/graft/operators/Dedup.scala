@@ -641,4 +641,56 @@ object Dedup {
           .as("contamination"))
       .orderBy("doc_id")
   }
+
+  /** q132 — exact-substring duplication (the ExactSubstr shape of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for every document pair sharing a token run of at least
+    * `minTokens` tokens, the length of their LONGEST common run.
+    * Where [[ngramOverlapPairs]] measures BAG overlap, this finds
+    * verbatim CONTIGUOUS duplication — quote chains, mirrored
+    * paragraphs, licence boilerplate — the signal used to cut exact
+    * repeats out of pretraining corpora.
+    *
+    * Shape: positional `k`-gram fingerprints (8-byte xxhash64 keys,
+    * same tradeoff note as [[sizedShingleIndex]]); the inverted-index
+    * self-join emits only position pairs of MATCHING grams (Σdf²,
+    * never doc×doc); matches on one diagonal (pi − pj constant) are
+    * consecutive-position islands (`pi − row_number`), so a run of
+    * length L collapses to L−k+1 index rows and the window runs
+    * per (pair, diagonal) partition — nothing global, state O(1).
+    * A cross-gram hash collision can only extend a run if ADJACENT
+    * positions also collide (~2⁻¹²⁸) — strictly safer than the bag
+    * case. */
+  def exactSubstrRuns(
+      documents: DataFrame, k: Int = 5, minTokens: Int = 12)
+      : DataFrame = {
+    require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
+    val toks = split(col("text"), " ")
+    val grams = spread(documents)
+      .select(col("doc_id"),
+        explode(
+          when(size(toks) < k, array().cast("array<struct<p:int,g:bigint>>"))
+            .otherwise(transform(
+              sequence(lit(1), size(toks) - (k - 1)),
+              i => struct(
+                i.as("p"),
+                xxhash64(concat_ws(" ", slice(toks, i, lit(k))))
+                  .as("g"))))).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    // both sides are the same subplan: one Exchange, reused
+    val m = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.p").as("pi"), (col("a.p") - col("b.p")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_i", "doc_j", "diag").orderBy("pi")
+    m.withColumn("isl", col("pi") - row_number().over(w))
+      .groupBy("doc_i", "doc_j", "diag", "isl")
+      .agg((count(lit(1)) + (k - 1)).as("lcs"))
+      .groupBy("doc_i", "doc_j")
+      .agg(max("lcs").as("lcs_tokens"))
+      .filter(col("lcs_tokens") >= minTokens)
+      .orderBy("doc_i", "doc_j")
+  }
 }

@@ -718,4 +718,57 @@ object TextAnalysis {
           .cast("long"))
       .orderBy("doc_id")
   }
+
+  /** q130 — BM25 full-text retrieval: top-`k` documents per query term
+    * (Robertson–Spärck Jones idf, the `ln(1 + (N−df+0.5)/(df+0.5))`
+    * non-negative variant), the sparse-retrieval baseline every RAG /
+    * training-data pipeline keeps next to its ANN index.
+    *
+    * Scale design: the only corpus-wide pass is the token explode,
+    * FILTERED to the query vocabulary immediately after the generator
+    * (rows ∝ query-term occurrences, not corpus tokens); doc lengths
+    * come from `size(split(..))` WITHOUT exploding; df (|terms| rows)
+    * and the 1-row (N, avgdl) aggregate join back as broadcasts; the
+    * final per-term top-k runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] plan node — no window sort anywhere.
+    *
+    * Determinism: scores are doubles, but selection and ranking within
+    * a term are idf-independent (idf is a per-term positive constant
+    * factor) and the remaining arithmetic maps integers through the
+    * IDENTICAL expression tree on both engines; emitted scores are
+    * rounded to 4 decimals, the repo's float-output discipline. */
+  def bm25TopK(
+      documents: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: at least one query term")
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val dl = documents.select(
+      col("doc_id"), size(tokens(col("text"))).as("dl"))
+    // always exactly one row: agg without groupBy never returns empty
+    val stats = dl.agg(
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    graft.plans.TopKPerKey
+      .topK(scored, Seq("term"),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("term"), col("doc_id"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy(col("term"), col("score_r").desc, col("doc_id"))
+  }
 }

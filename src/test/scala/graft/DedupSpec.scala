@@ -212,4 +212,54 @@ class DedupSpec extends SparkSpec {
       Dedup.crossSplitContamination(tables.documents, trainNibbles = 0)
     assert(allTest.filter(col("contaminated") =!= 0L).count() == 0)
   }
+
+  test("exactSubstrRuns finds the longest shared token run") {
+    import spark.implicits._
+    val common = (1 to 15).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " u1 u2 u3 u4 u5"),          // run of 15 vs 2, 5
+      (2L, "v1 v2 v3 v4 v5 " + common),
+      (3L, "w1 w2 " + (1 to 8).map(i => s"c$i").mkString(" ")),
+      // doc 1's run with an insertion after token 10: splits into
+      // runs of 10 and 5 on different diagonals — max must be 10
+      (4L, (1 to 10).map(i => s"c$i").mkString(" ") + " zz " +
+        (11 to 15).map(i => s"c$i").mkString(" ")),
+      (5L, common + " " + common), // repeated content: many diagonals
+      (6L, "too short")            // < k tokens: no grams, no crash
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrRuns(docs, k = 5, minTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((1L, 2L)) == 15L)   // exact common run length
+    assert(!got.contains((1L, 3L))) // 8-run below the 12 threshold
+    assert(!got.contains((1L, 4L))) // split runs: 10 max, still < 12
+    assert(got((1L, 5L)) == 15L)   // repeats don't inflate past truth
+    assert(got((2L, 5L)) == 15L)
+    // lowering the threshold surfaces the shorter runs at true length
+    val loose = Dedup.exactSubstrRuns(docs, k = 5, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(loose((1L, 3L)) == 8L)
+    assert(loose((1L, 4L)) == 10L) // insertion split: max run, not sum
+  }
+
+  test("exactSubstrRuns pairs are a subset of 5-gram overlap pairs " +
+    "with consistent magnitudes") {
+    val runs = Dedup.exactSubstrRuns(tables.documents, k = 5,
+      minTokens = 12).collect()
+    assert(runs.nonEmpty) // the sf corpus contains long verbatim runs
+    val overlap = Dedup.ngramOverlapPairs(tables.documents, n = 5)
+      .select(col("doc_i"), col("doc_j"), col("shared"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    runs.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val lcs = r.getLong(2)
+      // a run of L tokens contains L-4 distinct-position 5-grams; the
+      // pair's DISTINCT shared-gram count can be smaller only if the
+      // run repeats grams internally, never smaller than 1
+      assert(overlap.contains(key), s"pair $key missing from overlap")
+      assert(lcs >= 12 && overlap(key) >= 1)
+    }
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRank]] — integer-exact iterative PageRank. The oracle
+  * (q131) pins cross-engine agreement; these pin the algorithm itself
+  * against an independent driver-side recurrence and its conservation
+  * laws. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent single-threaded implementation of the same scaled
+    * integer recurrence (adjacency maps, no Spark). */
+  private def brute(
+      pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val fwd = pairs.distinct.map { case (s, p) => (s, 1000000L + p) }
+    val edges = (fwd ++ fwd.map(_.swap)).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * 1000000000000L / (100L * n)
+    var rank = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- edges) sums(d) += rank(s) / outdeg(s)
+      rank = nodes.map(v => v -> (base + 85L * sums(v) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def asMap(
+      df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map { r =>
+      val key = r.getLong(1)
+      val node =
+        if (r.getString(0) == "part") 1000000L + key else key
+      node -> r.getLong(2)
+    }.toMap
+
+  test("pageRank matches an independent driver-side recurrence") {
+    // asymmetric: supplier 1 touches three parts, others one each;
+    // part 10 is shared — degrees 1..3 exercise the floor divisions
+    val pairs = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (3L, 13L), (3L, 10L))
+    val df = pairs.toDF("l_suppkey", "l_partkey")
+    val got = asMap(Graph.pageRank(df, iterations = 5, topK = 1000))
+    assert(got == brute(pairs, 5))
+  }
+
+  test("duplicate lineitem rows do not change the graph") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (1L, 11L))
+    val dup = pairs ++ pairs ++ pairs
+    val a = asMap(Graph.pageRank(pairs.toDF("l_suppkey", "l_partkey")))
+    val b = asMap(Graph.pageRank(dup.toDF("l_suppkey", "l_partkey")))
+    assert(a == b)
+  }
+
+  test("rank mass is conserved up to floor drift on real data") {
+    val all = Graph.pageRank(tables.lineitem, topK = 1000000)
+    val agg = all.agg(
+      sum("rank_scaled").as("mass"), count(lit(1)).as("n")).head()
+    val mass = agg.getLong(0)
+    val n = agg.getLong(1)
+    // every node got an initial SCALE/N share; each of 5 iterations
+    // loses < 1 unit per edge-contribution plus the two final floors
+    assert(mass <= 1000000000000L)
+    assert(mass > 999999000000L, s"mass drifted to $mass")
+    assert(n > 0 && all.filter(col("rank_scaled") <= 0).isEmpty)
+  }
+
+  test("regular bipartite graph yields uniform ranks within a type") {
+    // 3 suppliers x 4 parts, complete: supplier outdeg 4, part outdeg 3
+    val pairs = for { s <- 1L to 3L; p <- 10L to 13L } yield (s, p)
+    val byType = asMap(
+      Graph.pageRank(pairs.toDF("l_suppkey", "l_partkey")))
+      .groupBy { case (node, _) => node >= 1000000L }
+      .view.mapValues(_.values.toSet).toMap
+    assert(byType(false).size == 1, "suppliers not uniform")
+    assert(byType(true).size == 1, "parts not uniform")
+  }
+}

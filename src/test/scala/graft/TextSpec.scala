@@ -265,4 +265,40 @@ class TextSpec extends SparkSpec {
         assert(got(id) == exp, s"doc $id")
     }
   }
+
+  test("bm25TopK matches a driver-side brute force exactly") {
+    val terms = Seq("spark", "table", "join", "vector", "stream")
+    val (k1, b, k) = (1.2, 0.75, 10)
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val tf = for {
+      (id, toks) <- docs.toSeq; t <- terms
+      c = toks.count(_ == t) if c > 0
+    } yield (t, id, c)
+    val df = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dl = docs.toMap.view.mapValues(_.length).toMap
+    val expected = tf.map { case (t, id, c) =>
+      val score = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+        (c * (k1 + 1)) /
+        (c + k1 * ((1 - b) + b * dl(id) / avgdl))
+      (t, id, score)
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, id, s) => (-s, id) }.take(k) // select unrounded
+        .map { case (_, id, s) =>
+          (id, BigDecimal(s).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, s) => (-s, id) }) // emit order: rounded
+      .toMap
+    val got = TextAnalysis.bm25TopK(tables.documents, terms, k, k1, b)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map { case (_, id, s) => (id, s) }.toSeq).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, rows) =>
+      assert(got(t) == rows, s"term $t")
+    }
+  }
 }
