@@ -164,6 +164,7 @@ object SparkEntry {
     "q131_pagerank" -> q(t => Graph.pageRank(t.lineitem)),
     "q132_exact_substr" ->
       q(t => Dedup.exactSubstrRuns(t.documents)),
+    "q133_basket_lift" -> q(Relational.q133(_)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1791,6 +1792,25 @@ object SparkEntry {
         |FROM runs GROUP BY doc_i, doc_j
         |HAVING MAX(lcs) >= 12
         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q133_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+        |ci AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS part_i, b.i AS part_j, COUNT(*) AS c_ij
+        |  FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+        |  GROUP BY a.i, b.i),
+        |lifted AS (
+        |  SELECT part_i, part_j, c_ij,
+        |         round(CAST(c_ij AS DOUBLE) * (SELECT n FROM n)
+        |               / (ca.c * cb.c), 6) AS lift
+        |  FROM pairs JOIN ci ca ON ca.i = part_i
+        |             JOIN ci cb ON cb.i = part_j
+        |  WHERE c_ij >= 2)
+        |SELECT part_i, part_j, CAST(c_ij AS BIGINT) AS c_ij, lift
+        |FROM lifted ORDER BY lift DESC, part_i, part_j
+        |LIMIT 30""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

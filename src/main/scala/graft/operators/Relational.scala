@@ -1755,4 +1755,46 @@ object Relational {
         (col("n") - col("cum_converted")).as("surviving"))
       .orderBy("bucket_h")
   }
+
+  /** q133 — market-basket lift: the top co-occurring part pairs across
+    * orders, ranked by lift = P(i,j)/(P(i)·P(j)) — the co-occurrence
+    * core of "customers who bought X also bought Y" (the reference's
+    * problem domain, generalized from per-site ranks to item-item
+    * affinity).
+    *
+    * Scale shape: baskets are DISTINCT (order, part) rows; the pair
+    * self-join is on the ORDER key, so its cost is Σ|basket|² — bounded
+    * by the max basket size (single-digit in commerce schemas), linear
+    * in orders, never |parts|². Item counts join back (dimension-sized,
+    * AQE broadcasts); the order count is a broadcast 1-row frame. Lift
+    * arithmetic is integer counts through one rounded double division —
+    * engine-exact. Top-k is TakeOrderedAndProject on the total order
+    * (lift desc, part_i, part_j). */
+  def q133(t: Tables): DataFrame = basketLift(t.lineitem)
+
+  /** See [[q133]]; `lineitem` needs only (l_orderkey, l_partkey). */
+  def basketLift(
+      lineitem: DataFrame, minSupport: Long = 2, topK: Int = 30)
+      : DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+      .distinct()
+    val n = items.agg(countDistinct("o").as("n"))
+    val ci = items.groupBy("i").agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("part_i"), col("b.i").as("part_j"))
+      .agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= minSupport)
+    pairs
+      .join(ci.select(col("i").as("part_i"), col("c").as("ca")), "part_i")
+      .join(ci.select(col("i").as("part_j"), col("c").as("cb")), "part_j")
+      .crossJoin(broadcast(n))
+      .select(col("part_i"), col("part_j"), col("c_ij"),
+        round(col("c_ij").cast("double") * col("n") /
+          (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_i"), col("part_j"))
+      .limit(topK)
+  }
 }

@@ -538,4 +538,36 @@ class RelationalSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("q133 basket lift matches a driver-side brute force") {
+    import spark.implicits._
+    // 6 baskets: parts 1 and 2 always co-occur (perfect lift n/c),
+    // 3 is everywhere (lift 1 with everything), 4 appears once
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L), (11L, 3L), // dup row: ignored
+      (12L, 3L), (12L, 4L),
+      (13L, 3L), (14L, 3L), (15L, 3L))
+    val li = baskets.toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketLift(li, minSupport = 1, topK = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == ((2L, 3.0)))    // n=6 baskets: 2*6/(2*2)
+    assert(got((1L, 3L)) == ((2L, 1.0)))    // 2*6/(2*6)
+    assert(got((2L, 3L)) == ((2L, 1.0)))
+    assert(got((3L, 4L)) == ((1L, 1.0)))    // 1*6/(6*1)
+    assert(!got.contains((1L, 4L)))         // never co-occur
+    assert(got.keys.forall { case (i, j) => i < j })
+  }
+
+  test("q133 on real data: support bounds and lift positivity") {
+    val rows = Relational.q133(tables).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
 }
