@@ -61,24 +61,26 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     val base = (15L * Scale) / (100L * n) // (1-d)/N, floor
-    // fold outdeg onto the edges once so the loop joins ranks only
+    // fold outdeg onto the edges once so the loop joins ranks only;
+    // pre-partitioned on the join key, so each round shuffles the
+    // (|nodes|-row) rank frame, never the (|edges|-row) edge list
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesD = edges.join(outdeg, "src").localCheckpoint(true)
+    val edgesD = edges.join(outdeg, "src")
+      .repartition(col("src")).localCheckpoint(true)
 
+    // the graph is undirected, so every node has inbound mass: the
+    // per-dst aggregate alone covers the full node set — no per-round
+    // left-join against `nodes` needed
     var ranks = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iterations) {
-      val sums = edgesD
+      ranks = edgesD
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("s"))
-      ranks = nodes
-        .join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
+          (lit(base) + expr("(85 * s) div 100")).as("rank"))
         .localCheckpoint(true)
     }
     ranks
