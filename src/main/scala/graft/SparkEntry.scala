@@ -165,6 +165,8 @@ object SparkEntry {
     "q132_exact_substr" ->
       q(t => Dedup.exactSubstrRuns(t.documents)),
     "q133_basket_lift" -> q(Relational.q133(_)),
+    "q134_personalized_pagerank" ->
+      q(t => Graph.personalizedPageRank(t.lineitem, seedSupplier = 7L)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -1811,6 +1813,63 @@ object SparkEntry {
         |SELECT part_i, part_j, CAST(c_ij AS BIGINT) AS c_ij, lift
         |FROM lifted ORDER BY lift DESC, part_i, part_j
         |LIMIT 30""".stripMargin,
+    "q134_personalized_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+        |  FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges
+        |           GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN node = 7 THEN 1000000000000
+        |                         ELSE 0 END AS rank FROM nodes),
+        |r1 AS (SELECT n.node,
+        |         CASE WHEN n.node = 7 THEN 150000000000 ELSE 0 END
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r0 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node,
+        |         CASE WHEN n.node = 7 THEN 150000000000 ELSE 0 END
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r1 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node,
+        |         CASE WHEN n.node = 7 THEN 150000000000 ELSE 0 END
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r2 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r4 AS (SELECT n.node,
+        |         CASE WHEN n.node = 7 THEN 150000000000 ELSE 0 END
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r3 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node),
+        |r5 AS (SELECT n.node,
+        |         CASE WHEN n.node = 7 THEN 150000000000 ELSE 0 END
+        |         + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS node, r.rank // d.outdeg AS contrib
+        |         FROM edges e JOIN r4 r ON r.node = e.src
+        |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
+        |       GROUP BY n.node)
+        |SELECT CAST(node - 1000000 AS BIGINT) AS part_key,
+        |       CAST(rank AS BIGINT) AS rank_scaled
+        |FROM r5 WHERE node >= 1000000 AND rank > 0
+        |ORDER BY rank_scaled DESC, part_key
+        |LIMIT 15""".stripMargin,
     "q70_iqr_outliers" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the engine
@@ -39,6 +39,52 @@ object Graph {
   private val Scale = 1000000000000L // rank 1.0, in 10^-12 units
   private val PartOffset = 1000000L  // part keys live above suppliers
 
+  /** Distinct undirected (src, dst) incidence edges of `lineitem`,
+    * eagerly checkpointed. The two union branches are disjoint by key
+    * range. */
+  private def incidenceEdges(lineitem: DataFrame): DataFrame = {
+    val fwd = lineitem
+      .select(col("l_suppkey").cast("long").as("src"),
+        (lit(PartOffset) + col("l_partkey")).cast("long").as("dst"))
+      .distinct()
+    fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** Shared power-iteration core: per round, every node's new rank is
+    * `teleport(node) + (85 · Σ_in contrib) div 100`. The graph is
+    * undirected, so every node has inbound mass: the per-dst aggregate
+    * alone covers the full node set — no per-round left-join against a
+    * node list. `edgesD` is pre-partitioned on the join key, so each
+    * round shuffles the (|nodes|-row) rank frame, never the
+    * (|edges|-row) edge list; each round's frame is `localCheckpoint`ed
+    * to truncate the iterative lineage. */
+  private def iterate(
+      edgesD: DataFrame, ranks0: DataFrame, teleport: Column,
+      iterations: Int): DataFrame = {
+    var ranks = ranks0
+    for (_ <- 1 to iterations) {
+      ranks = edgesD
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("s"))
+        .select(col("node"),
+          (teleport + expr("(85 * s) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Edge list with the source's out-degree folded on, pre-partitioned
+    * on the join key (see [[iterate]]). */
+  private def withOutdeg(edges: DataFrame): DataFrame =
+    edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).localCheckpoint(true)
+
   /** PageRank (damping 0.85, `iterations` fixed rounds, no dangling
     * redistribution — isolated nodes never enter the edge-derived node
     * set) over the UNDIRECTED supplier–part incidence graph of
@@ -49,40 +95,13 @@ object Graph {
       lineitem: DataFrame, iterations: Int = 5, topK: Int = 20)
       : DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val fwd = lineitem
-      .select(col("l_suppkey").cast("long").as("src"),
-        (lit(PartOffset) + col("l_partkey")).cast("long").as("dst"))
-      .distinct()
-    // both directions; the two branches are disjoint by key ranges
-    val edges = fwd
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val edges = incidenceEdges(lineitem)
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     val base = (15L * Scale) / (100L * n) // (1-d)/N, floor
-    // fold outdeg onto the edges once so the loop joins ranks only;
-    // pre-partitioned on the join key, so each round shuffles the
-    // (|nodes|-row) rank frame, never the (|edges|-row) edge list
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesD = edges.join(outdeg, "src")
-      .repartition(col("src")).localCheckpoint(true)
-
-    // the graph is undirected, so every node has inbound mass: the
-    // per-dst aggregate alone covers the full node set — no per-round
-    // left-join against `nodes` needed
-    var ranks = nodes.withColumn("rank", lit(Scale / n))
-    for (_ <- 1 to iterations) {
-      ranks = edgesD
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank div outdeg").as("contrib"))
-        .groupBy("node")
-        .agg(sum("contrib").as("s"))
-        .select(col("node"),
-          (lit(base) + expr("(85 * s) div 100")).as("rank"))
-        .localCheckpoint(true)
-    }
+    val ranks = iterate(withOutdeg(edges),
+      nodes.withColumn("rank", lit(Scale / n)), lit(base), iterations)
     ranks
       .orderBy(col("rank").desc, col("node").asc)
       .limit(topK)
@@ -91,6 +110,38 @@ object Graph {
           .otherwise(lit("supplier")).as("node_type"),
         when(col("node") >= PartOffset, col("node") - PartOffset)
           .otherwise(col("node")).as("node_key"),
+        col("rank").as("rank_scaled"))
+  }
+
+  /** Personalized PageRank: the random walk RESTARTS at one seed
+    * supplier instead of teleporting uniformly, so rank mass measures
+    * proximity to the seed — the "parts for THIS supplier" item
+    * recommendation shape (seeded variant of the reference's per-site
+    * ranking, graph-generalized). Returns the `topK` PART nodes the
+    * seed is most associated with: (part_key, rank_scaled).
+    *
+    * Same integer recurrence as [[pageRank]] — the only change is the
+    * teleport vector: 0.15·SCALE at the seed, 0 elsewhere (both the
+    * initial mass and the per-round restart term). Nodes the walk
+    * never reaches keep rank 0 and are filtered, so the output is
+    * bounded by the seed's `iterations`-hop neighborhood. */
+  def personalizedPageRank(
+      lineitem: DataFrame, seedSupplier: Long, iterations: Int = 5,
+      topK: Int = 15): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = incidenceEdges(lineitem)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeded = when(col("node") === seedSupplier, lit(15L * Scale / 100L))
+      .otherwise(lit(0L))
+    val ranks = iterate(withOutdeg(edges),
+      nodes.withColumn("rank",
+        when(col("node") === seedSupplier, lit(Scale)).otherwise(lit(0L))),
+      seeded, iterations)
+    ranks
+      .filter(col("node") >= PartOffset && col("rank") > 0)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(topK)
+      .select((col("node") - PartOffset).as("part_key"),
         col("rank").as("rank_scaled"))
   }
 }

@@ -11,21 +11,31 @@ class GraphSpec extends SparkSpec {
   import spark.implicits._
 
   /** Independent single-threaded implementation of the same scaled
-    * integer recurrence (adjacency maps, no Spark). */
+    * integer recurrence (adjacency maps, no Spark). `seed = None` is
+    * uniform PageRank; `Some(s)` is the personalized restart at s. */
   private def brute(
-      pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      pairs: Seq[(Long, Long)], iters: Int,
+      seed: Option[Long] = None): Map[Long, Long] = {
     val fwd = pairs.distinct.map { case (s, p) => (s, 1000000L + p) }
     val edges = (fwd ++ fwd.map(_.swap)).distinct
     val nodes = edges.map(_._1).distinct.sorted
     val n = nodes.size
+    def teleport(v: Long): Long = seed match {
+      case None => 15L * 1000000000000L / (100L * n)
+      case Some(s) => if (v == s) 15L * 1000000000000L / 100L else 0L
+    }
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val base = 15L * 1000000000000L / (100L * n)
-    var rank = nodes.map(_ -> 1000000000000L / n).toMap
+    var rank = seed match {
+      case None => nodes.map(_ -> 1000000000000L / n).toMap
+      case Some(s) =>
+        nodes.map(v => v -> (if (v == s) 1000000000000L else 0L)).toMap
+    }
     for (_ <- 1 to iters) {
       val sums = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
       for ((s, d) <- edges) sums(d) += rank(s) / outdeg(s)
-      rank = nodes.map(v => v -> (base + 85L * sums(v) / 100L)).toMap
+      rank = nodes.map(v => v -> (teleport(v) + 85L * sums(v) / 100L))
+        .toMap
     }
     rank
   }
@@ -68,6 +78,26 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1000000000000L)
     assert(mass > 999999000000L, s"mass drifted to $mass")
     assert(n > 0 && all.filter(col("rank_scaled") <= 0).isEmpty)
+  }
+
+  test("personalized pageRank matches the seeded brute recurrence " +
+    "and stays inside the seed's reachable neighborhood") {
+    // two disconnected components: seed 1's walk must never assign
+    // mass to component B's parts
+    val compA = Seq((1L, 10L), (1L, 11L), (2L, 11L))
+    val compB = Seq((5L, 50L), (5L, 51L))
+    val df = (compA ++ compB).toDF("l_suppkey", "l_partkey")
+    val got = Graph.personalizedPageRank(df, seedSupplier = 1L,
+        iterations = 5, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = brute(compA ++ compB, 5, seed = Some(1L))
+      .collect { case (node, r) if node >= 1000000L && r > 0 =>
+        (node - 1000000L) -> r }
+    assert(got == exp)
+    assert(!got.contains(50L) && !got.contains(51L),
+      "mass leaked into a disconnected component")
+    // direct neighbors of the seed outrank parts two hops out
+    assert(got(10L) > 0 && got(11L) > 0)
   }
 
   test("regular bipartite graph yields uniform ranks within a type") {
