@@ -539,6 +539,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter injects on selective dim joins " +
+    "(the 100TB fact-scan pruning lever)") {
+    // Spark 4 injects a bloom might_contain on the fact side of a
+    // shuffle join when the dim side is filtered and the fact scan is
+    // big enough (default threshold 10 GiB — met trivially at real
+    // scale; lowered here to observe the injection at test size)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+      val dim = tables.orders.filter(col("o_totalprice") > 500000)
+      val j = tables.lineitem
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString
+          .contains("might_contain"),
+        "bloom runtime filter not injected on the fact side")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q133 basket lift matches a driver-side brute force") {
     import spark.implicits._
     // 6 baskets: parts 1 and 2 always co-occur (perfect lift n/c),
