@@ -2,7 +2,8 @@ package graft.sources
 
 import java.text.SimpleDateFormat
 import java.util.Date
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 
 /** Sink surface (SURVEY §2.1 S6–S9): parquet stage persistence,
   * single-file CSV output, and the timestamped output layout.
@@ -78,6 +79,39 @@ object Writers {
       numFiles: Int): Unit =
     df.repartitionByRange(numFiles, df.col(sortCol))
       .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative 32-bit-ranged
+    * integer columns: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. A pure Column fold — codegen'd, no UDF. */
+  def zValue(a: Column, b: Column): Column = {
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Z-ORDERED layout — the 2-D generalization of [[rangeSorted]]
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` shape): rows are range-
+    * partitioned and sorted on the Morton interleave of two key
+    * columns, so every parquet file covers a small RECTANGLE of the
+    * (a, b) key space rather than a stripe of one key. Zone maps
+    * (parquet min/max on both raw columns) then prune files for range
+    * predicates on EITHER key — a selective filter on `a` or on `b`
+    * touches ~√files instead of all of them, which is the difference
+    * between a point lookup and a full scan on a 100 TB table. Both
+    * columns must be non-negative and fit in 32 bits (the usual
+    * dictionary-key contract; wider keys need a rank-compression pass
+    * first). */
+  def zOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit =
+    df.withColumn("_z", zValue(df.col(colA), df.col(colB)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
 
   /** Small-file compaction — the operational counterpart to streaming

@@ -266,6 +266,63 @@ class IoSpec extends SparkSpec {
     assert(events.exceptAll(spark.read.parquet(out)).count() == 0)
   }
 
+  test("zOrdered: files cover disjoint z-ranges and tight rectangles " +
+    "on BOTH keys") {
+    // balanced 256x256 grid: with 16 files the top four z bits split
+    // each dimension 4-ways, so every file's bounding rectangle must
+    // span ~1/4 of EACH key domain (a 1-D sort on `a` would leave
+    // every file spanning the full b domain)
+    val out = s"$dir/z_ordered"
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    Writers.zOrdered(grid, out, "a", "b", numFiles = 16)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(parts.length >= 8, s"expected ~16 files, got ${parts.length}")
+    val boxes = parts.map { p =>
+      val r = spark.read.parquet(p).agg(
+        min(Writers.zValue(col("a"), col("b"))),
+        max(Writers.zValue(col("a"), col("b"))),
+        min("a"), max("a"), min("b"), max("b")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // z-ranges disjoint across files (the rangeSorted invariant on z)
+    boxes.sortBy(_._1).sliding(2).foreach {
+      case Array(x, y) => assert(x._2 < y._1,
+        s"overlapping z ranges: ${x._2} >= ${y._1}")
+      case _ =>
+    }
+    val avgASpan = boxes.map(b => (b._4 - b._3).toDouble).sum / boxes.length
+    val avgBSpan = boxes.map(b => (b._6 - b._5).toDouble).sum / boxes.length
+    assert(avgASpan < 0.5 * 255,
+      s"a spans not narrowed: $avgASpan vs 255")
+    assert(avgBSpan < 0.5 * 255,
+      s"b spans not narrowed: $avgBSpan vs 255")
+    // content preserved on a real table round-trip
+    val li = tables.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+    Writers.zOrdered(li, s"$out-li", "l_partkey", "l_suppkey",
+      numFiles = 8)
+    assert(spark.read.parquet(s"$out-li").exceptAll(li).count() == 0)
+    assert(li.exceptAll(spark.read.parquet(s"$out-li")).count() == 0)
+  }
+
+  test("zValue: Morton interleave is exact on crafted bit patterns") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+        ((1L << 31) - 1, 0L), (0L, (1L << 31) - 1))
+      .toDF("a", "b")
+      .select(Writers.zValue(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    def interleave(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1)))
+    val exp = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      ((1L << 31) - 1, 0L), (0L, (1L << 31) - 1)).map((interleave _).tupled)
+    assert(got == exp)
+    assert(exp(1) == 1L && exp(2) == 2L) // bit placement sanity
+  }
+
   test("compact: collapses a small-file directory, preserves content") {
     val out = s"$dir/compact_me"
     val events = tables.events.select("event_id", "user_id", "value")
