@@ -99,6 +99,9 @@ object Graph {
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    if (n == 0) // empty/all-null input: empty frame, not a 1/0 crash
+      return nodes.select(lit("supplier").as("node_type"),
+        col("node").as("node_key"), col("node").as("rank_scaled"))
     val base = (15L * Scale) / (100L * n) // (1-d)/N, floor
     val ranks = iterate(withOutdeg(edges),
       nodes.withColumn("rank", lit(Scale / n)), lit(base), iterations)

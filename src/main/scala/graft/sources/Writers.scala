@@ -81,16 +81,34 @@ object Writers {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
 
-  /** Morton (Z-order) interleave of two non-negative 32-bit-ranged
-    * integer columns: bit i of `a` lands at position 2i, bit i of `b`
-    * at 2i+1. A pure Column fold — codegen'd, no UDF. */
+  /** Morton (Z-order) interleave of two non-negative 31-bit integer
+    * columns (i.e. any non-negative 32-bit SIGNED int): bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1 — the top interleaved
+    * bit is position 61, so z is always non-negative and signed-long
+    * comparison IS Morton order (a 32nd bit of `b` would land in the
+    * sign bit and invert the ordering). A pure Column fold —
+    * codegen'd, no UDF. */
   def zValue(a: Column, b: Column): Column = {
     val al = a.cast("long"); val bl = b.cast("long")
-    (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
+    (0 until 31).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
         .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
     }
+  }
+
+  /** `zValue` with the [0, 2³¹) input contract ENFORCED per row:
+    * out-of-range keys fail the write loudly instead of silently
+    * interleaving garbage into the layout. The guard is a codegen'd
+    * conditional — zero cost unless violated. */
+  private def zValueChecked(a: Column, b: Column): Column = {
+    val ok = a.isNotNull && b.isNotNull &&
+      a.cast("long").between(0L, (1L << 31) - 1) &&
+      b.cast("long").between(0L, (1L << 31) - 1)
+    org.apache.spark.sql.functions.when(ok, zValue(a, b)).otherwise(
+      org.apache.spark.sql.functions.raise_error(org.apache.spark.sql
+        .functions.concat(lit("zOrdered: key out of [0, 2^31): ("),
+          a.cast("string"), lit(", "), b.cast("string"), lit(")"))))
   }
 
   /** Z-ORDERED layout — the 2-D generalization of [[rangeSorted]]
@@ -108,7 +126,7 @@ object Writers {
   def zOrdered(
       df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit =
-    df.withColumn("_z", zValue(df.col(colA), df.col(colB)))
+    df.withColumn("_z", zValueChecked(df.col(colA), df.col(colB)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

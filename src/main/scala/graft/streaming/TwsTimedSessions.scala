@@ -71,12 +71,16 @@ object TwsTimedSessions {
 
     /** Merge-insert `t` into the sorted disjoint session list:
       * extends the session within reach, bridges two when `t` closes
-      * the hole between them, or opens a new singleton. */
+      * the hole between them, or opens a new singleton. STRICT
+      * inequalities: a distance of exactly `gap` starts a new session
+      * — the repo-wide convention (see EventsStreaming's `>=` note),
+      * and what makes the merge rule agree with [[deadlineMs]]'s
+      * close rule at the boundary. */
     private def insert(
         sessions: List[OpenSession], t: Long): List[OpenSession] = {
       val (before, after) = sessions.span(_.startUs <= t)
-      val intoPrev = before.lastOption.exists(p => t <= p.lastUs + gapUs)
-      val intoNext = after.headOption.exists(q => q.startUs - t <= gapUs)
+      val intoPrev = before.lastOption.exists(p => t < p.lastUs + gapUs)
+      val intoNext = after.headOption.exists(q => q.startUs - t < gapUs)
       (intoPrev, intoNext) match {
         case (true, true) =>
           val p = before.last; val q = after.head

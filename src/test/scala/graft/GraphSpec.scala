@@ -100,6 +100,12 @@ class GraphSpec extends SparkSpec {
     assert(got(10L) > 0 && got(11L) > 0)
   }
 
+  test("empty input yields an empty frame from both entry points") {
+    val empty = Seq.empty[(Long, Long)].toDF("l_suppkey", "l_partkey")
+    assert(Graph.pageRank(empty).isEmpty)
+    assert(Graph.personalizedPageRank(empty, seedSupplier = 1L).isEmpty)
+  }
+
   test("regular bipartite graph yields uniform ranks within a type") {
     // 3 suppliers x 4 parts, complete: supplier outdeg 4, part outdeg 3
     val pairs = for { s <- 1L to 3L; p <- 10L to 13L } yield (s, p)

@@ -315,12 +315,27 @@ class IoSpec extends SparkSpec {
       .select(Writers.zValue(col("a"), col("b")))
       .as[Long].collect().toSeq
     def interleave(a: Long, b: Long): Long =
-      (0 until 32).foldLeft(0L)((acc, i) =>
+      (0 until 31).foldLeft(0L)((acc, i) =>
         acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1)))
     val exp = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
       ((1L << 31) - 1, 0L), (0L, (1L << 31) - 1)).map((interleave _).tupled)
     assert(got == exp)
     assert(exp(1) == 1L && exp(2) == 2L) // bit placement sanity
+    assert(exp.forall(_ >= 0L), "z must stay out of the sign bit")
+  }
+
+  test("zOrdered rejects keys outside [0, 2^31) instead of silently " +
+    "corrupting the layout") {
+    import spark.implicits._
+    val bad = Seq((1L, 1L << 31), (2L, 3L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      Writers.zOrdered(bad, s"$dir/z_bad", "a", "b", numFiles = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("zOrdered: key out of")),
+      s"unexpected error: $e")
   }
 
   test("compact: collapses a small-file directory, preserves content") {

@@ -217,6 +217,44 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timed sessionization splits events exactly one gap apart " +
+    "(the repo-wide >= convention)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = graft.streaming.TwsTimedSessions
+        .sessionize(spark, mem.toDF().toDF("user_id", "ts")).toDF()
+        .writeStream.format("memory").queryName("tws_gap")
+        .outputMode("append").start()
+      try {
+        // one batch, 30-min gap, events exactly 30 min apart: two
+        // sessions — same boundary rule as session_window and the
+        // sibling sessionizers (a merge here would also contradict the
+        // watermark close rule when the same events span batches)
+        mem.addData((1L, t("2024-01-01 10:00:00")),
+          (1L, t("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 15:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_gap").filter(col("user_id") === 1L)
+        .select(col("start").cast("string"), col("n_events"))
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("2024-01-01 10:00:00", 1L),
+        ("2024-01-01 10:30:00", 1L)), s"got $got")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     import org.apache.spark.sql.functions.{count => fcount}
     val userDim = tables.events.select("user_id").distinct()
