@@ -187,6 +187,10 @@ object SparkEntry {
       graft.ml.Ranker.pipeline(s, Tables(s, dir).events)),
     "ml_rmse_report" -> ((s, dir) =>
       graft.ml.Ranker.rmseReport(Tables(s, dir).events)),
+    "ml_als_recs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.ml.Recommender.recommend(t.lineitem, t.orders)
+    }),
   )
 
   /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{Features, Ranker}
+import graft.ml.{Features, Ranker, Recommender}
 import org.apache.spark.sql.functions._
 
 class MlSpec extends SparkSpec {
@@ -84,5 +84,35 @@ class MlSpec extends SparkSpec {
     val orig = sm.model.transform(wd).select("id", target)
     val rt = loaded.transform(wd).select("id", target)
     assert(orig.exceptAll(rt).count() == 0)
+  }
+
+  test("ALS recommender: k recs per customer, seeded-reproducible") {
+    val recs = Recommender.recommend(tables.lineitem, tables.orders, k = 5)
+    val perUser = recs.groupBy("o_custkey").count()
+    assert(perUser.filter(col("count") =!= 5).count() == 0,
+      "every factorized customer gets exactly k recommendations")
+    assert(recs.count() > 0)
+    // same seed + same input => identical recommendation sets
+    val again = Recommender.recommend(tables.lineitem, tables.orders, k = 5)
+    assert(recs.select("o_custkey", "l_partkey")
+      .exceptAll(again.select("o_custkey", "l_partkey")).count() == 0)
+  }
+
+  test("ALS recovers planted low-rank structure: holdout RMSE beats " +
+    "the global-mean predictor") {
+    import spark.implicits._
+    // rank-2 planted structure: 40 users x 30 items in 2x2 taste
+    // blocks plus a deterministic per-cell wobble; 70% of cells kept.
+    // A mean predictor can't see the blocks; a factorizer must.
+    val cells = for {
+      u <- 0 until 40; i <- 0 until 30
+      if (u * 31 + i * 17) % 10 < 7
+      base = if ((u < 20) == (i < 15)) 40.0f else 10.0f
+    } yield (u, i, base + ((u * 7 + i * 13) % 5).toFloat)
+    val planted = cells.toDF("user", "item", "rating")
+    val (alsRmse, baseline) = Recommender.rmseVsMean(planted)
+    assert(alsRmse.isFinite && baseline.isFinite)
+    assert(alsRmse < 0.5 * baseline,
+      s"ALS rmse $alsRmse did not recover structure (mean $baseline)")
   }
 }
