@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** [[GlobalRank]] — the distributed replacement for unpartitioned
   * rank/ntile/cumsum windows — plus the plan-posture gate: every plan
-  * built on it (q75, q92, q124, q127, q128, vocabGrowth) must contain
-  * NO single-partition WindowExec and NO single-partition shuffle (the
-  * two shapes that serialize |users|-row frames through one task at
-  * scale). */
+  * built on it (q75, q92, q124, q127, q128, vocabGrowth) AND the
+  * round-4 additions (q130–q134) must contain NO single-partition
+  * WindowExec and NO single-partition shuffle (the two shapes that
+  * serialize |users|-row frames through one task at scale). */
 class GlobalRankSpec extends SparkSpec {
   import spark.implicits._
 
@@ -115,8 +115,8 @@ class GlobalRankSpec extends SparkSpec {
     assert(graft.plans.PlanAudit.assertScalable(clean) eq clean)
   }
 
-  test("GlobalRank consumers (q75/q92/q124/q127/q128/vocabGrowth) " +
-    "have no single-task window or shuffle") {
+  test("scale-posture gate: GlobalRank consumers and the round-4 " +
+    "additions have no single-task window or shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assertDistributed(Relational.q75(tables), "q75")
@@ -127,6 +127,17 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(
         TextAnalysis.temperatureMixture(tables.documents), "q127")
       assertDistributed(Relational.q128(tables), "q128")
+      // round-4 additions: windows partitioned (q132 per pair+diag),
+      // top-k always TakeOrdered/TopKPerKey, never a global sort
+      assertDistributed(TextAnalysis.bm25TopK(tables.documents,
+        Seq("spark", "table")), "q130")
+      assertDistributed(
+        graft.operators.Graph.pageRank(tables.lineitem), "q131")
+      assertDistributed(
+        graft.operators.Dedup.exactSubstrRuns(tables.documents), "q132")
+      assertDistributed(Relational.q133(tables), "q133")
+      assertDistributed(graft.operators.Graph.personalizedPageRank(
+        tables.lineitem, seedSupplier = 7L), "q134")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
