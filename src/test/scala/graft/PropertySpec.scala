@@ -250,4 +250,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("exactSubstrRuns equals brute-force token-LCS on random docs") {
+    // tiny vocabulary forces long shared runs to actually occur
+    val docsGen = for {
+      n <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(n, Gen.listOfN(30, Gen.oneOf("a", "b", "c")))
+    } yield docs.zipWithIndex.map { case (toks, i) =>
+      (i.toLong, toks.mkString(" "))
+    }
+    // token-level longest common substring via classic DP
+    def lcsTokens(x: Seq[String], y: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      var best = 0
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        if (x(i - 1) == y(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    forSamples(docsGen, n = 4) { docs =>
+      val k = 5
+      val minTok = 7
+      val got = Dedup
+        .exactSubstrRuns(docs.toDF("doc_id", "text"), k, minTok)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val expected = (for {
+        (i, ti) <- toks; (j, tj) <- toks if i < j
+        l = lcsTokens(ti, tj) if l >= minTok
+      } yield (i, j) -> l.toLong).toMap
+      assert(got == expected,
+        s"got $got expected $expected on ${docs.map(_._2)}")
+    }
+  }
 }
