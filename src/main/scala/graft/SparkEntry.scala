@@ -167,6 +167,10 @@ object SparkEntry {
     "q133_basket_lift" -> q(Relational.q133(_)),
     "q134_personalized_pagerank" ->
       q(t => Graph.personalizedPageRank(t.lineitem, seedSupplier = 7L)),
+    // the AllPairs prefix-filtered path, declared under its own gate:
+    // same semantics as q19, different (real-corpus-preferred) algorithm
+    "q135_allpairs_jaccard" ->
+      q(t => Dedup.ngramJaccardPairsPrefix(t.documents)),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -460,6 +464,21 @@ object SparkEntry {
         |HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
     "q19_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+         |           FROM idx a JOIN idx b
+         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
+         |FROM shared
+         |JOIN sizes si ON si.doc_id = doc_i
+         |JOIN sizes sj ON sj.doc_id = doc_j
+         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q135_allpairs_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
