@@ -233,6 +233,25 @@ object SparkEntry {
        |                  JOIN sig y ON y.doc_id=doc_j)""".stripMargin
   }
 
+  /** Shared by q19 (naive inverted index) and q135 (AllPairs prefix
+    * filter): the two paths declare IDENTICAL semantics, so they share
+    * ONE oracle text — a one-sided edit cannot desynchronize the gates. */
+  private val jaccardOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+         |           FROM idx a JOIN idx b
+         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
+         |FROM shared
+         |JOIN sizes si ON si.doc_id = doc_i
+         |JOIN sizes sj ON sj.doc_id = doc_j
+         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin
+
   private def minhashOracle: String =
     s"""WITH $minhashCtes
        |SELECT doc_i, doc_j, est_jac FROM est WHERE est_jac >= 0.5
@@ -463,36 +482,8 @@ object SparkEntry {
         |GROUP BY 1
         |HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
-    "q19_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
-         |           FROM idx a JOIN idx b
-         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT doc_i, doc_j,
-         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
-         |FROM shared
-         |JOIN sizes si ON si.doc_id = doc_i
-         |JOIN sizes sj ON sj.doc_id = doc_j
-         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
-         |ORDER BY doc_i, doc_j""".stripMargin,
-    "q135_allpairs_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
-         |           FROM idx a JOIN idx b
-         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT doc_i, doc_j,
-         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
-         |FROM shared
-         |JOIN sizes si ON si.doc_id = doc_i
-         |JOIN sizes sj ON sj.doc_id = doc_j
-         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
-         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q19_ngram_jaccard" -> jaccardOracle,
+    "q135_allpairs_jaccard" -> jaccardOracle,
     "q20_minhash_lsh" -> minhashOracle,
     "q42_near_dup_components" -> componentsOracle,
     "q43_containment" ->

@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
   * relevance. */
 object Recommender {
 
+  /** MLlib ALS keys are Int; a silent long→int cast would alias
+    * customers 2³² apart. Guard loudly, like `Writers.zValueChecked`. */
+  private def intKey(c: org.apache.spark.sql.Column) =
+    when(c.between(0L, Int.MaxValue.toLong), c.cast("int"))
+      .otherwise(raise_error(concat(
+        lit("ALS key out of [0, 2^31): "),
+        coalesce(c.cast("string"), lit("null")))))
+
   /** Implicit ratings: total purchased quantity per (customer, part),
     * from lineitem ⋈ orders. */
   def ratings(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .groupBy(col("o_custkey").cast("int").as("user"),
-        col("l_partkey").cast("int").as("item"))
+      .groupBy(intKey(col("o_custkey")).as("user"),
+        intKey(col("l_partkey")).as("item"))
       .agg(sum("l_quantity").cast("float").as("rating"))
 
   private def als(rank: Int, iters: Int, seed: Long): ALS =
@@ -74,10 +82,14 @@ object Recommender {
     val model = als(rank, iters, seed).fit(train)
     val evalr = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol("rating").setPredictionCol("prediction")
-    val alsRmse = evalr.evaluate(model.transform(test))
+    // coldStartStrategy=drop removes unseen-user/item test rows from
+    // the ALS predictions; the baseline MUST be scored on the SAME
+    // surviving rows or the comparison is apples-to-oranges
+    val pred = model.transform(test).localCheckpoint(true)
+    val alsRmse = evalr.evaluate(pred)
     val mean = train.agg(avg("rating")).head().getDouble(0)
     val baseline = evalr.evaluate(
-      test.withColumn("prediction", lit(mean)))
+      pred.withColumn("prediction", lit(mean)))
     (alsRmse, baseline)
   }
 }

@@ -39,6 +39,17 @@ object Graph {
   private val Scale = 1000000000000L // rank 1.0, in 10^-12 units
   private val PartOffset = 1000000L  // part keys live above suppliers
 
+  /** Every frame this operator materializes passes the scale gate
+    * FIRST: `localCheckpoint` truncates lineage, so a post-hoc audit of
+    * the returned plan would never see the loop stages — the gate must
+    * run on each round's plan before it disappears behind the
+    * checkpoint (this is what keeps GlobalRankSpec's q131/q134
+    * assertions meaningful). */
+  private implicit class Audited(private val df: DataFrame) {
+    def checkpointAudited: DataFrame =
+      graft.plans.PlanAudit.assertScalable(df).localCheckpoint(true)
+  }
+
   /** Distinct undirected (src, dst) incidence edges of `lineitem`,
     * eagerly checkpointed. The two union branches are disjoint by key
     * range. */
@@ -49,7 +60,7 @@ object Graph {
       .distinct()
     fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .checkpointAudited
   }
 
   /** Shared power-iteration core: per round, every node's new rank is
@@ -73,7 +84,7 @@ object Graph {
         .agg(sum("contrib").as("s"))
         .select(col("node"),
           (teleport + expr("(85 * s) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .checkpointAudited
     }
     ranks
   }
@@ -83,7 +94,7 @@ object Graph {
   private def withOutdeg(edges: DataFrame): DataFrame =
     edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).checkpointAudited
 
   /** PageRank (damping 0.85, `iterations` fixed rounds, no dangling
     * redistribution — isolated nodes never enter the edge-derived node
@@ -97,7 +108,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = incidenceEdges(lineitem)
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .checkpointAudited
     val n = nodes.count()
     if (n == 0) // empty/all-null input: empty frame, not a 1/0 crash
       return nodes.select(lit("supplier").as("node_type"),

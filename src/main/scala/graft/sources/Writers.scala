@@ -105,10 +105,15 @@ object Writers {
     val ok = a.isNotNull && b.isNotNull &&
       a.cast("long").between(0L, (1L << 31) - 1) &&
       b.cast("long").between(0L, (1L << 31) - 1)
+    // coalesce: a NULL key must still produce the loud message, not a
+    // NULL-propagated empty error
     org.apache.spark.sql.functions.when(ok, zValue(a, b)).otherwise(
       org.apache.spark.sql.functions.raise_error(org.apache.spark.sql
         .functions.concat(lit("zOrdered: key out of [0, 2^31): ("),
-          a.cast("string"), lit(", "), b.cast("string"), lit(")"))))
+          org.apache.spark.sql.functions.coalesce(
+            a.cast("string"), lit("null")), lit(", "),
+          org.apache.spark.sql.functions.coalesce(
+            b.cast("string"), lit("null")), lit(")"))))
   }
 
   /** Z-ORDERED layout — the 2-D generalization of [[rangeSorted]]

@@ -327,15 +327,24 @@ class IoSpec extends SparkSpec {
   test("zOrdered rejects keys outside [0, 2^31) instead of silently " +
     "corrupting the layout") {
     import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
     val bad = Seq((1L, 1L << 31), (2L, 3L)).toDF("a", "b")
     val e = intercept[Exception] {
       Writers.zOrdered(bad, s"$dir/z_bad", "a", "b", numFiles = 2)
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("zOrdered: key out of")),
       s"unexpected error: $e")
+    // a NULL key must fail with the same loud message, not a
+    // NULL-propagated empty one
+    val withNull = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("a", "b")
+    val e2 = intercept[Exception] {
+      Writers.zOrdered(withNull, s"$dir/z_null", "a", "b", numFiles = 2)
+    }
+    assert(messages(e2).exists(_.contains("zOrdered: key out of")),
+      s"unexpected error: $e2")
   }
 
   test("compact: collapses a small-file directory, preserves content") {
