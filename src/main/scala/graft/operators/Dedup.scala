@@ -212,12 +212,15 @@ object Dedup {
           / (col("na") + col("nb") - col("shared")), 4).as("jac"))
       .filter(col("jac") >= minJaccard)
       .orderBy("doc_i", "doc_j")
-      // eager-materialize the (small) pair list, then release the
-      // shingle-set cache — `sets` genuinely feeds three join branches,
-      // so it must persist during the run but must not outlive it
+    // scale-gate the full plan BEFORE the checkpoint truncates its
+    // lineage (post-hoc audits would only see the LogicalRDD root),
+    // then eager-materialize the (small) pair list and release the
+    // shingle-set cache — `sets` genuinely feeds three join branches,
+    // so it must persist during the run but must not outlive it
+    val out = graft.plans.PlanAudit.assertScalable(result)
       .localCheckpoint(eager = true)
     sets.unpersist()
-    result
+    out
   }
 
   /** MinHash signature columns mh0..mh{k-1} via Kirsch–Mitzenmacher
