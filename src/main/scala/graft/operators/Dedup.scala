@@ -165,9 +165,17 @@ object Dedup {
     * Jaccard from per-doc shingle-hash arrays with `array_intersect`
     * (cheap per candidate), not another index join.
     *
-    * The global order is the md5 of the shingle — deterministic and
-    * engine-portable. Output is identical to [[ngramJaccardPairs]]
-    * (asserted in DedupSpec).
+    * The global order is the 8-byte xxhash64 of the shingle —
+    * deterministic, and 4× narrower on the wire than an md5 hex string,
+    * which matters because the verify join ships a full fingerprint
+    * array per candidate side (the dominant shuffle payload of this
+    * operator). Fingerprints never leave the engine — the output is
+    * (doc_i, doc_j, jac) — so cross-engine hash portability is not
+    * required here; only determinism within a run is. A 64-bit
+    * collision between two distinct shingles of the same pair would
+    * perturb `shared` by 1 (probability ~2⁻⁶⁵·V², the same bound
+    * [[sizedShingleIndex]] documents). Output is identical to
+    * [[ngramJaccardPairs]] (asserted in DedupSpec).
     *
     * WHEN TO USE WHICH (measured): prefix filtering wins on natural
     * text (huge shingle space, sparse sharing — candidates collapse
@@ -185,7 +193,8 @@ object Dedup {
     val sets = spread(documents).select(
       col("doc_id"),
       sort_array(transform(
-        array_distinct(shingles(col("text"), n)), s => md5(s))).as("sh"))
+        array_distinct(shingles(col("text"), n)),
+        s => xxhash64(s))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
