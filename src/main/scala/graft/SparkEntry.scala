@@ -1727,10 +1727,10 @@ object SparkEntry {
         |ORDER BY term, score_r DESC, doc_id""".stripMargin,
     "q131_pagerank" ->
       """WITH edges AS (
-        |  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+        |  SELECT DISTINCT l_suppkey AS src, 4294967296 + l_partkey AS dst
         |  FROM lineitem
         |  UNION
-        |  SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst
+        |  SELECT DISTINCT 4294967296 + l_partkey AS src, l_suppkey AS dst
         |  FROM lineitem),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
         |nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -1778,9 +1778,9 @@ object SparkEntry {
         |         FROM edges e JOIN r4 r ON r.node = e.src
         |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
         |       GROUP BY n.node)
-        |SELECT CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END
+        |SELECT CASE WHEN node >= 4294967296 THEN 'part' ELSE 'supplier' END
         |         AS node_type,
-        |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+        |       CASE WHEN node >= 4294967296 THEN node - 4294967296 ELSE node END
         |         AS node_key,
         |       CAST(rank AS BIGINT) AS rank_scaled
         |FROM r5 ORDER BY rank_scaled DESC, node ASC
@@ -1829,10 +1829,10 @@ object SparkEntry {
         |LIMIT 30""".stripMargin,
     "q134_personalized_pagerank" ->
       """WITH edges AS (
-        |  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+        |  SELECT DISTINCT l_suppkey AS src, 4294967296 + l_partkey AS dst
         |  FROM lineitem
         |  UNION
-        |  SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst
+        |  SELECT DISTINCT 4294967296 + l_partkey AS src, l_suppkey AS dst
         |  FROM lineitem),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
         |outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges
@@ -1879,9 +1879,9 @@ object SparkEntry {
         |         FROM edges e JOIN r4 r ON r.node = e.src
         |         JOIN outdeg d ON d.node = e.src) c ON c.node = n.node
         |       GROUP BY n.node)
-        |SELECT CAST(node - 1000000 AS BIGINT) AS part_key,
+        |SELECT CAST(node - 4294967296 AS BIGINT) AS part_key,
         |       CAST(rank AS BIGINT) AS rank_scaled
-        |FROM r5 WHERE node >= 1000000 AND rank > 0
+        |FROM r5 WHERE node >= 4294967296 AND rank > 0
         |ORDER BY rank_scaled DESC, part_key
         |LIMIT 15""".stripMargin,
     "q70_iqr_outliers" ->

@@ -37,7 +37,23 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val Scale = 1000000000000L // rank 1.0, in 10^-12 units
-  private val PartOffset = 1000000L  // part keys live above suppliers
+  // Part node ids live at PartOffset + l_partkey; suppliers below.
+  // 2^32 leaves the two ranges collision-free for any 32-bit key
+  // domain (the sf1 replica already mints suppkeys near 9e7, so a
+  // smaller offset would silently mislabel nodes), and the guard in
+  // [[incidenceEdges]] makes any violation loud instead of corrupting
+  // the graph. Oracle SQL (q131/q134) hardcodes the same constant.
+  private val PartOffset = 4294967296L // 2^32
+
+  /** Contract guard: a key outside [0, 2^32) cannot be encoded without
+    * colliding with the other node class — fail the job loudly (same
+    * pattern as `Recommender.intKey` / `Writers.zValueChecked`; a
+    * codegen'd conditional, zero cost unless violated). */
+  private def keyChecked(c: Column, name: String): Column =
+    when(c.isNotNull && c.between(0L, PartOffset - 1), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"Graph: $name out of [0, 2^32): "),
+        coalesce(c.cast("string"), lit("null")))))
 
   /** Every frame this operator materializes passes the scale gate
     * FIRST: `localCheckpoint` truncates lineage, so a post-hoc audit of
@@ -55,8 +71,9 @@ object Graph {
     * range. */
   private def incidenceEdges(lineitem: DataFrame): DataFrame = {
     val fwd = lineitem
-      .select(col("l_suppkey").cast("long").as("src"),
-        (lit(PartOffset) + col("l_partkey")).cast("long").as("dst"))
+      .select(keyChecked(col("l_suppkey"), "l_suppkey").as("src"),
+        (lit(PartOffset) + keyChecked(col("l_partkey"), "l_partkey"))
+          .as("dst"))
       .distinct()
     fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))

@@ -1082,10 +1082,16 @@ object Relational {
         .as("decile"), col("cents"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
+    // audit BEFORE the checkpoint truncates lineage — the GlobalRank
+    // row_number pipeline is exactly the plan the scale gate must see
+    // (post-checkpoint audits only inspect a LogicalRDD root; same
+    // pattern as Dedup.ngramJaccardPairsPrefix / Graph.Audited)
+    val decilesCk = graft.plans.PlanAudit.assertScalable(deciles)
       .localCheckpoint(true)
-    val total = deciles.agg(sum("dc").as("tc"))
-    val prior = deciles.select(col("decile").as("pd"), col("dc").as("pdc"))
-    deciles
+    val total = decilesCk.agg(sum("dc").as("tc"))
+    val prior = decilesCk.select(
+      col("decile").as("pd"), col("dc").as("pdc"))
+    decilesCk
       .join(broadcast(prior), col("pd") <= col("decile"))
       .groupBy("decile", "n_customers", "dc")
       .agg(sum("pdc").as("cum_dc"))

@@ -27,15 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * only when it is provably final:
   *  - watermark ≥ end + gap (always sound — later events are dropped
   *    by the watermark contract), or
-  *  - `delay = 0` and a later session exists for the key: every future
-  *    event has ts ≥ next watermark ≥ the later session's start ≥
-  *    this session's end + gap, so nothing can merge into it.
+  *  - `delay = 0` and a later session starts ≥ gap + 1 ms after this
+  *    one ends: every future event has ts ≥ next watermark, and the
+  *    watermark is the MS-FLOORED max event time, so it only proves
+  *    ts ≥ laterStart − 999 µs — the extra 1 ms of slack is what makes
+  *    ts ≥ thisEnd + gap certain. (A bare ≥ gap check would let a
+  *    future event land inside the gap of an already-emitted session
+  *    on sub-ms-adjacent data — a duplicate in append output.)
   *
   * State per key: the open-session list + one registered timer at the
   * EARLIEST close deadline, re-armed on every batch that touches the
   * key. The list length is bounded by the lateness horizon —
   * ⌈delay/gap⌉ + 2 disjoint sessions can be in flight at once, O(1)
-  * for any fixed watermark delay (length 1 when `delay = 0`).
+  * for any fixed watermark delay (at `delay = 0`, usually 1 — a
+  * sub-ms-adjacent successor defers its predecessor's close to the
+  * timer, so short prefixes of the list can linger one batch longer).
   */
 object TwsTimedSessions {
 
@@ -104,12 +110,20 @@ object TwsTimedSessions {
         key: Long, sessions: List[OpenSession], watermarkMs: Long)
         : Iterator[SessionOut] = {
       val persistable = sessions.filter(s => deadlineMs(s) > watermarkMs)
+      val wmClosed = sessions.filter(s => deadlineMs(s) <= watermarkMs)
       val (closed, kept) =
-        if (inOrder && persistable.nonEmpty)
-          (sessions.filter(s => deadlineMs(s) <= watermarkMs) ++
-            persistable.init, List(persistable.last))
-        else (sessions.filter(s => deadlineMs(s) <= watermarkMs),
-          persistable)
+        if (inOrder && persistable.nonEmpty) {
+          // evidence-close needs gap + 1 ms: the watermark a future
+          // event clears is the MS-FLOORED successor start, so the
+          // event can sit up to 999 µs below it — without the slack it
+          // could land inside an already-emitted session's gap
+          val succStarts =
+            persistable.drop(1).map(s => Some(s.startUs)) :+ None
+          val (evi, keep) = persistable.zip(succStarts).partition {
+            case (s, next) => next.exists(_ - s.lastUs >= gapUs + 1000L)
+          }
+          (wmClosed ++ evi.map(_._1), keep.map(_._1))
+        } else (wmClosed, persistable)
       open.clear()
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (kept.nonEmpty) {

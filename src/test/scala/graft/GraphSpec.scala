@@ -16,7 +16,7 @@ class GraphSpec extends SparkSpec {
   private def brute(
       pairs: Seq[(Long, Long)], iters: Int,
       seed: Option[Long] = None): Map[Long, Long] = {
-    val fwd = pairs.distinct.map { case (s, p) => (s, 1000000L + p) }
+    val fwd = pairs.distinct.map { case (s, p) => (s, 4294967296L + p) }
     val edges = (fwd ++ fwd.map(_.swap)).distinct
     val nodes = edges.map(_._1).distinct.sorted
     val n = nodes.size
@@ -45,7 +45,7 @@ class GraphSpec extends SparkSpec {
     df.collect().map { r =>
       val key = r.getLong(1)
       val node =
-        if (r.getString(0) == "part") 1000000L + key else key
+        if (r.getString(0) == "part") 4294967296L + key else key
       node -> r.getLong(2)
     }.toMap
 
@@ -91,13 +91,28 @@ class GraphSpec extends SparkSpec {
         iterations = 5, topK = 100)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exp = brute(compA ++ compB, 5, seed = Some(1L))
-      .collect { case (node, r) if node >= 1000000L && r > 0 =>
-        (node - 1000000L) -> r }
+      .collect { case (node, r) if node >= 4294967296L && r > 0 =>
+        (node - 4294967296L) -> r }
     assert(got == exp)
     assert(!got.contains(50L) && !got.contains(51L),
       "mass leaked into a disconnected component")
     // direct neighbors of the seed outrank parts two hops out
     assert(got(10L) > 0 && got(11L) > 0)
+  }
+
+  test("a key outside [0, 2^32) fails loudly instead of mislabeling") {
+    // 2^32 would collide with part node 0 — the old silent-corruption
+    // case the keyChecked guard now turns into a job failure
+    val bad = Seq((4294967296L, 10L)).toDF("l_suppkey", "l_partkey")
+    val e = intercept[Exception] {
+      Graph.pageRank(bad, iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("out of [0, 2^32)"), e.getMessage)
+    val neg = Seq((1L, -1L)).toDF("l_suppkey", "l_partkey")
+    val e2 = intercept[Exception] {
+      Graph.pageRank(neg, iterations = 1).collect()
+    }
+    assert(e2.getMessage.contains("out of [0, 2^32)"), e2.getMessage)
   }
 
   test("empty input yields an empty frame from both entry points") {
@@ -111,7 +126,7 @@ class GraphSpec extends SparkSpec {
     val pairs = for { s <- 1L to 3L; p <- 10L to 13L } yield (s, p)
     val byType = asMap(
       Graph.pageRank(pairs.toDF("l_suppkey", "l_partkey")))
-      .groupBy { case (node, _) => node >= 1000000L }
+      .groupBy { case (node, _) => node >= 4294967296L }
       .view.mapValues(_.values.toSet).toMap
     assert(byType(false).size == 1, "suppliers not uniform")
     assert(byType(true).size == 1, "parts not uniform")

@@ -255,6 +255,54 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timed sessionization does not early-close a session a " +
+    "sub-ms-adjacent future event can still reach") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = graft.streaming.TwsTimedSessions
+        .sessionize(spark, mem.toDF().toDF("user_id", "ts")).toDF()
+        .writeStream.format("memory").queryName("tws_subms")
+        .outputMode("append").start()
+      try {
+        // session A ends at 10:00:00.000500; B starts a gap + 100 µs
+        // later — separate sessions, but B only proves future events
+        // have ts >= 10:30:00.000 (MS-FLOORED watermark), which is
+        // 600 µs BEFORE B and inside A's gap. A bare >=-gap evidence
+        // close would emit A here...
+        mem.addData((1L, t("2024-01-01 10:00:00.0005")))
+        q.processAllAvailable()
+        mem.addData((1L, t("2024-01-01 10:30:00.0006")))
+        q.processAllAvailable()
+        // ...and then this watermark-legal event (100 µs above the
+        // floored watermark, 500 µs below B) BRIDGES A and B into one
+        // session — an emitted A would now be a duplicate/
+        // contradicting append row
+        mem.addData((1L, t("2024-01-01 10:30:00.0001")))
+        q.processAllAvailable()
+        // sentinels march the watermark so the timer drains key 1
+        mem.addData((99L, t("2024-01-01 11:30:00")))
+        q.processAllAvailable()
+        mem.addData((99L, t("2024-01-01 13:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_subms").filter(col("user_id") === 1L)
+        .select(col("start").cast("string"), col("end").cast("string"),
+          col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("2024-01-01 10:00:00.0005",
+        "2024-01-01 10:30:00.0006", 3L)), s"got $got")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrichment join: stream == batch") {
     import org.apache.spark.sql.functions.{count => fcount}
     val userDim = tables.events.select("user_id").distinct()
