@@ -61,17 +61,29 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Truncation-proofing: the round driver captures only the log TAIL,
     // so a single giant JSON line can lose its head (round 3 lost 50 of
-    // 129 per-query numbers that way). Emit the numbers three ways:
+    // 129 per-query numbers; round 4's tail lost the alphabetical head
+    // — ml_*/q01–q09/q100+ — because the ~5 KB canonical line plus 140
+    // long-name lines overflowed the capture). Emit the numbers four
+    // ways, cheapest-to-recover LAST:
     //  1. the total on its own short line, first;
-    //  2. one short line per query (each survives tail capture alone);
-    //  3. the full single-line JSON last (the driver's parse target),
-    // and persist the full JSON to target/bench.json as the durable
-    // artifact independent of log capture.
-    // NOTE: keyed "bench_total", NOT "metric" — exactly ONE line in the
-    // whole output matches "metric":"total" (the full JSON below), so
-    // one-line grep parsers keep working
+    //  2. one short line per query, NUMERIC order (q01…q138);
+    //  3. the full single-line JSON (the driver's parse target);
+    //  4. the very LAST line: a compact map keyed by the short query
+    //     prefix (q01…q138, ~2 KB total) — small enough that any
+    //     plausible tail capture holds it whole, so the tail ALONE
+    //     recovers every entry even when line 3 is head-truncated.
+    // target/bench.json stays the durable artifact independent of
+    // log capture.
+    // NOTE: keyed "bench_total"/"bench_compact", NOT "metric" — exactly
+    // ONE line in the whole output matches "metric":"total" (the full
+    // JSON above), so one-line grep parsers keep working
+    val numKey: ((String, Double)) => (Int, String) = { case (n, _) =>
+      ("""^q(\d+)""".r.findFirstMatchIn(n).map(_.group(1).toInt)
+        .getOrElse(Int.MaxValue), n)
+    }
+    val numOrdered = results.sortBy(numKey)
     println(f"""{"bench_total":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
-    results.foreach { case (k, v) =>
+    numOrdered.foreach { case (k, v) =>
       println(f"""{"bench_query":"$k","sec":$v%.3f}""")
     }
     val out = java.nio.file.Paths.get("target/bench.json")
@@ -79,6 +91,10 @@ object Bench {
     java.nio.file.Files.write(out,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    val compact = numOrdered.map { case (k, v) =>
+      "\"" + k.split('_').head + f"\":$v%.3f" }
+      .mkString("{\"bench_compact\":{", ",", f"},\"total\":$total%.3f}")
+    println(compact)
     spark.stop()
   }
 }

@@ -134,6 +134,9 @@ object SparkEntry {
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
     "q107_click_to_purchase" -> q(Relational.q107),
+    "q136_purchase_outer_clicks" -> q(Relational.q136),
+    "q137_scd1_merge" -> q(Relational.q137),
+    "q138_decimal_agg" -> q(Relational.q138),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1341,6 +1344,43 @@ object SparkEntry {
         |FROM events p JOIN events c ON c.user_id = p.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q138_decimal_agg" ->
+      """WITH d AS (SELECT l_returnflag AS flag,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+        |         CAST(l_discount AS DECIMAL(12,2)) AS disc
+        |       FROM lineitem)
+        |SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(p) AS VARCHAR) AS sum_price,
+        |  CAST(MIN(p) AS VARCHAR) AS min_price,
+        |  CAST(MAX(p) AS VARCHAR) AS max_price,
+        |  CAST(SUM(p * (1 - disc)) AS VARCHAR) AS sum_disc_price,
+        |  ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 4) AS avg_price
+        |FROM d GROUP BY flag ORDER BY flag""".stripMargin,
+    "q137_scd1_merge" ->
+      """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
+        |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+        |              FROM customer),
+        |delta AS (SELECT o_custkey AS k, 'active' AS status,
+        |            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |              AS BIGINT) AS bal_cents,
+        |            o_orderdate AS version
+        |          FROM orders
+        |          WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |          GROUP BY o_custkey, o_orderdate),
+        |latest AS (SELECT k, status, bal_cents FROM delta
+        |           QUALIFY row_number() OVER (
+        |             PARTITION BY k ORDER BY version DESC) = 1)
+        |SELECT k, status, bal_cents FROM snap
+        |WHERE k NOT IN (SELECT k FROM latest)
+        |UNION ALL SELECT k, status, bal_cents FROM latest
+        |ORDER BY k""".stripMargin,
+    "q136_purchase_outer_clicks" ->
+      """SELECT p.user_id, p.event_id AS p_event, c.event_id AS c_event
+        |FROM events p LEFT JOIN events c ON c.user_id = p.user_id
+        |  AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
     "q108_shipping_priority" ->
       """SELECT l.l_orderkey, o.o_orderdate,

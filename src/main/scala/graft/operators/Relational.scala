@@ -1177,6 +1177,90 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** SCD1 MERGE — last-writer-wins keyed upsert, the batch-callable
+    * twin of the streaming `EventsStreaming.runUpsert` sink: collapse
+    * `delta` to its newest row per key (highest `versionCol`; callers
+    * must make (keys, versionCol) unique in the delta or the pick is
+    * tie-broken arbitrarily), then replace matching snapshot rows and
+    * append the rest. `delta`'s schema is the snapshot's plus
+    * `versionCol`.
+    *
+    * Scale: the collapse window partitions by the merge key (state =
+    * one key's delta rows); the anti-join is a key equi-join Spark may
+    * broadcast when the collapsed delta is small (AQE decides — a
+    * delta is usually ≪ the snapshot but nothing guarantees it, so no
+    * unconditional broadcast hint). Replaying the same delta is a
+    * no-op — MERGE idempotence, asserted in RelationalSpec; at 100 TB
+    * the snapshot side would be key-partitioned so the rewrite touches
+    * only affected partitions (the same note as runUpsert's
+    * replaceWhere). */
+  def scd1Merge(
+      snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd1Merge needs at least one key column")
+    require(delta.columns.contains(versionCol),
+      s"delta lacks version column $versionCol")
+    val latest = delta
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(versionCol).desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", versionCol)
+    snapshot
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest)
+  }
+
+  /** q137 — oracle gate for [[scd1Merge]]: the customer table as the
+    * snapshot ('base' rows, account balance in cents), a delta of one
+    * row per (customer, 1998 order date) carrying that date's order
+    * total, version = the order date. The merge keeps base rows for
+    * customers with no 1998 orders and replaces the rest with their
+    * LATEST 1998 date's total — exercising both the within-delta LWW
+    * collapse and the keyed replace. */
+  def q137(t: Tables): DataFrame = {
+    val snap = t.customer.select(
+      col("c_custkey").as("k"), lit("base").as("status"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val delta = t.orders
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("version"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("bal_cents"))
+      .select(col("k"), lit("active").as("status"), col("bal_cents"),
+        col("version"))
+    scd1Merge(snap, delta, Seq("k"), "version").orderBy("k")
+  }
+
+  /** q138 — DECIMAL aggregate semantics pin: the engine family's most
+    * notorious cross-engine divergence corner, which the all-double
+    * fixtures never touch. Prices viewed as DECIMAL(12,2); SUM / MIN /
+    * MAX and the scale-growing product SUM(p·(1−disc)) are emitted as
+    * STRINGS, so the hash gate pins the exact digits AND the result
+    * scale (a sum that drifted through double, or an engine that
+    * rounded the scale-4 product differently, changes the string).
+    * AVG is deliberately NOT taken in decimal: Spark's decimal AVG
+    * rounds HALF_UP at scale 6 while DuckDB computes a double — the
+    * portable form is the IEEE division of the exactly-summed cents,
+    * rounded for display (the repo-wide trick). Per-row decimal ROUND
+    * is likewise avoided: DuckDB and Spark disagree at .xx5 halves. */
+  def q138(t: Tables): DataFrame = {
+    val p = col("l_extendedprice").cast("decimal(12,2)")
+    val d = col("l_discount").cast("decimal(12,2)")
+    t.lineitem
+      .select(col("l_returnflag").as("flag"), p.as("p"), d.as("disc"))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("p").cast("string").as("sum_price"),
+        min("p").cast("string").as("min_price"),
+        max("p").cast("string").as("max_price"),
+        sum(col("p") * (lit(1) - col("disc"))).cast("string")
+          .as("sum_disc_price"),
+        round(sum("p").cast("double") / count(lit(1)), 4).as("avg_price"))
+      .orderBy("flag")
+  }
+
   /** q98 — exponential smoothing (EWMA) over each user's event stream:
     * ewma_i = Σ_{j=0..7} cents_{i-j} · 2⁻ʲ, a lag-chain window pass.
     * α = 1/2 over integer cents makes every term and every partial sum
@@ -1232,6 +1316,15 @@ object Relational {
     * bounded-state shape, never a cross product. */
   def q107(t: Tables): DataFrame =
     graft.streaming.EventsStreaming.clicksBeforePurchase(t.events)
+      .orderBy("user_id", "p_event", "c_event")
+
+  /** q136 — batch twin of the stream-stream LEFT OUTER interval join
+    * ([[graft.streaming.EventsStreaming.purchasesWithClicks]]): q107
+    * plus one null-click row per purchase with no qualifying click.
+    * Same bounded-state plan shape; the outer side adds only the
+    * null-emission bookkeeping. */
+  def q136(t: Tables): DataFrame =
+    graft.streaming.EventsStreaming.purchasesWithClicks(t.events)
       .orderBy("user_id", "p_event", "c_event")
 
   /** q108 — the TPC-H Q3 "shipping priority" composite: segment-

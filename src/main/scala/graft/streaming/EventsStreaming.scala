@@ -80,6 +80,35 @@ object EventsStreaming {
     * alive at 100 TB/day. The same body runs on batch frames
     * (withWatermark is a no-op there); parity locked in StreamingSpec. */
   def clicksBeforePurchase(events: DataFrame): DataFrame = {
+    val (clicks, purchases) = clickPurchaseSides(events)
+    clicks.join(purchases, clickPurchaseCond)
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join: every purchase, with the
+    * clicks that preceded it by at most one hour — or ONE null-click
+    * row when no such click exists. The outer row cannot be emitted
+    * when the purchase arrives (a qualifying click may still be in
+    * flight): Spark buffers the unmatched purchase and emits the null
+    * row only once the click-side watermark passes p_ts, PROVING no
+    * match can arrive — that watermark proof is what makes outer
+    * results exactly-once in append mode, and it means outer rows
+    * trail the inner ones by up to the watermark delay. State stays
+    * bounded exactly as in the inner form. The same body runs on batch
+    * frames as a plain left join (withWatermark is a no-op);
+    * stream==batch parity incl. a never-matched key is locked in
+    * StreamingSpec, and the batch twin is oracle-gated as q136. */
+  def purchasesWithClicks(events: DataFrame): DataFrame = {
+    val (clicks, purchases) = clickPurchaseSides(events)
+    purchases.join(clicks, clickPurchaseCond, "left_outer")
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"))
+  }
+
+  /** Shared sides of the click/purchase interval joins — one
+    * definition so the inner (q107) and left-outer (q136) variants
+    * cannot drift in watermark or predicate. */
+  private def clickPurchaseSides(
+      events: DataFrame): (DataFrame, DataFrame) = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_event"))
@@ -88,12 +117,13 @@ object EventsStreaming {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_event"))
       .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      col("c_user") === col("p_user")
-        && col("c_ts") <= col("p_ts")
-        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"))
+    (clicks, purchases)
   }
+
+  private def clickPurchaseCond: org.apache.spark.sql.Column =
+    col("c_user") === col("p_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
 
   /** Streaming dedup on event_id within the watermark. */
   def dedupped(events: DataFrame): DataFrame =

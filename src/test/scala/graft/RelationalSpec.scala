@@ -593,4 +593,27 @@ class RelationalSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("scd1Merge: LWW pick, keyed replace, insert, and idempotent " +
+    "replay") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "status", "v")
+    // key 2: two delta versions (LWW must pick ver 7); key 9: insert;
+    // keys 1 and 3 untouched
+    val delta = Seq((2L, "b2", 21L, 5L), (2L, "b3", 22L, 7L),
+      (9L, "new", 90L, 1L)).toDF("k", "status", "v", "ver")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val merged = Relational.scd1Merge(snap, delta, Seq("k"), "ver")
+    assert(canon(merged) == Set("[1,a,10]", "[3,c,30]", "[2,b3,22]",
+      "[9,new,90]"))
+    // replaying the same delta over the merged table changes nothing
+    val replayed = Relational.scd1Merge(merged, delta, Seq("k"), "ver")
+    assert(canon(replayed) == canon(merged))
+    // a second delta beats the first on the same key
+    val d2 = Seq((2L, "b4", 23L, 9L)).toDF("k", "status", "v", "ver")
+    assert(canon(Relational.scd1Merge(merged, d2, Seq("k"), "ver"))
+      .contains("[2,b4,23]"))
+  }
 }

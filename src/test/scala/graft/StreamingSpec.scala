@@ -364,6 +364,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: stream == batch " +
+    "including a never-matched purchase") {
+    val base = java.nio.file.Files.createTempDirectory("graft-oj").toString
+    val srcDir = s"$base/src"; new java.io.File(srcDir).mkdirs()
+    var n = 0
+    def feed(df: DataFrame, tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          n += 1
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$srcDir/part_${tag}_$n.parquet"))
+        }
+    }
+    val ev = spark.read.parquet(eventsDir)
+    // a purchase on a user no other event touches — the outer join
+    // must emit exactly one (424242, 900001, null) row for it
+    val lone = ev.limit(1).select(lit(900001L).as("event_id"),
+      col("ts"), lit(424242L).as("user_id"),
+      lit("purchase").as("event_type"), col("value"), col("props"))
+    val real = ev.unionByName(lone)
+    // far-future click+purchase sentinels advance BOTH side watermarks
+    // past every real purchase so the outer nulls get emitted; their
+    // own rows are excluded from the comparison
+    def sentinel(days: Int) = ev.limit(2).select(
+      (lit(990000L) + col("event_id")).as("event_id"),
+      (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts"),
+      lit(999999L).as("user_id"),
+      (when(col("event_id") % 2 === 0, "click").otherwise("purchase"))
+        .as("event_type"),
+      col("value"), col("props"))
+    feed(real, "a")
+    val q = spark.readStream.schema(EventsStreaming.eventsSchema)
+      .parquet(srcDir)
+      .transform(EventsStreaming.purchasesWithClicks)
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      feed(sentinel(90), "b"); q.processAllAvailable()
+      feed(sentinel(180), "c"); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ss_outer").filter(col("user_id") =!= 999999L)
+    val batch = EventsStreaming.purchasesWithClicks(real)
+    assert(canon(stream) == canon(batch))
+    val loneRows = stream.filter(col("user_id") === 424242L).collect()
+    assert(loneRows.length == 1 && loneRows.head.isNullAt(2),
+      s"never-matched purchase: ${loneRows.mkString(",")}")
+    // and the outer result strictly contains the inner one
+    assert(stream.filter(col("c_event").isNull).count() > 0)
+  }
+
   test("parquet sink + checkpoint: kill/restart loses and duplicates nothing") {
     import org.apache.spark.sql.DataFrame
     val base = java.nio.file.Files.createTempDirectory("graft-ck").toString
