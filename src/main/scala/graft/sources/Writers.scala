@@ -81,39 +81,59 @@ object Writers {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
 
-  /** Morton (Z-order) interleave of two non-negative 31-bit integer
-    * columns (i.e. any non-negative 32-bit SIGNED int): bit i of `a`
-    * lands at position 2i, bit i of `b` at 2i+1 — the top interleaved
-    * bit is position 61, so z is always non-negative and signed-long
-    * comparison IS Morton order (a 32nd bit of `b` would land in the
-    * sign bit and invert the ordering). A pure Column fold —
-    * codegen'd, no UDF. */
-  def zValue(a: Column, b: Column): Column = {
-    val al = a.cast("long"); val bl = b.cast("long")
-    (0 until 31).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
+  /** Morton (Z-order) interleave of n non-negative integer columns
+    * with PER-COLUMN bit budgets (`bits(c)` low bits of column c
+    * participate; Σbits ≤ 62 keeps the result out of the long sign
+    * bit, so signed-long comparison IS Morton order). Bit i of each
+    * column is placed in round-robin order at ascending output
+    * positions — columns whose budget is exhausted drop out and the
+    * survivors pack tighter, so unequal budgets (a 31-bit key next to
+    * a 16-bit enum) waste no positions. For n=2 with equal budgets
+    * this is the classic interleave: bit i of col 0 → position 2i,
+    * bit i of col 1 → 2i+1. A pure Column fold — codegen'd, no UDF. */
+  def zValueN(cols: Seq[Column], bits: Seq[Int]): Column = {
+    require(cols.nonEmpty && cols.length == bits.length,
+      s"zValueN: ${cols.length} columns vs ${bits.length} bit budgets")
+    require(bits.forall(_ >= 1), s"zValueN: bit budgets must be >= 1")
+    require(bits.sum <= 62,
+      s"zValueN: total bits ${bits.sum} > 62 overflows the sign bit")
+    val longs = cols.map(_.cast("long"))
+    var pos = 0
+    var acc = lit(0L)
+    for (i <- 0 until bits.max; c <- cols.indices if i < bits(c)) {
+      // bit i of column c → output position pos; pos >= i always (at
+      // least one column is active at every lower level), so the
+      // shift is non-negative
+      acc = acc.bitwiseOR(
+        shiftleft(longs(c).bitwiseAND(lit(1L << i)), pos - i))
+      pos += 1
     }
+    acc
   }
 
-  /** `zValue` with the [0, 2³¹) input contract ENFORCED per row:
-    * out-of-range keys fail the write loudly instead of silently
-    * interleaving garbage into the layout. The guard is a codegen'd
-    * conditional — zero cost unless violated. */
-  private def zValueChecked(a: Column, b: Column): Column = {
-    val ok = a.isNotNull && b.isNotNull &&
-      a.cast("long").between(0L, (1L << 31) - 1) &&
-      b.cast("long").between(0L, (1L << 31) - 1)
+  /** Classic 2-D Morton interleave — [[zValueN]] with two 31-bit
+    * budgets (any non-negative 32-bit SIGNED int). */
+  def zValue(a: Column, b: Column): Column =
+    zValueN(Seq(a, b), Seq(31, 31))
+
+  /** [[zValueN]] with the per-column [0, 2^bits) input contract
+    * ENFORCED per row: out-of-range keys fail the write loudly
+    * instead of silently interleaving garbage into the layout. The
+    * guard is a codegen'd conditional — zero cost unless violated. */
+  private def zValueNChecked(
+      cols: Seq[Column], bits: Seq[Int]): Column = {
+    import org.apache.spark.sql.functions.{coalesce, concat, raise_error, when}
+    val ok = cols.zip(bits).map { case (c, nb) =>
+      c.isNotNull && c.cast("long").between(0L, (1L << nb) - 1)
+    }.reduce(_ && _)
     // coalesce: a NULL key must still produce the loud message, not a
     // NULL-propagated empty error
-    org.apache.spark.sql.functions.when(ok, zValue(a, b)).otherwise(
-      org.apache.spark.sql.functions.raise_error(org.apache.spark.sql
-        .functions.concat(lit("zOrdered: key out of [0, 2^31): ("),
-          org.apache.spark.sql.functions.coalesce(
-            a.cast("string"), lit("null")), lit(", "),
-          org.apache.spark.sql.functions.coalesce(
-            b.cast("string"), lit("null")), lit(")"))))
+    val shown = cols.map(c => coalesce(c.cast("string"), lit("null")))
+      .flatMap(c => Seq(lit(", "), c)).drop(1)
+    when(ok, zValueN(cols, bits)).otherwise(
+      raise_error(concat(
+        lit(s"zOrdered: key out of [0, 2^{${bits.mkString(",")}}): (")
+          +: shown :+ lit(")"): _*)))
   }
 
   /** Z-ORDERED layout — the 2-D generalization of [[rangeSorted]]
@@ -131,11 +151,26 @@ object Writers {
   def zOrdered(
       df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit =
-    df.withColumn("_z", zValueChecked(df.col(colA), df.col(colB)))
+    zOrderedN(df, path, Seq(colA -> 31, colB -> 31), numFiles)
+
+  /** n-column Z-ORDERED layout: [[zOrdered]] generalized to any
+    * number of keys, each with its own bit budget (Σ ≤ 62). Every
+    * parquet file covers a small HYPER-RECTANGLE of the key space, so
+    * zone maps prune for range predicates on ANY participating key.
+    * Budget sizing is the layout-design lever: give each column
+    * ⌈log₂(domain)⌉ bits — a 31-bit surrogate key next to an 8-bit
+    * status code packs 39 interleave levels instead of padding the
+    * code to 31 and diluting the key's locality. */
+  def zOrderedN(
+      df: DataFrame, path: String, keys: Seq[(String, Int)],
+      numFiles: Int): Unit = {
+    val (names, bits) = keys.unzip
+    df.withColumn("_z", zValueNChecked(names.map(df.col), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
+  }
 
   /** Small-file compaction — the operational counterpart to streaming
     * and incremental sinks, which accrete many small files that rot

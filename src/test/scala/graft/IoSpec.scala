@@ -324,6 +324,62 @@ class IoSpec extends SparkSpec {
     assert(exp.forall(_ >= 0L), "z must stay out of the sign bit")
   }
 
+  test("zOrderedN: 3-column layout narrows every file's rectangle on " +
+    "ALL THREE keys; unequal budgets are bit-exact") {
+    // balanced 32x32x32 grid (15 interleave bits): with 64 files the
+    // top six z bits split each dimension 4-ways, so every file's
+    // bounding box must span ~1/4 of EACH key domain (a 1-D or 2-D
+    // sort would leave some dimension's span at the full domain)
+    val out = s"$dir/z_ordered_3"
+    val grid = spark.range(0, 32768).select(
+      (col("id") % 32).as("a"),
+      ((col("id") / 32) % 32).cast("long").as("b"),
+      (col("id") / 1024).cast("long").as("c"))
+    Writers.zOrderedN(grid, out, Seq("a" -> 5, "b" -> 5, "c" -> 5),
+      numFiles = 64)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(parts.length >= 32, s"expected ~64 files, got ${parts.length}")
+    val boxes = parts.map { p =>
+      val r = spark.read.parquet(p).agg(
+        min("a"), max("a"), min("b"), max("b"), min("c"), max("c"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    def avgSpan(lo: ((Long, Long, Long, Long, Long, Long)) => Long,
+        hi: ((Long, Long, Long, Long, Long, Long)) => Long) =
+      boxes.map(b => (hi(b) - lo(b)).toDouble).sum / boxes.length
+    assert(avgSpan(_._1, _._2) < 0.5 * 31, "a spans not narrowed")
+    assert(avgSpan(_._3, _._4) < 0.5 * 31, "b spans not narrowed")
+    assert(avgSpan(_._5, _._6) < 0.5 * 31, "c spans not narrowed")
+    // unequal budgets: exhausted columns drop out and survivors pack
+    // tighter — verify against a reference interleave
+    import spark.implicits._
+    def ref(vals: Seq[Long], bits: Seq[Int]): Long = {
+      var pos = 0; var acc = 0L
+      for (i <- 0 until bits.max; c <- vals.indices if i < bits(c)) {
+        acc |= ((vals(c) >> i) & 1L) << pos; pos += 1
+      }
+      acc
+    }
+    val cases = Seq((3L, 1L, 5L), (7L, 3L, 31L), (0L, 0L, 1L << 7),
+      ((1L << 31) - 1, 3L, 255L))
+    val got = cases.toDF("a", "b", "c").select(
+      Writers.zValueN(Seq(col("a"), col("b"), col("c")), Seq(31, 2, 8)))
+      .as[Long].collect().toSeq
+    val exp = cases.map { case (a, b, c) =>
+      ref(Seq(a, b, c), Seq(31, 2, 8)) }
+    assert(got == exp)
+    assert(got.forall(_ >= 0L), "z must stay out of the sign bit")
+    // and the 2-col zValue is EXACTLY the n=2 equal-budget case
+    val z2 = Seq((3L, 5L)).toDF("a", "b")
+      .select(Writers.zValue(col("a"), col("b")),
+        Writers.zValueN(Seq(col("a"), col("b")), Seq(31, 31)))
+      .collect()(0)
+    assert(z2.getLong(0) == z2.getLong(1))
+  }
+
   test("zOrdered rejects keys outside [0, 2^31) instead of silently " +
     "corrupting the layout") {
     import spark.implicits._
