@@ -137,6 +137,7 @@ object SparkEntry {
     "q136_purchase_outer_clicks" -> q(Relational.q136),
     "q137_scd1_merge" -> q(Relational.q137),
     "q138_decimal_agg" -> q(Relational.q138),
+    "q139_bloom_prune" -> q(Relational.q139),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1357,6 +1358,18 @@ object SparkEntry {
         |  CAST(SUM(p * (1 - disc)) AS VARCHAR) AS sum_disc_price,
         |  ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 4) AS avg_price
         |FROM d GROUP BY flag ORDER BY flag""".stripMargin,
+    // the bloom filter is a pre-shuffle prune, invisible in the
+    // result: the oracle is the PLAIN join — exactness is the gate
+    "q139_bloom_prune" ->
+      """SELECT date_trunc('month', o.o_orderdate) AS month,
+        |  COUNT(*) AS n_items,
+        |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+        |                            * 10000) AS BIGINT)) AS DOUBLE)
+        |        / 10000, 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

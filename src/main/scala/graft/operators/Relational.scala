@@ -1327,6 +1327,42 @@ object Relational {
     graft.streaming.EventsStreaming.purchasesWithClicks(t.events)
       .orderBy("user_id", "p_event", "c_event")
 
+  /** q139 — Bloom-pruned fact⋈dim join (the explicit runtime-filter
+    * pattern; kernel + rationale in [[graft.functions.BloomKernel]]):
+    * a selective order predicate (~10% of orders) is turned into a
+    * 128 KB Bloom filter over the surviving keys, broadcast onto
+    * lineitem, and applied as a codegen'd Filter DIRECTLY over the
+    * fact scan — non-matching fact rows die map-side, before the join
+    * shuffle, instead of after it. At 100 TB this is the difference
+    * between shuffling 100 TB and shuffling ~10 TB (+fp·90 TB,
+    * fp ≈ 1%). False positives are removed by the real join that
+    * follows, so the result is exactly the plain join's — which is
+    * precisely what the oracle checks (the oracle SQL has no bloom in
+    * it). The revenue aggregate carries exact 10⁻⁴ integer units
+    * (q108 discipline). */
+  def q139(t: Tables): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val dim = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = dim.agg(bloom_agg(col("o_orderkey")).as("__bloom"))
+    val pruned = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .filter(bloom_might_contain(col("l_orderkey"), col("__bloom")))
+      .drop("__bloom")
+    pruned
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long")).as("rev_e4"))
+      .select(col("month"), col("n_items"),
+        round(col("rev_e4").cast("double") / 10000, 2).as("revenue"))
+      .orderBy("month")
+  }
+
   /** q108 — the TPC-H Q3 "shipping priority" composite: segment-
     * filtered customers ⋈ orders before D ⋈ lineitems shipped after D,
     * revenue-ranked top 10. Dimension side broadcast, lineitem never

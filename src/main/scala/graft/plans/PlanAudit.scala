@@ -30,8 +30,9 @@ object PlanAudit {
   /** Full physical traversal: AQE wraps every stage (including, since
     * Spark 4, the RESULT stage) in leaf QueryStageExec nodes that
     * `collect` does not descend into — step through adaptive roots,
-    * stage boundaries, and subquery plans explicitly. */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    * stage boundaries, and subquery plans explicitly. Public: plan
+    * posture specs (GlobalRankSpec, BloomSpec) reuse it. */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val through: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
