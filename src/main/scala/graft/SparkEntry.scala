@@ -138,6 +138,7 @@ object SparkEntry {
     "q137_scd1_merge" -> q(Relational.q137),
     "q138_decimal_agg" -> q(Relational.q138),
     "q139_bloom_prune" -> q(Relational.q139),
+    "q140_skyline" -> q(Relational.q140),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1370,6 +1371,18 @@ object SparkEntry {
         |WHERE o.o_orderpriority = '1-URGENT'
         |  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // oracle is the quadratic NOT EXISTS dominance anti-join; the
+    // Spark side is the linear prefix-max plan — same frontier
+    "q140_skyline" ->
+      """WITH pts AS (SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, size FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        |    AND (q.price_cents < p.price_cents OR q.size > p.size))
+        |ORDER BY p_partkey""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -109,6 +109,65 @@ object GlobalRank {
       buckets: Int = 256): DataFrame =
     cumSum(df, key, tie, lit(1L), out, buckets)
 
+  /** `out` = max of `value` over all rows whose key is STRICTLY
+    * smaller than the current row's — null when no such row exists.
+    * The strict-prefix-max primitive behind dominance analytics
+    * (2-D skyline: a point is dominated iff some strictly-cheaper
+    * point already reached its quality; see `Relational.q140`).
+    *
+    * Same two-level shape as [[cumSum]], with two deltas:
+    *  - the in-bucket window uses a RANGE frame ending at −1 over the
+    *    integral key, so equal keys never see each other (strictness);
+    *  - the bucket offset is the max over strictly-earlier buckets —
+    *    sound because equal keys always land in the same bucket, so
+    *    "earlier bucket" implies "strictly smaller key".
+    *
+    * `key` must be integral (the −1 range bound is exact only on
+    * integers) and non-null/non-NaN — violated rows raise (the
+    * keyChecked/zValueChecked loud-contract pattern). */
+  def prefixMax(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      out: String,
+      buckets: Int = 256): DataFrame = {
+    val cols = df.columns.toIndexedSeq
+    val k = when(key.isNotNull, key.cast("long"))
+      .otherwise(raise_error(lit("GlobalRank.prefixMax: null key")))
+    val keyed = df.withColumn("__pm_k", k)
+      .withColumn("__pm_v", value.cast("long"))
+      .localCheckpoint(true)
+    val fences = keyed.agg(
+      min(col("__pm_k").cast("double")).as("__pm_min"),
+      max(col("__pm_k").cast("double")).as("__pm_max"))
+    val bucketed = keyed
+      .crossJoin(broadcast(fences))
+      .withColumn("__pm_b",
+        when(col("__pm_max") === col("__pm_min"), lit(1L))
+          .otherwise(width_bucket(
+            col("__pm_k").cast("double"), col("__pm_min"), col("__pm_max"),
+            lit(buckets))))
+      .drop("__pm_min", "__pm_max")
+    val hist = bucketed.groupBy("__pm_b")
+      .agg(max(col("__pm_v")).as("__pm_bmax"))
+    val prev = hist.select(
+      col("__pm_b").as("__pm_pb"), col("__pm_bmax").as("__pm_pm"))
+    val offsets = hist
+      .join(broadcast(prev), col("__pm_pb") < col("__pm_b"), "left")
+      .groupBy("__pm_b")
+      .agg(max("__pm_pm").as("__pm_off"))
+    val localW = Window.partitionBy("__pm_b").orderBy(col("__pm_k"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__pm_loc", max(col("__pm_v")).over(localW))
+      .join(broadcast(offsets), Seq("__pm_b"))
+      // greatest() skips nulls: loc-null (first key in bucket) and
+      // off-null (first bucket) degrade to the other side; both null
+      // → null, the "no strictly-smaller row" contract
+      .withColumn(out, greatest(col("__pm_loc"), col("__pm_off")))
+      .select(cols.map(col) :+ col(out): _*)
+  }
+
   /** SQL `ntile(k)` bucket code from a 1-based global row number `i`
     * and total row count `n` (exact long arithmetic; the first
     * n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the ANSI

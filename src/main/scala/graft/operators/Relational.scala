@@ -1363,6 +1363,34 @@ object Relational {
       .orderBy("month")
   }
 
+  /** q140 — 2-D skyline (Pareto frontier; Börzsönyi et al., "The
+    * Skyline Operator", ICDE'01): the parts no other part beats on
+    * BOTH price (lower better) and size (higher better). The naive
+    * formulation is an O(n²) dominance anti-join — that IS the DuckDB
+    * oracle (NOT EXISTS), but at 10⁹ rows it's a non-starter. The
+    * Spark plan is linear + one ranged sort: p is dominated iff
+    *   max(size over price' < price)  ≥ size   (strictly cheaper, as good)
+    *   ∨ max(size over price' = price) > size  (same price, strictly better)
+    * The strict-prefix max comes from [[GlobalRank.prefixMax]] (two-
+    * level bucketed, zero unpartitioned windows); the equal-price max
+    * is an ordinary partitioned window. Price is exact integer cents
+    * so the RANGE −1 strictness bound is sound. */
+  def q140(t: Tables): DataFrame = {
+    val pts = t.part.select(
+      col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val withM1 = GlobalRank.prefixMax(
+      pts, col("price_cents"), col("size"), "m1")
+    val eqW = Window.partitionBy("price_cents")
+    withM1
+      .withColumn("m2", max("size").over(eqW))
+      .filter(!(coalesce(col("m1") >= col("size"), lit(false)) ||
+        col("m2") > col("size")))
+      .select("p_partkey", "price_cents", "size")
+      .orderBy("p_partkey")
+  }
+
   /** q108 — the TPC-H Q3 "shipping priority" composite: segment-
     * filtered customers ⋈ orders before D ⋈ lineitems shipped after D,
     * revenue-ranked top 10. Dimension side broadcast, lineitem never

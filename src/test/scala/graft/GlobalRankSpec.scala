@@ -96,6 +96,44 @@ class GlobalRankSpec extends SparkSpec {
       s"$name has single-task hazards: ${hazards.mkString("; ")}")
   }
 
+  test("prefixMax matches a strict-prefix max over an unpartitioned " +
+    "RANGE window, including heavy key ties") {
+    val w = Window.orderBy(col("k"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("m", max(col("v")).over(w))
+    val got = GlobalRank.prefixMax(df, col("k"), col("v"), "m", 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // the global minimum key's rows must carry null (no smaller row)
+    assert(got.filter(col("k") === df.agg(min("k")).head.getLong(0))
+      .filter(col("m").isNotNull).count() == 0)
+  }
+
+  test("prefixMax raises loudly on a null key") {
+    val withNull = df.withColumn("kn",
+      when(col("id") === 3, lit(null).cast("long")).otherwise(col("k")))
+    val e = intercept[Exception] {
+      GlobalRank.prefixMax(withNull, col("kn"), col("v"), "m", 16).collect()
+    }
+    assert(e.getMessage.contains("prefixMax"))
+  }
+
+  test("q140 skyline equals the brute-force dominance filter") {
+    val pts = tables.part.select(
+      col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val brute = pts.as("p").join(pts.as("q"),
+        col("q.price_cents") <= col("p.price_cents") &&
+          col("q.size") >= col("p.size") &&
+          (col("q.price_cents") < col("p.price_cents") ||
+            col("q.size") > col("p.size")),
+        "left_anti")
+      .select("p_partkey", "price_cents", "size")
+    val got = Relational.q140(tables)
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
   test("PlanAudit flags unpartitioned windows and repartition(1)") {
     val byWindow = df.withColumn("rn",
       row_number().over(Window.orderBy("k", "id")))
@@ -138,6 +176,8 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(Relational.q133(tables), "q133")
       assertDistributed(graft.operators.Graph.personalizedPageRank(
         tables.lineitem, seedSupplier = 7L), "q134")
+      // round-5: skyline rides prefixMax — same no-global-window bar
+      assertDistributed(Relational.q140(tables), "q140")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
