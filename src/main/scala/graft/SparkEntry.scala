@@ -139,6 +139,7 @@ object SparkEntry {
     "q138_decimal_agg" -> q(Relational.q138),
     "q139_bloom_prune" -> q(Relational.q139),
     "q140_skyline" -> q(Relational.q140),
+    "q141_dsir_weights" -> q(t => TextAnalysis.dsirWeights(t.documents)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1383,6 +1384,31 @@ object SparkEntry {
         |  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
         |    AND (q.price_cents < p.price_cents OR q.size > p.size))
         |ORDER BY p_partkey""".stripMargin,
+    // oracle ranks with a global row_number window; the Spark side
+    // computes the same membership via a broadcast k-th-row threshold
+    "q141_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |rawc AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+        |tgtc AS (SELECT b, COUNT(*) AS ct FROM tok
+        |         WHERE lang = 'en' GROUP BY b),
+        |model AS (SELECT r.b, cr, COALESCE(ct, 0) AS ct
+        |          FROM rawc r LEFT JOIN tgtc t USING (b)),
+        |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+        |llr AS (SELECT b,
+        |          ln(CAST(ct + 1 AS DOUBLE) / (nt + 256)) -
+        |          ln(CAST(cr + 1 AS DOUBLE) / (nr + 256)) AS llr
+        |        FROM model CROSS JOIN tot),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |             ROUND(SUM(llr), 4) AS logw
+        |           FROM tok JOIN llr USING (b) GROUP BY doc_id),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY logw DESC, doc_id)
+        |         AS rn FROM perdoc)
+        |SELECT doc_id, n_tok, logw, CAST(rn <= 150 AS INT) AS selected
+        |FROM rk ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -771,4 +771,68 @@ object TextAnalysis {
         round(col("score"), 4).as("score_r"))
       .orderBy(col("term"), col("score_r").desc, col("doc_id"))
   }
+
+  /** q141 — DSIR-style importance weighting (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS'23): score every document by how much more likely its
+    * hashed-unigram bag is under the TARGET distribution (the
+    * `lang = targetLang` slice stands in for the high-quality target
+    * corpus) than under the RAW corpus, and keep the top-k by
+    * log-weight — the data-selection front door of a pretraining
+    * pipeline. Features are md5-hashed token buckets (engine-portable,
+    * the repo's standard hash); both bag-of-words models are add-one
+    * smoothed over the `buckets` feature space.
+    *
+    * Scale design: ONE corpus-wide token explode feeds everything; the
+    * two bucket-count models collapse to ≤`buckets` rows and the token
+    * totals to one row, so per-token scoring is a broadcast join; the
+    * per-doc weight is one hash aggregation. Top-k membership compares
+    * against the k-th (weight, doc_id) pair — two
+    * TakeOrderedAndProject passes and a broadcast of a single row,
+    * never a global window sort (the DuckDB oracle uses the O(n log n)
+    * `row_number()` form the Spark plan deliberately avoids).
+    *
+    * Determinism: log-ratios of exact integer counts through the same
+    * expression tree on both engines; per-doc sums are rounded to 4
+    * decimals BEFORE the threshold comparison, ties broken on doc_id —
+    * the selected set is engine-exact. (DSIR's Gumbel-noise resampling
+    * step is deliberately omitted: it exists to de-duplicate the
+    * selected set's modes, is not reproducible cross-engine, and the
+    * deterministic top-k is the standard ablation baseline.) */
+  def dsirWeights(
+      documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 256, k: Int = 150): DataFrame = {
+    val tok = documents.select(
+        col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % buckets)
+    val rawC = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtC = tok.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val model = rawC.join(tgtC, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+    // one row, always present (agg without groupBy)
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val llr = model.crossJoin(broadcast(totals)).select(
+      col("b"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
+        log((col("cr") + 1).cast("double") / (col("nr") + buckets)))
+        .as("llr"))
+    val perDoc = tok.join(broadcast(llr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), round(sum("llr"), 4).as("logw"))
+    // the k-th row of (logw desc, doc_id asc): bounded heaps, no sort
+    val kth = perDoc
+      .orderBy(col("logw").desc, col("doc_id")).limit(k)
+      .orderBy(col("logw").asc, col("doc_id").desc).limit(1)
+      .select(col("logw").as("thr_w"), col("doc_id").as("thr_d"))
+    perDoc.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("n_tok"), col("logw"),
+        (col("logw") > col("thr_w") ||
+          (col("logw") === col("thr_w") && col("doc_id") <= col("thr_d")))
+          .cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
 }

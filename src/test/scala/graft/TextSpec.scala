@@ -301,4 +301,27 @@ class TextSpec extends SparkSpec {
       assert(got(t) == rows, s"term $t")
     }
   }
+
+  test("dsirWeights: disjoint-vocab corpus selects exactly the target docs") {
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma", "en")) ++
+      (5L to 8L).map(i => (i, "omega psi chi", "zh"))
+    val got = TextAnalysis
+      .dsirWeights(docs.toDF("doc_id", "text", "lang"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(got.filter(_._3 == 1).map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // target-vocab weights strictly dominate off-target weights
+    assert(got.filter(_._3 == 1).map(_._2).min >
+      got.filter(_._3 == 0).map(_._2).max)
+  }
+
+  test("dsirWeights: fixture corpus — k selected, selection is a clean " +
+    "cut in (logw desc, doc_id) order") {
+    val got = TextAnalysis.dsirWeights(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 500 && got.count(_._3 == 1) == 150)
+    val key = (t: (Long, Double, Int)) => (-t._2, t._1.toDouble)
+    assert(Ordering[(Double, Double)].lt(
+      got.filter(_._3 == 1).map(key).max,
+      got.filter(_._3 == 0).map(key).min))
+  }
 }
