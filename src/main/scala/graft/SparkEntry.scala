@@ -140,6 +140,7 @@ object SparkEntry {
     "q139_bloom_prune" -> q(Relational.q139),
     "q140_skyline" -> q(Relational.q140),
     "q141_dsir_weights" -> q(t => TextAnalysis.dsirWeights(t.documents)),
+    "q142_basket_triangles" -> q(t => Graph.basketTriangles(t.lineitem)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1409,6 +1410,23 @@ object SparkEntry {
         |         AS rn FROM perdoc)
         |SELECT doc_id, n_tok, logw, CAST(rn <= 150 AS INT) AS selected
         |FROM rk ORDER BY doc_id""".stripMargin,
+    // oracle counts the same triangles via the plain id-ordered triple
+    // join; the Spark side uses the degree-ordered orientation
+    "q142_basket_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT a, b FROM (
+        |        SELECT x.p AS a, y.p AS b, COUNT(*) AS c
+        |        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |        GROUP BY 1, 2)
+        |      WHERE c >= 2),
+        |tri AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([t1, t2, t3]) AS p_partkey FROM tri)
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -175,4 +175,77 @@ object Graph {
       .select((col("node") - PartOffset).as("part_key"),
         col("rank").as("rank_scaled"))
   }
+
+  /** q142 — triangle counting over the frequent co-purchase graph:
+    * parts are nodes, an edge means the pair was bought together in at
+    * least `minSupport` distinct orders, and a triangle is a
+    * tightly-coupled product triple (the 3-way extension of q133's
+    * pairwise basket lift). Returns per-part triangle participation
+    * counts: (p_partkey, n_triangles), exact integers.
+    *
+    * Scale design, stage by stage:
+    *  - Edge generation is the per-basket self-join on l_orderkey —
+    *    quadratic only in BASKET size (TPC-H baskets are ≤ 7 lines),
+    *    so it is linear in orders. The support threshold is the
+    *    Apriori-style frequency prune: it runs BEFORE anything
+    *    quadratic in the graph and thins random co-occurrence down to
+    *    the genuinely associated pairs (115k → 3.4k edges at sf0.01).
+    *  - Wedge enumeration uses the degree-ordered orientation of Suri
+    *    & Vassilvitskii ("Counting triangles and the curse of the last
+    *    reducer", WWW'11): each edge points from its lower (degree,
+    *    id) endpoint to the higher, so a node's wedge fan-out is
+    *    C(out-degree, 2) and the total wedge count is O(m^{3/2})
+    *    regardless of skew — a hub of degree d contributes O(m) wedges
+    *    instead of O(d²). Every stage is a shuffle equi-join or hash
+    *    aggregate; nothing collects to the driver.
+    *  - Each triangle is counted exactly once (its two lowest-order
+    *    corners form the wedge; the closing edge carries the same
+    *    orientation), so the per-node count is a 3-way explode +
+    *    hash aggregate.
+    *
+    * The DuckDB oracle counts the same triangles with the plain
+    * id-ordered triple join — fine at oracle scale, while the Spark
+    * side keeps the skew-proof orientation. */
+  def basketTriangles(lineitem: DataFrame, minSupport: Int = 2)
+      : DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") &&
+        col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("a", "b")
+      .checkpointAudited
+    val deg = edges
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient each edge from the lower (degree, id) endpoint; carry the
+    // out-endpoint's order key for the wedge-side comparison below
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .checkpointAudited
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (struct(col("e1.dv"), col("e1.v")) <
+          struct(col("e2.dv"), col("e2.v"))))
+      .select(col("e1.u").as("t1"), col("e1.v").as("t2"),
+        col("e2.v").as("t3"))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("t2"), col("v").as("t3")),
+      Seq("t2", "t3"))
+    triangles
+      .select(explode(array(col("t1"), col("t2"), col("t3")))
+        .as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("p_partkey")
+  }
 }

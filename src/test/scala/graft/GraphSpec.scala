@@ -131,4 +131,68 @@ class GraphSpec extends SparkSpec {
     assert(byType(false).size == 1, "suppliers not uniform")
     assert(byType(true).size == 1, "parts not uniform")
   }
+
+  /** Brute-force triangle counter over the support-filtered basket
+    * graph (adjacency sets, id-ordered triple loop — independent of
+    * the degree-ordered Spark path). */
+  private def bruteTriangles(
+      baskets: Seq[(Long, Long)], minSupport: Int): Map[Long, Long] = {
+    val pairs = baskets.distinct
+      .groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val ps = items.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size)
+          yield (ps(i), ps(j))
+      }
+    val edges = pairs.groupBy(identity).view
+      .filter(_._2.size >= minSupport).keys.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.size
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(n => counts(n) += 1)
+    counts.toMap
+  }
+
+  private def gotTriangles(
+      baskets: Seq[(Long, Long)], minSupport: Int = 2): Map[Long, Long] =
+    Graph.basketTriangles(
+        baskets.toDF("l_orderkey", "l_partkey"), minSupport)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("basketTriangles: known triples, support prune, exact counts") {
+    // orders 1,2 repeat {1,2,3}; 3,4 repeat {1,2,4}; order 5 is a
+    // one-off {3,4,5} whose edges fall below support 2
+    val baskets = Seq(
+      1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 2L, 2L -> 3L,
+      3L -> 1L, 3L -> 2L, 3L -> 4L, 4L -> 1L, 4L -> 2L, 4L -> 4L,
+      5L -> 3L, 5L -> 4L, 5L -> 5L)
+    val got = gotTriangles(baskets)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(got == bruteTriangles(baskets, 2))
+  }
+
+  test("basketTriangles: hub skew matches brute force") {
+    // part 100 co-occurs (twice) with every spoke; spokes also pair
+    // among consecutive neighbors — many wedges through the hub, and
+    // the degree orientation must still count each triangle once
+    val baskets = (1L to 8L).flatMap { s =>
+      Seq(s -> 100L, s -> s, s -> (s % 8 + 1),
+        (100 + s) -> 100L, (100 + s) -> s, (100 + s) -> (s % 8 + 1))
+    }
+    val got = gotTriangles(baskets)
+    assert(got.nonEmpty)
+    assert(got == bruteTriangles(baskets, 2))
+  }
+
+  test("basketTriangles: triangle-free and empty inputs yield empty") {
+    // two repeated pair-only baskets: edges but no triangle
+    val pairOnly = Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 2L)
+    assert(gotTriangles(pairOnly).isEmpty)
+    assert(gotTriangles(Seq.empty[(Long, Long)]).isEmpty)
+  }
 }
