@@ -141,6 +141,9 @@ object SparkEntry {
     "q140_skyline" -> q(Relational.q140),
     "q141_dsir_weights" -> q(t => TextAnalysis.dsirWeights(t.documents)),
     "q142_basket_triangles" -> q(t => Graph.basketTriangles(t.lineitem)),
+    "q143_snapshot_diff" -> q(Relational.q143),
+    "q144_psi_drift" -> q(Relational.q144),
+    "q145_event_sequences" -> q(Relational.q145(_)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1427,6 +1430,66 @@ object SparkEntry {
         |SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM (SELECT unnest([t1, t2, t3]) AS p_partkey FROM tri)
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "q143_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+        |              FROM customer),
+        |newt AS (
+        |  SELECT k, seg,
+        |         CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+        |  FROM oldt WHERE k % 23 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000, seg, 0 FROM oldt WHERE k % 31 = 0),
+        |j AS (SELECT COALESCE(o.k, n.k) AS k,
+        |        CASE WHEN o.k IS NULL THEN 'insert'
+        |             WHEN n.k IS NULL THEN 'delete'
+        |             WHEN o.bal IS DISTINCT FROM n.bal
+        |               OR o.seg IS DISTINCT FROM n.seg THEN 'update'
+        |        END AS change,
+        |        o.bal AS old_bal, n.bal AS new_bal
+        |      FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k)
+        |SELECT k, change, old_bal, new_bal FROM j
+        |WHERE change IS NOT NULL ORDER BY k""".stripMargin,
+    "q144_psi_drift" ->
+      """WITH binned AS (SELECT source,
+        |    LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 9) AS bin
+        |  FROM documents),
+        |exp AS (SELECT bin, COUNT(*) AS ce FROM binned
+        |        WHERE source = 'src0' GROUP BY bin),
+        |act AS (SELECT source, bin, COUNT(*) AS ca FROM binned
+        |        WHERE source <> 'src0' GROUP BY source, bin),
+        |dense AS (
+        |  SELECT s.source, b.bin, COALESCE(a.ca, 0) AS ca,
+        |         COALESCE(e.ce, 0) AS ce
+        |  FROM (SELECT DISTINCT source FROM act) s
+        |  CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+        |  LEFT JOIN act a ON a.source = s.source AND a.bin = b.bin
+        |  LEFT JOIN exp e ON e.bin = b.bin),
+        |tot AS (SELECT (SELECT SUM(ce) FROM exp) AS ne),
+        |na AS (SELECT source, SUM(ca) AS na FROM act GROUP BY source),
+        |terms AS (SELECT d.source, na.na,
+        |    (CAST(ca + 1 AS DOUBLE) / (na.na + 10) -
+        |     CAST(ce + 1 AS DOUBLE) / (tot.ne + 10)) *
+        |    ln((CAST(ca + 1 AS DOUBLE) / (na.na + 10)) /
+        |       (CAST(ce + 1 AS DOUBLE) / (tot.ne + 10))) AS term
+        |  FROM dense d JOIN na ON na.source = d.source CROSS JOIN tot)
+        |SELECT source, CAST(MAX(na) AS BIGINT) AS n_docs,
+        |       ROUND(SUM(term), 4) AS psi
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q145_event_sequences" ->
+      """WITH seq AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |       CAST(COUNT(*) AS BIGINT) AS occurrences
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |HAVING COUNT(DISTINCT user_id) >= 5
+        |ORDER BY users DESC, occurrences DESC, e1, e2, e3
+        |LIMIT 20""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

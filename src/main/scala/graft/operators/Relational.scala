@@ -1960,4 +1960,128 @@ object Relational {
       .orderBy(col("lift").desc, col("part_i"), col("part_j"))
       .limit(topK)
   }
+
+  /** Snapshot differ — the CDC-extract twin of [[scd1Merge]]: compare
+    * two keyed snapshots with identical schemas and emit one row per
+    * CHANGED key, classified `insert` (key only in `newDf`), `delete`
+    * (key only in `oldDf`) or `update` (both sides present, any value
+    * column differs under null-safe comparison). Unchanged keys are
+    * dropped. Old/new value columns come back as two structs so
+    * callers can project whichever fields they audit.
+    *
+    * Scale: ONE full-outer shuffle equi-join on the key — the minimal
+    * plan for a diff (both sides must meet somewhere); on bucketed
+    * snapshot layouts (`sources.Writers`) the exchange disappears
+    * entirely. Presence is tracked with literal marker columns, so
+    * all-null value rows still classify correctly. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs " +
+        newDf.columns.mkString(","))
+    val vals = oldDf.columns.filterNot(keys.contains).toSeq
+    def side(df: DataFrame, p: String, v: String) = df.select(
+      keys.map(col) ++ Seq(lit(1).as(p),
+        struct(vals.map(col): _*).as(v)): _*)
+    side(oldDf, "__po", "old_val")
+      .join(side(newDf, "__pn", "new_val"), keys, "full_outer")
+      .withColumn("change",
+        when(col("__po").isNull, lit("insert"))
+          .when(col("__pn").isNull, lit("delete"))
+          .when(!(col("old_val") <=> col("new_val")), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++
+        Seq(col("change"), col("old_val"), col("new_val")): _*)
+  }
+
+  /** q143 — oracle gate for [[snapshotDiff]]: the customer table as
+    * the old snapshot and a deterministically evolved copy as the new
+    * one (every 23rd key deleted, every 7th balance bumped, every 31st
+    * key re-inserted under an offset key), so all three change classes
+    * appear and the expected set is pure modular arithmetic on both
+    * engines. */
+  def q143(t: Tables): DataFrame = {
+    val old = t.customer.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val evolved = old.filter(col("k") % 23 =!= 0)
+      .withColumn("bal",
+        when(col("k") % 7 === 0, col("bal") + 100).otherwise(col("bal")))
+      .unionByName(old.filter(col("k") % 31 === 0)
+        .select((col("k") + 1000000L).as("k"), col("seg"),
+          lit(0L).as("bal")))
+    snapshotDiff(old, evolved, Seq("k"))
+      .select(col("k"), col("change"),
+        col("old_val.bal").as("old_bal"), col("new_val.bal").as("new_bal"))
+      .orderBy("k")
+  }
+
+  /** q144 — population stability index drift monitor: for every
+    * non-reference source, PSI = Σ_bins (pₐ − pₑ)·ln(pₐ/pₑ) of its
+    * document-length distribution against the `src0` reference — the
+    * standard production gate for "has my ingest distribution
+    * shifted?" (PSI < 0.1 stable, > 0.25 action). Bins are FIXED
+    * 100-char buckets capped at 10 (deterministic, scale-independent —
+    * quantile bins would re-bin as data grows); both distributions are
+    * add-one smoothed over the 10-bin space so empty bins stay finite.
+    *
+    * Scale: two linear binning passes collapse to ≤ 10·|sources| count
+    * rows; the dense (source × bin) frame, the 1-row reference total
+    * and per-source totals are all broadcast-sized; the psi sum is a
+    * 10-row-per-source hash aggregate. Integer counts through one
+    * identical expression tree, rounded to 4 — engine-exact. */
+  def q144(t: Tables): DataFrame = psiDrift(t.documents)
+
+  def psiDrift(
+      documents: DataFrame, refSource: String = "src0"): DataFrame = {
+    val binned = documents.select(col("source"),
+      least(floor(col("n_chars") / 100), lit(9)).cast("long").as("bin"))
+    val exp = binned.filter(col("source") === refSource)
+      .groupBy("bin").agg(count(lit(1)).as("ce"))
+    val act = binned.filter(col("source") =!= refSource)
+      .groupBy("source", "bin").agg(count(lit(1)).as("ca"))
+    val bins = documents.sparkSession.range(10)
+      .select(col("id").as("bin"))
+    val dense = act.select("source").distinct().crossJoin(broadcast(bins))
+      .join(act, Seq("source", "bin"), "left").na.fill(0L, Seq("ca"))
+      .join(broadcast(exp), Seq("bin"), "left").na.fill(0L, Seq("ce"))
+    val ne = exp.agg(sum("ce").as("ne")) // 1 row, always present
+    val na = act.groupBy("source").agg(sum("ca").as("na"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
+    val pe = (col("ce") + 1).cast("double") / (col("ne") + 10)
+    dense.join(broadcast(na), "source").crossJoin(broadcast(ne))
+      .select(col("source"), col("na"),
+        ((pa - pe) * log(pa / pe)).as("term"))
+      .groupBy("source")
+      .agg(max("na").as("n_docs"), round(sum("term"), 4).as("psi"))
+      .orderBy("source")
+  }
+
+  /** q145 — frequent event sequences (PrefixSpan-lite): contiguous
+    * event-type trigrams per user timeline, supported by the number of
+    * DISTINCT users exhibiting them — the order-2 sequential extension
+    * of q73's Markov bigrams, and the "what journeys are common"
+    * primitive of product analytics. Top-k by (support, occurrences)
+    * with a full lexicographic tiebreak.
+    *
+    * Scale: the trigram window partitions by user (per-key state, no
+    * global sort — the q73 posture); the aggregate is bounded by
+    * |event_type|³ keys; selection is TakeOrderedAndProject. Linear in
+    * events. */
+  def q145(t: Tables, minSupport: Long = 5, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events.select(col("user_id"),
+        col("event_type").as("e1"),
+        lead("event_type", 1).over(w).as("e2"),
+        lead("event_type", 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(countDistinct("user_id").as("users"),
+        count(lit(1)).as("occurrences"))
+      .filter(col("users") >= minSupport)
+      .orderBy(col("users").desc, col("occurrences").desc,
+        col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+  }
 }

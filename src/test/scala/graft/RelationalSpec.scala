@@ -616,4 +616,71 @@ class RelationalSpec extends SparkSpec {
     assert(canon(Relational.scd1Merge(merged, d2, Seq("k"), "ver"))
       .contains("[2,b4,23]"))
   }
+
+  test("snapshotDiff classifies insert/delete/update and drops " +
+    "unchanged keys, null-safely") {
+    import spark.implicits._
+    // key 1 unchanged, key 2 value change, key 3 deleted, key 4 new,
+    // key 5 null -> value (update), key 6 null on both sides (unchanged)
+    val oldDf = Seq((1L, Option(10L)), (2L, Option(20L)),
+      (3L, Option(30L)), (5L, Option.empty[Long]),
+      (6L, Option.empty[Long])).toDF("k", "v")
+    val newDf = Seq((1L, Option(10L)), (2L, Option(21L)),
+      (4L, Option(40L)), (5L, Option(50L)),
+      (6L, Option.empty[Long])).toDF("k", "v")
+    val got = Relational.snapshotDiff(oldDf, newDf, Seq("k"))
+      .select(col("k"), col("change")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      5L -> "update"))
+    // diff against an identical snapshot is empty
+    assert(Relational.snapshotDiff(oldDf, oldDf, Seq("k")).isEmpty)
+  }
+
+  test("q143 change classes partition as the modular rules dictate") {
+    val byClass = Relational.q143(tables).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val keys = tables.customer.select("c_custkey").collect()
+      .map(_.getLong(0))
+    // deletes: %23 keys (minus any that are also %31-inserted? no —
+    // inserts use offset keys, disjoint). updates: %7 and not %23.
+    assert(byClass.getOrElse("delete", 0) == keys.count(_ % 23 == 0))
+    assert(byClass.getOrElse("insert", 0) == keys.count(_ % 31 == 0))
+    assert(byClass.getOrElse("update", 0) ==
+      keys.count(k => k % 7 == 0 && k % 23 != 0))
+  }
+
+  test("q144 PSI: identical distribution scores ~0, disjoint scores " +
+    "large") {
+    import spark.implicits._
+    // same: both sources uniform over bins 0..4 -> psi ~ 0
+    val same = (0 until 100).map(i =>
+      (i.toLong, "src0", (i % 5) * 100L)) ++
+      (0 until 100).map(i => (i.toLong, "srcA", (i % 5) * 100L))
+    val psiSame = Relational
+      .psiDrift(same.toDF("doc_id", "source", "n_chars"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(psiSame) < 0.01, s"psi=$psiSame")
+    // disjoint: src0 in bins 0-4, srcB in bins 5-9 -> psi large
+    val disj = (0 until 100).map(i =>
+      (i.toLong, "src0", (i % 5) * 100L)) ++
+      (0 until 100).map(i =>
+        (i.toLong, "srcB", 500L + (i % 5) * 100L))
+    val psiDisj = Relational
+      .psiDrift(disj.toDF("doc_id", "source", "n_chars"))
+      .collect()(0).getDouble(2)
+    assert(psiDisj > 1.0, s"psi=$psiDisj")
+  }
+
+  test("q145 trigram support bounded by bigram support and by users") {
+    val rows = Relational.q145(tables, minSupport = 1, topK = 1000)
+      .collect()
+    assert(rows.nonEmpty)
+    val nUsers = tables.events.select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nUsers)
+      assert(r.getLong(4) >= r.getLong(3),
+        "occurrences can't be below distinct-user support")
+    }
+  }
 }
