@@ -178,6 +178,16 @@ class GlobalRankSpec extends SparkSpec {
         tables.lineitem, seedSupplier = 7L), "q134")
       // round-5: skyline rides prefixMax — same no-global-window bar
       assertDistributed(Relational.q140(tables), "q140")
+      // round-5 additions: DSIR's top-k threshold is TakeOrdered +
+      // broadcast (never a global window); triangles/diff/PSI/
+      // sequences are equi-joins, bounded aggs, per-user windows
+      assertDistributed(
+        TextAnalysis.dsirWeights(tables.documents), "q141")
+      assertDistributed(
+        graft.operators.Graph.basketTriangles(tables.lineitem), "q142")
+      assertDistributed(Relational.q143(tables), "q143")
+      assertDistributed(Relational.q144(tables), "q144")
+      assertDistributed(Relational.q145(tables), "q145")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
