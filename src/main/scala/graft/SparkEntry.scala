@@ -144,6 +144,7 @@ object SparkEntry {
     "q143_snapshot_diff" -> q(Relational.q143),
     "q144_psi_drift" -> q(Relational.q144),
     "q145_event_sequences" -> q(Relational.q145(_)),
+    "q146_pit_features" -> q(t => AsOf.q146(t.events)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1490,6 +1491,30 @@ object SparkEntry {
         |HAVING COUNT(DISTINCT user_id) >= 5
         |ORDER BY users DESC, occurrences DESC, e1, e2, e3
         |LIMIT 20""".stripMargin,
+    // independent-implementation oracle: DuckDB's NATIVE chained ASOF
+    // LEFT JOINs vs the engine's single-window union PIT algorithm
+    "q146_pit_features" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS p_event FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value AS cv FROM events
+        |      WHERE event_type = 'click'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1),
+        |e AS (SELECT user_id, ts, value AS ev FROM events
+        |      WHERE event_type = 'error'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1),
+        |v AS (SELECT user_id, ts, value AS vv FROM events
+        |      WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT p.user_id, p.p_event, c.cv AS last_click_v,
+        |       e.ev AS last_error_v, v.vv AS last_view_v
+        |FROM p
+        |ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts <= p.ts
+        |ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_event""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

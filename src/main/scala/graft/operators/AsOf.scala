@@ -59,4 +59,75 @@ object AsOf {
         col("click_event"))
       .orderBy("p_event")
   }
+
+  /** q146 — point-in-time (PIT) multi-feature as-of join, the feature-
+    * store primitive: every spine row gets, for EACH feature table,
+    * the value of that table's latest row at or before the spine
+    * timestamp — or null when none exists yet (LEFT semantics: the
+    * spine survives whole, which is what makes the result leakage-free
+    * training data — no feature from the future, no dropped examples).
+    *
+    * Spark-first: all feature tables and the spine union into ONE
+    * frame; each feature becomes one `last(_, ignoreNulls)` column
+    * over the SAME (key, ts, side, id) window, so Spark evaluates all
+    * of them in a single WindowExec — one shuffle on the key and one
+    * in-partition sort TOTAL, regardless of how many feature tables
+    * join. The per-(key, ts) pre-collapse (highest id wins) makes
+    * timestamp ties deterministic on both engines. The DuckDB oracle
+    * is deliberately NOT this algorithm: it chains native ASOF LEFT
+    * JOINs — an independent implementation agreeing on every row.
+    *
+    * Scale: partitioned window state is O(1) per feature (running
+    * last), the union is linear, and a spine of 10⁹ purchases against
+    * k feature tables still pays one shuffle — vs k shuffles for k
+    * chained as-of joins. */
+  def pitJoin(
+      spine: DataFrame, features: Seq[(String, DataFrame)],
+      key: String, tsCol: String, idCol: String, valueCol: String)
+      : DataFrame = {
+    require(features.nonEmpty, "pitJoin needs at least one feature table")
+    val names = features.map(_._1)
+    require(names.distinct == names, "feature names must be unique")
+    val collapsed = features.map { case (name, df) =>
+      val w = Window.partitionBy(key, tsCol).orderBy(col(idCol).desc)
+      name -> df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(key), col(tsCol), col(idCol), col(valueCol))
+    }
+    val spineSide = spine.select(
+      Seq(col(key), col(tsCol), col(idCol).as("__sid"),
+        lit(1).as("__side")) ++
+        names.map(n => lit(null).cast("double").as(s"__v_$n")): _*)
+    val unioned = collapsed.foldLeft(spineSide) { case (acc, (name, df)) =>
+      acc.unionByName(df.select(
+        Seq(col(key), col(tsCol), col(idCol).as("__sid"),
+          lit(0).as("__side")) ++
+          names.map(n => (if (n == name) col(valueCol).cast("double")
+            else lit(null).cast("double")).as(s"__v_$n")): _*))
+    }
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("__side"), col("__sid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    names.foldLeft(unioned) { (df, n) =>
+        df.withColumn(n, last(col(s"__v_$n"), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(tsCol), col("__sid").as(idCol)) ++
+        names.map(col): _*)
+  }
+
+  /** q146 gate: purchases as the spine; the user's latest click,
+    * error, and view values as three feature tables. */
+  def q146(events: DataFrame): DataFrame = {
+    def side(t: String) = events.filter(col("event_type") === t)
+    pitJoin(
+      side("purchase"),
+      Seq("last_click_v" -> side("click"), "last_error_v" -> side("error"),
+        "last_view_v" -> side("view")),
+      key = "user_id", tsCol = "ts", idCol = "event_id",
+      valueCol = "value")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("last_click_v"), col("last_error_v"), col("last_view_v"))
+      .orderBy("p_event")
+  }
 }

@@ -42,4 +42,56 @@ class AsOfSpec extends SparkSpec {
     assert(joined.filter(col("c_type") =!= "click").count() == 0)
     assert(joined.filter(col("c_ts") > col("p_ts")).count() == 0)
   }
+
+  test("pitJoin: left semantics, per-feature as-of values, tie rules") {
+    val spine = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L)) // before any feature row
+      .toDF("user_id", "ts", "event_id")
+    val fa = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10L, 1.5),
+      // two rows at the SAME ts: highest event_id (12) must win
+      (1L, ts("2024-01-01 10:00:00"), 11L, 2.5),
+      (1L, ts("2024-01-01 10:00:00"), 12L, 3.5),
+      (2L, ts("2024-01-01 09:30:00"), 20L, 9.0)) // after user 2's spine
+      .toDF("user_id", "ts", "event_id", "value")
+    val fb = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 30L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = AsOf.pitJoin(spine, Seq("a" -> fa, "b" -> fb),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet == Set(100L, 101L, 200L), "spine must survive whole")
+    assert(got(100L) == (Some(3.5), None)) // same-ts tie -> id 12's value
+    assert(got(101L) == (Some(3.5), Some(7.0)))
+    assert(got(200L) == (None, None)) // nothing before -> all null
+  }
+
+  test("q146 columns are leakage-free: no feature value from the future") {
+    val r = AsOf.q146(tables.events)
+    assert(r.count() > 0)
+    // every non-null feature must equal the value of SOME event of that
+    // type by the same user at-or-before the purchase ts
+    val p = tables.events.select(col("event_id").as("p_event"),
+      col("ts").as("p_ts"))
+    for ((c, t) <- Seq(("last_click_v", "click"), ("last_error_v", "error"),
+        ("last_view_v", "view"))) {
+      val bad = r.filter(col(c).isNotNull).join(p, "p_event")
+        .join(tables.events.filter(col("event_type") === t)
+            .select(col("user_id"), col("ts").as("f_ts"),
+              col("value").as("f_v")),
+          Seq("user_id"), "left")
+        .filter(col("f_ts") <= col("p_ts") && col("f_v") === col(c))
+        .groupBy("p_event").count()
+      val withMatch = bad.count()
+      val claimed = r.filter(col(c).isNotNull).count()
+      assert(withMatch == claimed,
+        s"$c: $claimed non-null features but only $withMatch provably " +
+          "from a past event")
+    }
+  }
 }

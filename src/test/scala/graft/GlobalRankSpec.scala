@@ -188,6 +188,7 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(Relational.q143(tables), "q143")
       assertDistributed(Relational.q144(tables), "q144")
       assertDistributed(Relational.q145(tables), "q145")
+      assertDistributed(graft.operators.AsOf.q146(tables.events), "q146")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
