@@ -616,6 +616,28 @@ object Relational {
     * value at 1-indexed position max(1, ⌈n·p⌉) of the sorted non-null
     * values) with the same histogram-sized state as [[quantileCont]] —
     * no per-group value buffering, all-null groups keep their row. */
+  /** GLOBAL (single-group) discrete quantile: the value at 1-based
+    * position ⌈n·p⌉ of the ascending sort — the same semantics as
+    * [[quantileDisc]] with one group, but the rank comes from
+    * [[GlobalRank.rowNumber]]'s two-level bucketed cumsum. Calling
+    * `quantileDisc` with a CONSTANT group is the trap this avoids:
+    * Catalyst folds the constant partition key away and the histogram
+    * machinery degrades to windows whose parallelism caps at its
+    * bucket count. Returns a 1-row frame, or an EMPTY frame when `df`
+    * has no non-null rows (callers join with left semantics). */
+  private def globalQuantileDisc(
+      df: DataFrame, valueCol: String, p: Double, out: String)
+      : DataFrame = {
+    val nn = df.filter(col(valueCol).isNotNull)
+    val ranked = GlobalRank.rowNumber(
+      nn.select(col(valueCol)), col(valueCol), col(valueCol), "__rn")
+    val n = ranked.agg(count(lit(1)).as("__n")) // 1 row, always
+    ranked.crossJoin(broadcast(n))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("__n") * p).cast("long")))
+      .select(col(valueCol).cast("double").as(out))
+  }
+
   def quantileDisc(
       df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)]): DataFrame = {
@@ -1540,16 +1562,12 @@ object Relational {
       .select(col("cust"),
         coalesce(col("cents"), lit(0L)).as("cents"),
         coalesce(col("events"), lit(0L)).as("events"))
-    val medRev = quantileDisc(
-      joined.select(lit(1).as("g"), col("cents")), "g", "cents",
-      Seq("m" -> 0.5)).select(col("m").as("med_cents"))
+    val medRev = globalQuantileDisc(joined, "cents", 0.5, "med_cents")
     // engagement median over ACTIVE customers only: most customers
     // never emit events, so the all-customer median is 0 and the axis
     // degenerates (everyone classifies as engaged)
-    val medEng = quantileDisc(
-      joined.filter(col("events") > 0)
-        .select(lit(1).as("g"), col("events")), "g", "events",
-      Seq("m" -> 0.5)).select(col("m").as("med_events"))
+    val medEng = globalQuantileDisc(
+      joined.filter(col("events") > 0), "events", 0.5, "med_events")
     // medEng is EMPTY when no customer has events (the DuckDB oracle's
     // scalar subquery yields NULL instead) — a crossJoin would zero the
     // whole result on that degenerate input, so join on a constant key

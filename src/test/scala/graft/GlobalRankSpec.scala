@@ -189,6 +189,10 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(Relational.q144(tables), "q144")
       assertDistributed(Relational.q145(tables), "q145")
       assertDistributed(graft.operators.AsOf.q146(tables.events), "q146")
+      // q123's global medians ride globalQuantileDisc (GlobalRank),
+      // not constant-group quantileDisc whose folded partition key
+      // degrades the histogram windows
+      assertDistributed(Relational.q123(tables), "q123")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
