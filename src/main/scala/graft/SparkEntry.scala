@@ -145,6 +145,7 @@ object SparkEntry {
     "q144_psi_drift" -> q(Relational.q144),
     "q145_event_sequences" -> q(Relational.q145(_)),
     "q146_pit_features" -> q(t => AsOf.q146(t.events)),
+    "q147_scd2_lookup" -> q(Relational.q147),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1514,6 +1515,33 @@ object SparkEntry {
         |ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts <= p.ts
         |ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_event""".stripMargin,
+    "q147_scd2_lookup" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM o),
+        |iv AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |         MIN(ts) AS valid_from
+        |  FROM r GROUP BY user_id, version, event_type),
+        |dim AS (
+        |  SELECT user_id AS d_user, version, event_type AS status,
+        |         valid_from, lead(valid_from) OVER wv AS valid_to
+        |  FROM iv WINDOW wv AS (PARTITION BY user_id ORDER BY version)),
+        |p AS (SELECT user_id, event_id AS p_event, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_event, dim.status, dim.version
+        |FROM p LEFT JOIN dim
+        |  ON p.user_id = dim.d_user AND dim.valid_from <= p.ts
+        |  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
         |ORDER BY p_event""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,

@@ -1179,9 +1179,16 @@ object Relational {
     * with change-point detection (lag) + a running sum for the run id,
     * then one aggregate per run. Windows partition by user_id: state is
     * bounded by one user's history, never the table. */
-  def q96(t: Tables): DataFrame = {
+  def q96(t: Tables): DataFrame =
+    scd2Intervals(t.events).orderBy("user_id", "version")
+
+  /** SCD2 interval construction (the q96 body, callable): each user's
+    * consecutive same-event_type runs become versioned validity
+    * intervals `[valid_from, valid_to)`, open-ended on the current
+    * run. Per-user partitioned windows only. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val runs = t.events
+    val runs = events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .withColumn("prev", lag("event_type", 1).over(w))
@@ -1196,7 +1203,36 @@ object Relational {
     iv.withColumn("valid_to", lead("valid_from", 1).over(wv))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1L).otherwise(0L))
-      .orderBy("user_id", "version")
+  }
+
+  /** q147 — point-in-time SCD2 dimension lookup: every purchase event
+    * fetches the dimension version that was VALID AT its timestamp —
+    * the canonical warehouse "fact joins the history table" operation
+    * (and the q146 PIT join's interval-keyed sibling). The dimension
+    * is [[scd2Intervals]] over the user's NON-purchase activity (the
+    * status runs a purchase lands inside); purchases with no status
+    * yet keep a null version — LEFT semantics, like q146.
+    *
+    * Scale: one shuffle equi-join on user_id with the containment
+    * predicate applied as the join filter; versions per user are
+    * bounded by that user's activity, intervals never overlap, so at
+    * most one dimension row survives per fact — no fan-out. */
+  def q147(t: Tables): DataFrame = {
+    val dim = scd2Intervals(
+      t.events.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("version"),
+        col("event_type").as("status"), col("valid_from"),
+        col("valid_to"))
+    val facts = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("ts"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("user_id"), col("p_event"), col("status"),
+        col("version"))
+      .orderBy("p_event")
   }
 
   /** SCD1 MERGE — last-writer-wins keyed upsert, the batch-callable

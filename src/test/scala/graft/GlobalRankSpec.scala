@@ -193,6 +193,7 @@ class GlobalRankSpec extends SparkSpec {
       // not constant-group quantileDisc whose folded partition key
       // degrades the histogram windows
       assertDistributed(Relational.q123(tables), "q123")
+      assertDistributed(Relational.q147(tables), "q147")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -672,6 +672,28 @@ class RelationalSpec extends SparkSpec {
     assert(psiDisj > 1.0, s"psi=$psiDisj")
   }
 
+  test("q147 PIT-SCD2 lookup: left semantics, no fan-out, null only " +
+    "before the first status, matched status is a real past run") {
+    val r = Relational.q147(tables)
+    val purchases = tables.events
+      .filter(col("event_type") === "purchase")
+    assert(r.count() == purchases.count(), "left semantics lost rows")
+    assert(r.select("p_event").distinct().count() == r.count(),
+      "interval overlap fanned a fact row out")
+    // null version <=> the user had no non-purchase event at-or-before
+    val firstStatus = tables.events
+      .filter(col("event_type") =!= "purchase")
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+    val nulls = r.filter(col("version").isNull)
+      .join(purchases.select(col("event_id").as("p_event"),
+        col("ts").as("p_ts")), "p_event")
+      .join(firstStatus, Seq("user_id"), "left")
+    assert(nulls.filter(col("first_ts") <= col("p_ts")).count() == 0,
+      "null version despite an available status interval")
+    assert(r.filter(col("status") === "purchase").count() == 0,
+      "purchase runs leaked into the dimension")
+  }
+
   test("q145 trigram support bounded by bigram support and by users") {
     val rows = Relational.q145(tables, minSupport = 1, topK = 1000)
       .collect()
