@@ -146,6 +146,7 @@ object SparkEntry {
     "q145_event_sequences" -> q(Relational.q145(_)),
     "q146_pit_features" -> q(t => AsOf.q146(t.events)),
     "q147_scd2_lookup" -> q(Relational.q147),
+    "q148_dim_corr" -> q(t => Similarity.dimCorrelation(t.embeddings)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1543,6 +1544,27 @@ object SparkEntry {
         |  ON p.user_id = dim.d_user AND dim.valid_from <= p.ts
         |  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
         |ORDER BY p_event""".stripMargin,
+    // DuckDB arrays are 1-based; the WHERE i<=j / i<j split mirrors the
+    // engine's upper-triangle moment accumulation
+    "q148_dim_corr" ->
+      """WITH x AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy,
+        |             COUNT(*) AS n
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY 1, 2),
+        |m AS (SELECT i, SUM(v) / COUNT(*) AS mu FROM x GROUP BY i),
+        |var AS (SELECT p.i, p.sxy / p.n - m.mu * m.mu AS s2
+        |        FROM p JOIN m ON m.i = p.i WHERE p.i = p.j)
+        |SELECT p.i AS dim_i, p.j AS dim_j,
+        |       ROUND((p.sxy / p.n - mi.mu * mj.mu)
+        |             / sqrt(vi.s2 * vj.s2), 4) + 0.0 AS corr
+        |FROM p
+        |JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+        |JOIN var vi ON vi.i = p.i JOIN var vj ON vj.i = p.j
+        |WHERE p.i < p.j
+        |ORDER BY dim_i, dim_j""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{GlobalRank, Relational, TextAnalysis}
+import graft.operators.{GlobalRank, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -194,6 +194,8 @@ class GlobalRankSpec extends SparkSpec {
       // degrades the histogram windows
       assertDistributed(Relational.q123(tables), "q123")
       assertDistributed(Relational.q147(tables), "q147")
+      assertDistributed(
+        Similarity.dimCorrelation(tables.embeddings), "q148")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -154,4 +154,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("dimCorrelation: crafted perfect/anti correlations, fixture " +
+    "bounds") {
+    // dim1 = 2*dim0 (corr +1), dim2 reversed (corr -1 with dim0)
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 4f)), (1L, Array(2f, 4f, 3f)),
+      (2L, Array(3f, 6f, 2f)), (3L, Array(4f, 8f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimCorrelation(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 1)) == 1.0)
+    assert(got((0, 2)) == -1.0)
+    assert(got((1, 2)) == -1.0)
+    val fixture = Similarity.dimCorrelation(tables.embeddings).collect()
+    assert(fixture.length == 64 * 63 / 2)
+    assert(fixture.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+  }
 }
