@@ -286,4 +286,46 @@ class PropertySpec extends SparkSpec {
         s"got $got expected $expected on ${docs.map(_._2)}")
     }
   }
+
+  test("pitJoin matches a brute-force per-row scan on random streams, " +
+    "including timestamp ties") {
+    val evGen = for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0, 8) // tiny ts domain -> frequent ties
+      v <- Gen.choose(1, 99)
+    } yield (u, t, v)
+    val caseGen = for {
+      spine <- Gen.nonEmptyListOf(evGen)
+      fa <- Gen.listOf(evGen)
+      fb <- Gen.listOf(evGen)
+    } yield (spine, fa, fb)
+    forSamples(caseGen) { case (spine, fa, fb) =>
+      def frame(rows: List[(Long, Int, Int)], base: Long) =
+        rows.zipWithIndex.map { case ((u, t, v), i) =>
+          (u, new java.sql.Timestamp(1700000000000L + t * 1000L),
+            base + i, v.toDouble)
+        }.toDF("user_id", "ts", "event_id", "value")
+      val got = graft.operators.AsOf.pitJoin(
+          frame(spine, 1000), // id namespaces disjoint across frames
+          Seq("fa" -> frame(fa, 2000), "fb" -> frame(fb, 3000)),
+          "user_id", "ts", "event_id", "value")
+        .collect()
+        .map(r => r.getLong(2) -> (Option(r.get(3)), Option(r.get(4))))
+        .toMap
+      // brute force: latest feature ts <= spine ts; among equal ts the
+      // highest event_id (= list position) wins — the collapse rule
+      def brute(feats: List[(Long, Int, Int)])(u: Long, t: Int)
+          : Option[Double] = {
+        val c = feats.zipWithIndex
+          .filter { case ((fu, ft, _), _) => fu == u && ft <= t }
+        if (c.isEmpty) None
+        else Some(c.maxBy { case ((_, ft, _), i) => (ft, i) }._1._3.toDouble)
+      }
+      assert(got.size == spine.size, "left semantics lost spine rows")
+      spine.zipWithIndex.foreach { case ((u, t, _), i) =>
+        assert(got(1000L + i) == (brute(fa)(u, t), brute(fb)(u, t)),
+          s"spine row $i (user $u, t $t)")
+      }
+    }
+  }
 }
