@@ -147,6 +147,8 @@ object SparkEntry {
     "q146_pit_features" -> q(t => AsOf.q146(t.events)),
     "q147_scd2_lookup" -> q(Relational.q147),
     "q148_dim_corr" -> q(t => Similarity.dimCorrelation(t.embeddings)),
+    "q149_mixture_sample" ->
+      q(t => TextAnalysis.mixtureSample(t.documents)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1565,6 +1567,33 @@ object SparkEntry {
         |JOIN var vi ON vi.i = p.i JOIN var vj ON vj.i = p.j
         |WHERE p.i < p.j
         |ORDER BY dim_i, dim_j""".stripMargin,
+    // q127's quota CTE chain at budget 300, then the deterministic
+    // md5-ranked per-stratum truncation
+    "q149_mixture_sample" ->
+      """WITH s AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |b AS (SELECT s.*, t.tw,
+        |             CAST((300 * w) // tw AS BIGINT) AS base,
+        |             CAST((300 * w) % tw AS BIGINT) AS rem
+        |      FROM s, t),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM b),
+        |g AS (SELECT CAST(300 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |q AS (SELECT lang, source,
+        |        base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |      FROM r, g),
+        |ranked AS (SELECT d.doc_id, d.lang, d.source,
+        |        ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+        |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |      FROM documents d)
+        |SELECT ranked.lang, ranked.source, ranked.doc_id
+        |FROM ranked JOIN q
+        |  ON q.lang = ranked.lang AND q.source = ranked.source
+        |WHERE rn <= quota
+        |ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

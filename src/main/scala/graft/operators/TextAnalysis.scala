@@ -631,6 +631,35 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** q149 — mixture materialization: SELECT the exact documents that
+    * fill [[temperatureMixture]]'s per-stratum quotas — the step that
+    * turns a mixture PLAN into a training corpus. Each (lang, source)
+    * stratum is ranked by the md5 of the doc id (a deterministic,
+    * engine-portable "random" order — no seed drift between runs or
+    * engines) and truncated at its quota; strata smaller than their
+    * quota contribute everything they have.
+    *
+    * Scale: the quota frame is |strata| rows (broadcast); ranking is a
+    * per-stratum partitioned window (state = one stratum, the same
+    * posture as every sessionization window); one scan of the corpus.
+    * Determinism: md5 rank + doc_id tiebreak makes the selected SET
+    * hash-stable across engines — the property Bernoulli `sampleBy`
+    * can never give an oracle. */
+  def mixtureSample(
+      documents: DataFrame, budget: Long = 300L): DataFrame = {
+    val quotas = temperatureMixture(documents, budget)
+      .select(col("lang"), col("source"), col("quota"))
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang", "source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** q126 — vocabulary growth curve (the empirical Heaps-law input):
     * cumulative distinct-token count as the corpus is read in doc_id
     * order, one row per document that introduces new tokens. Running

@@ -196,6 +196,8 @@ class GlobalRankSpec extends SparkSpec {
       assertDistributed(Relational.q147(tables), "q147")
       assertDistributed(
         Similarity.dimCorrelation(tables.embeddings), "q148")
+      assertDistributed(
+        TextAnalysis.mixtureSample(tables.documents), "q149")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -314,6 +314,25 @@ class TextSpec extends SparkSpec {
       got.filter(_._3 == 0).map(_._2).max)
   }
 
+  test("mixtureSample fills each stratum to min(quota, size), " +
+    "deterministically") {
+    val budget = 300L
+    val got = TextAnalysis.mixtureSample(tables.documents, budget)
+    val counts = got.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = TextAnalysis
+      .temperatureMixture(tables.documents, budget)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        math.min(r.getLong(3), r.getLong(2))).toMap
+    assert(counts == expected.filter(_._2 > 0))
+    // deterministic: a second run selects the identical doc set
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.mixtureSample(tables.documents, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("dsirWeights: fixture corpus — k selected, selection is a clean " +
     "cut in (logw desc, doc_id) order") {
     val got = TextAnalysis.dsirWeights(tables.documents).collect()
