@@ -1444,7 +1444,8 @@ object SparkEntry {
         |         CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
         |  FROM oldt WHERE k % 23 <> 0
         |  UNION ALL
-        |  SELECT k + 1000000, seg, 0 FROM oldt WHERE k % 31 = 0),
+        |  SELECT k + (SELECT MAX(k) + 1 FROM oldt), seg, 0
+        |  FROM oldt WHERE k % 31 = 0),
         |j AS (SELECT COALESCE(o.k, n.k) AS k,
         |        CASE WHEN o.k IS NULL THEN 'insert'
         |             WHEN n.k IS NULL THEN 'delete'

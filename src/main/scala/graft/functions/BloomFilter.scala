@@ -42,6 +42,16 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
   * source of truth, no Scala-vs-Java drift.
   */
 object BloomKernel extends Serializable {
+  /** Filter payloads are self-describing: word 0 is a header carrying
+    * a magic tag (high 32 bits) and the build-side numHashes (low 32),
+    * bit words follow. The probe reads k from the header instead of
+    * trusting its own default — a probe/build k mismatch would yield
+    * FALSE NEGATIVES (dropped join rows), breaking the exactness
+    * guarantee, so it is made unrepresentable rather than documented. */
+  val HeaderMagic: Long = 0x47424631L << 32 // "GBF1"
+
+  def header(numHashes: Int): Long = HeaderMagic | (numHashes & 0xffffffffL)
+
   /** splitmix64 finalizer — avalanches a long key. */
   def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -69,13 +79,39 @@ object BloomKernel extends Serializable {
     }
   }
 
-  /** Probe — called from both interpreted eval and generated code. */
+  /** Raw probe over headerless bit words (kernel-level building block;
+    * the SQL surface goes through the header-aware overload below). */
   def mightContain(key: Long, bits: ArrayData, numHashes: Int): Boolean = {
     val mBits = bits.numElements() * 64
     var i = 0
     while (i < numHashes) {
       val b = bitIndex(key, i, mBits)
       if ((bits.getLong(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Header-aware probe — called from both interpreted eval and
+    * generated code. Validates the magic tag and the power-of-two
+    * word count `bitIndex` requires, then probes with the k the BUILD
+    * side recorded. */
+  def mightContain(key: Long, payload: ArrayData): Boolean = {
+    val h = payload.getLong(0)
+    if ((h & 0xffffffff00000000L) != HeaderMagic)
+      throw new IllegalArgumentException(
+        "bloom_might_contain: payload lacks the GBF1 header — " +
+          "was it built by bloom_agg?")
+    val numHashes = (h & 0x7fffffffL).toInt
+    val mBits = (payload.numElements() - 1) * 64
+    if (mBits <= 0 || (mBits & (mBits - 1)) != 0)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain: bit length $mBits is not a power of two")
+    var i = 0
+    while (i < numHashes) {
+      val b = bitIndex(key, i, mBits)
+      if ((payload.getLong(1 + (b >>> 6)) & (1L << (b & 63))) == 0L)
+        return false
       i += 1
     }
     true
@@ -102,7 +138,10 @@ class BloomAggregator(mBits: Int, numHashes: Int)
     a
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = buf
+  /** Prepend the self-describing header (numHashes + magic) so probes
+    * can never run with a k the build side didn't use. */
+  override def finish(buf: Array[Long]): Array[Long] =
+    BloomKernel.header(numHashes) +: buf
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -114,8 +153,7 @@ class BloomAggregator(mBits: Int, numHashes: Int)
   * codegen — the generated code is a direct static call into the
   * shared kernel, so the filter evaluates inside the scan's codegen
   * span (visible as a Filter directly over the parquet scan). */
-case class BloomMightContain(
-    left: Expression, right: Expression, numHashes: Int)
+case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -132,12 +170,12 @@ case class BloomMightContain(
 
   override def nullSafeEval(k: Any, b: Any): Any =
     BloomKernel.mightContain(
-      k.asInstanceOf[Long], b.asInstanceOf[ArrayData], numHashes)
+      k.asInstanceOf[Long], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (k, b) =>
-      s"${ev.value} = graft.functions.BloomKernel.mightContain($k, $b, $numHashes);")
+      s"${ev.value} = graft.functions.BloomKernel.mightContain($k, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
@@ -157,8 +195,9 @@ object BloomFunctions {
     udaf(new BloomAggregator(mBits, numHashes), Encoders.scalaLong)
       .apply(key)
 
-  def bloom_might_contain(key: Column, bits: Column,
-      numHashes: Int = 7): Column =
+  /** Probe reads numHashes from the payload header — no parameter to
+    * get wrong. */
+  def bloom_might_contain(key: Column, bits: Column): Column =
     GraftBridge.column(BloomMightContain(
-      GraftBridge.expression(key), GraftBridge.expression(bits), numHashes))
+      GraftBridge.expression(key), GraftBridge.expression(bits)))
 }

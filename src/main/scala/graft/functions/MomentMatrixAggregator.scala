@@ -34,7 +34,10 @@ class MomentMatrixAggregator
   override def zero: Buf = Buf(0L, Array.empty, Array.empty)
 
   override def reduce(b: Buf, v: Seq[Float]): Buf = {
-    if (v == null) return b
+    // Zero-length vectors are skipped WITHOUT touching n: counting
+    // them would leave a buffer with n>0 but empty arrays, whose count
+    // `merge` (keyed on sums.isEmpty) could then silently drop.
+    if (v == null || v.isEmpty) return b
     val x = v.toArray
     val d = x.length
     if (b.sums.isEmpty && d > 0) {
@@ -61,8 +64,10 @@ class MomentMatrixAggregator
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
-    if (a.sums.isEmpty) return b
-    if (b.sums.isEmpty) return a
+    // belt-and-braces: carry n across even if a side somehow has
+    // count without arrays, so no buffer's count is ever dropped
+    if (a.sums.isEmpty) { b.n += a.n; return b }
+    if (b.sums.isEmpty) { a.n += b.n; return a }
     require(a.sums.length == b.sums.length,
       "MomentMatrix: merging buffers of different dimension")
     var i = 0

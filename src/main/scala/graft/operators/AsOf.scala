@@ -94,22 +94,32 @@ object AsOf {
         .filter(col("__rn") === 1)
         .select(col(key), col(tsCol), col(idCol), col(valueCol))
     }
+    // Presence is carried explicitly as a one-field struct: a feature
+    // row ALWAYS contributes a non-null struct (even when its value is
+    // genuinely NULL), while rows of other tables contribute a null
+    // struct. last(struct, ignoreNulls) therefore lands on the latest
+    // at-or-before ROW and returns that row's value as-is — a latest
+    // NULL value surfaces as NULL instead of being skipped for an
+    // older value (matches the DuckDB ASOF oracle).
+    val nullCell = lit(null).cast("struct<v:double>")
     val spineSide = spine.select(
       Seq(col(key), col(tsCol), col(idCol).as("__sid"),
         lit(1).as("__side")) ++
-        names.map(n => lit(null).cast("double").as(s"__v_$n")): _*)
+        names.map(n => nullCell.as(s"__v_$n")): _*)
     val unioned = collapsed.foldLeft(spineSide) { case (acc, (name, df)) =>
       acc.unionByName(df.select(
         Seq(col(key), col(tsCol), col(idCol).as("__sid"),
           lit(0).as("__side")) ++
-          names.map(n => (if (n == name) col(valueCol).cast("double")
-            else lit(null).cast("double")).as(s"__v_$n")): _*))
+          names.map(n => (if (n == name)
+              struct(col(valueCol).cast("double").as("v"))
+            else nullCell).as(s"__v_$n")): _*))
     }
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col("__side"), col("__sid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     names.foldLeft(unioned) { (df, n) =>
-        df.withColumn(n, last(col(s"__v_$n"), ignoreNulls = true).over(w))
+        df.withColumn(n,
+          last(col(s"__v_$n"), ignoreNulls = true).over(w).getField("v"))
       }
       .filter(col("__side") === 1)
       .select(Seq(col(key), col(tsCol), col("__sid").as(idCol)) ++

@@ -2059,11 +2059,18 @@ object Relational {
     val old = t.customer.select(col("c_custkey").as("k"),
       col("c_mktsegment").as("seg"),
       round(col("c_acctbal") * 100).cast("long").as("bal"))
+    // re-inserted keys offset by max(k)+1: max+1+k > max for every
+    // real k >= 0, so offset keys can NEVER collide with live keys at
+    // any scale factor (a fixed constant like 1e6 would collide once
+    // the key domain outgrows it, ~sf7 for customer; a bare max(k)
+    // offset would collide at k=0)
+    val maxK = old.agg((max("k") + 1).as("__maxk"))
     val evolved = old.filter(col("k") % 23 =!= 0)
       .withColumn("bal",
         when(col("k") % 7 === 0, col("bal") + 100).otherwise(col("bal")))
       .unionByName(old.filter(col("k") % 31 === 0)
-        .select((col("k") + 1000000L).as("k"), col("seg"),
+        .crossJoin(broadcast(maxK))
+        .select((col("k") + col("__maxk")).as("k"), col("seg"),
           lit(0L).as("bal")))
     snapshotDiff(old, evolved, Seq("k"))
       .select(col("k"), col("change"),
@@ -2100,7 +2107,14 @@ object Relational {
     val dense = act.select("source").distinct().crossJoin(broadcast(bins))
       .join(act, Seq("source", "bin"), "left").na.fill(0L, Seq("ca"))
       .join(broadcast(exp), Seq("bin"), "left").na.fill(0L, Seq("ce"))
-    val ne = exp.agg(sum("ce").as("ne")) // 1 row, always present
+    // 1 row always present, but sum(ce) is NULL when the reference
+    // stratum has NO rows — every psi would then come out NULL
+    // silently. A misconfigured refSource must fail loudly instead
+    // (the repo's raise_error contract pattern).
+    val ne = exp.agg(coalesce(sum("ce"), lit(0L)).as("ne"))
+      .select(when(col("ne") === 0, raise_error(lit(
+          s"psiDrift: reference source '$refSource' has no rows")))
+        .otherwise(col("ne")).as("ne"))
     val na = act.groupBy("source").agg(sum("ca").as("na"))
     val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
     val pe = (col("ce") + 1).cast("double") / (col("ne") + 10)

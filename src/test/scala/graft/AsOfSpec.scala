@@ -71,6 +71,23 @@ class AsOfSpec extends SparkSpec {
     assert(got(200L) == (None, None)) // nothing before -> all null
   }
 
+  test("pitJoin returns a latest row's NULL value as NULL (not an older value)") {
+    val spine = Seq((1L, ts("2024-01-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val fa = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, Some(1.5)),
+      // latest at-or-before row has a genuinely NULL value — the
+      // contract ("value of the latest row") requires NULL out, not 1.5
+      (1L, ts("2024-01-01 11:00:00"), 11L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = AsOf.pitJoin(spine, Seq("a" -> fa),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(3),
+      "latest row's NULL value must surface as NULL, not the older 1.5")
+  }
+
   test("q146 columns are leakage-free: no feature value from the future") {
     val r = AsOf.q146(tables.events)
     assert(r.count() > 0)

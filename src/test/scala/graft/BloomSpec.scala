@@ -42,6 +42,31 @@ class BloomSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("probe reads numHashes from the payload header (no k mismatch)") {
+    // build with a NON-default k: the probe must still see every key
+    // (a k mismatch would manifest as false negatives)
+    val keys = (1L to 300L).map(_ * 97L)
+    val filt = keys.toDF("k")
+      .agg(BloomFunctions.bloom_agg(col("k"), 1 << 12, numHashes = 3)
+        .as("b"))
+    val missed = keys.toDF("k").crossJoin(filt)
+      .filter(!BloomFunctions.bloom_might_contain(col("k"), col("b")))
+      .count()
+    assert(missed == 0, s"$missed false negatives — header k not honored")
+    // header word carries the magic + k
+    val payload = filt.head.getSeq[Long](0)
+    assert((payload.head >>> 32) == 0x47424631L)
+    assert((payload.head & 0xffffffffL) == 3L)
+    // a headerless array must be rejected loudly, not silently probed
+    val bad = intercept[Exception] {
+      Seq(1L).toDF("k")
+        .select(BloomFunctions.bloom_might_contain(
+          col("k"), typedLit(Array.fill(64)(0L))))
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("probe filter runs BEFORE the join (map-side prune posture)") {
     // Catalyst fuses the probe Filter into the 1-row broadcast
     // nested-loop join's condition — same posture, zero extra node:

@@ -672,6 +672,20 @@ class RelationalSpec extends SparkSpec {
     assert(psiDisj > 1.0, s"psi=$psiDisj")
   }
 
+  test("psiDrift fails loudly when the reference stratum is empty") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, "srcA", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val e = intercept[Exception] {
+      Relational.psiDrift(docs, refSource = "nope").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no rows")),
+      s"expected a loud empty-reference error, got: $e")
+  }
+
   test("q147 PIT-SCD2 lookup: left semantics, no fan-out, null only " +
     "before the first status, matched status is a real past run") {
     val r = Relational.q147(tables)

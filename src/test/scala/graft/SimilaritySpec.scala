@@ -171,4 +171,21 @@ class SimilaritySpec extends SparkSpec {
     assert(fixture.length == 64 * 63 / 2)
     assert(fixture.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
+
+  test("MomentMatrixAggregator: empty vectors skipped, merge never " +
+    "drops a count") {
+    import graft.functions.{MomentMatrix, MomentMatrixAggregator}
+    val agg = new MomentMatrixAggregator
+    // zero-length vectors must not count (n>0 with empty arrays would
+    // be silently droppable on merge)
+    val a = agg.reduce(agg.zero, Seq.empty[Float])
+    assert(a.n == 0 && a.sums.isEmpty)
+    val b = agg.reduce(agg.zero, Seq(1f, 2f))
+    assert(agg.merge(a, b).n == 1)
+    // belt-and-braces: a count-without-arrays buffer still carries n
+    val weird = MomentMatrix.Buf(3L, Array.empty, Array.empty)
+    assert(agg.merge(weird, agg.reduce(agg.zero, Seq(1f, 2f))).n == 4)
+    val weird2 = MomentMatrix.Buf(3L, Array.empty, Array.empty)
+    assert(agg.merge(agg.reduce(agg.zero, Seq(1f, 2f)), weird2).n == 4)
+  }
 }
