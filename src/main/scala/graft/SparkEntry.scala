@@ -125,7 +125,7 @@ object SparkEntry {
     "q97_attribution" -> q(Relational.q97),
     "q98_ewma" -> q(Relational.q98),
     "q99_mad" -> q(Relational.q99),
-    "q100_semdedup" -> q(t => Similarity.semanticDedup(t.embeddings)),
+    "q100_semdedup" -> q(t => Similarity.semanticDedupPortable(t.embeddings)),
     "q101_event_paths" -> q(Relational.q101),
     "q102_winsorized" -> q(Relational.q102),
     "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),

@@ -541,24 +541,47 @@ object Similarity {
       .orderBy("vec_i", "vec_j")
   }
 
-  /** q100 — SemDeDup (Abbas et al. 2023) semantic deduplication:
-    * embedding-space near-dup pairs from the engine-portable LSH
-    * operator (q35 semantics), closed transitively with the diameter-
-    * independent star components, each cluster keeping its min vec_id.
-    * Output is the DROP LIST — (vec_id, kept_id) for every vector a
-    * semantic-dedup pass removes. Every stage is a bucketed equi-join
-    * (LSH band → candidate pairs → per-node min aggregates); the
-    * corpus is never compared all-pairs, which is what lets the
-    * "cluster then prune within cluster" shape run at 100 TB. */
+  /** SemDeDup (Abbas et al. 2023) semantic deduplication — the
+    * ENGINE-RECOMMENDED entry point, routed through the density-
+    * adaptive LSH ([[embeddingNearDupsAdaptive]]): bucket occupancy is
+    * held ≤ targetOccupancy regardless of corpus size, so candidate
+    * pairs — and therefore the whole pass — grow ~linearly where the
+    * fixed-granularity form measured 25× wall-clock for 10× vectors
+    * (BASELINE.md sf1 table). Pairs are closed transitively with the
+    * diameter-independent star components; each cluster keeps its min
+    * vec_id. Output is the DROP LIST — (vec_id, kept_id) for every
+    * vector a semantic-dedup pass removes. Every stage is a bucketed
+    * equi-join; the corpus is never compared all-pairs. */
   def semanticDedup(
+      embeddings: DataFrame, minCos: Double = 0.4, dim: Int = 64,
+      targetOccupancy: Long = 128, targetRecall: Double = 0.9): DataFrame = {
+    val pairs = embeddingNearDupsAdaptive(
+      embeddings, dim, minCos, targetOccupancy, targetRecall)
+      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
+    semanticDropList(pairs)
+  }
+
+  /** q100 — the ORACLE TWIN of [[semanticDedup]]: identical cluster/
+    * drop-list semantics, but pairs come from the fixed-granularity
+    * engine-portable LSH ([[embeddingNearDupsPortable]], q35 contract)
+    * so the DuckDB oracle can replay the exact candidate set. Kept
+    * SOLELY for that contract — fixed 4-band/4-bit granularity goes
+    * super-linear as corpus density rises; new callers should use
+    * [[semanticDedup]] (density-adaptive, ~linear candidates). */
+  def semanticDedupPortable(
       embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
     val pairs = embeddingNearDupsPortable(embeddings, minCos = minCos)
       .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
+    semanticDropList(pairs)
+  }
+
+  /** Shared SemDeDup tail: transitive closure via star components,
+    * min-id canonical per cluster, (vec_id, kept_id) drop list. */
+  private def semanticDropList(pairs: DataFrame): DataFrame =
     Dedup.connectedComponentsStar(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"), col("component").as("kept_id"))
       .orderBy("vec_id")
-  }
 
   /** q148 — embedding dimension correlation matrix: Pearson corr for
     * every dimension pair (i < j) of the embedding space — the

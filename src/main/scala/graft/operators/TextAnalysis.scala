@@ -639,20 +639,36 @@ object TextAnalysis {
     * engines) and truncated at its quota; strata smaller than their
     * quota contribute everything they have.
     *
-    * Scale: the quota frame is |strata| rows (broadcast); ranking is a
-    * per-stratum partitioned window (state = one stratum, the same
-    * posture as every sessionization window); one scan of the corpus.
-    * Determinism: md5 rank + doc_id tiebreak makes the selected SET
-    * hash-stable across engines — the property Bernoulli `sampleBy`
-    * can never give an oracle. */
+    * Scale: the quota frame is |strata| rows (broadcast); selection
+    * runs through the [[graft.plans.TopKPerKey]] bounded-heap plan node
+    * with k = the LARGEST quota — a skewed mega-stratum holds k heap
+    * slots per task instead of paying a full per-stratum sort for a
+    * quota that is typically ≪ stratum size (partial heaps prune
+    * map-side, the shuffle moves ≤ k·|strata| rows, same posture as
+    * q105's length batching). The residual `row_number` window that
+    * numbers rows within each stratum then runs over that pruned
+    * ≤ k-per-stratum frame, not the corpus. Determinism: md5 rank +
+    * doc_id tiebreak makes the selected SET hash-stable across
+    * engines — the property Bernoulli `sampleBy` can never give an
+    * oracle. */
   def mixtureSample(
       documents: DataFrame, budget: Long = 300L): DataFrame = {
     val quotas = temperatureMixture(documents, budget)
       .select(col("lang"), col("source"), col("quota"))
+      // one tiny driver-side reuse: the quota frame is |strata| rows
+      // (broadcast below); its max sizes the bounded heaps
+      .localCheckpoint(true)
+    val maxQuota = quotas.agg(max("quota")).head().getLong(0)
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val ranked = graft.plans.TopKPerKey.topK(
+      documents
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h", md5(col("doc_id").cast("string"))),
+      Seq("lang", "source"), Seq(col("h"), col("doc_id")),
+      k = math.max(1L, maxQuota).min(Int.MaxValue.toLong).toInt)
     val w = Window.partitionBy("lang", "source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    documents
-      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    ranked
       .withColumn("rn", row_number().over(w))
       .join(broadcast(quotas), Seq("lang", "source"))
       .filter(col("rn") <= col("quota"))

@@ -133,7 +133,8 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
-  test("semanticDedup equals the transitive closure of the pair list") {
+  test("semanticDedupPortable equals the transitive closure of the " +
+    "portable pair list") {
     val pairs = Similarity.embeddingNearDupsPortable(tables.embeddings)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // brute-force union-find over the collected pair list (small at
@@ -150,9 +151,70 @@ class SimilaritySpec extends SparkSpec {
     val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val expected = members.map(m => m -> find(m))
       .filter { case (m, r) => m != r }.toMap
+    val got = Similarity.semanticDedupPortable(tables.embeddings)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("semanticDedup (adaptive default) equals the transitive closure " +
+    "of ITS pair list, and matches the portable drop list at matched " +
+    "recall") {
+    // the default entry point now routes through the density-adaptive
+    // LSH; same closure contract, checked against a union-find over the
+    // adaptive pair list (equality at the recall the pair stage achieved)
+    val pairs = Similarity
+      .embeddingNearDupsAdaptive(tables.embeddings, 64, 0.4,
+        targetOccupancy = 128, targetRecall = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = members.map(m => m -> find(m))
+      .filter { case (m, r) => m != r }.toMap
     val got = Similarity.semanticDedup(tables.embeddings)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    // at full recall both pair stages see every true pair, so the two
+    // entry points must produce the IDENTICAL drop list: drive the
+    // adaptive path to recall ~1 (1 row-bit -> p(collide) per band is
+    // high; band count saturates toward the recall target) and compare
+    // against a union-find over the BRUTE-FORCE pair list; the portable
+    // path at this SF is spec-verified against the same closure above
+    val e = tables.embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val brute = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect()
+    val bParent = scala.collection.mutable.Map[Long, Long]()
+    def bFind(x: Long): Long = {
+      val p = bParent.getOrElse(x, x)
+      if (p == x) x else { val r = bFind(p); bParent(x) = r; r }
+    }
+    brute.foreach { case (a, b) =>
+      val (ra, rb) = (bFind(a), bFind(b))
+      if (ra != rb) bParent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val bMembers = brute.flatMap(p => Seq(p._1, p._2)).distinct
+    val bExpected = bMembers.map(m => m -> bFind(m))
+      .filter { case (m, r) => m != r }.toMap
+    val fullRecall = Similarity.semanticDedup(tables.embeddings,
+        minCos = 0.4, targetOccupancy = Long.MaxValue, targetRecall = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fullRecall == bExpected,
+      "adaptive semanticDedup at saturated recall must equal the " +
+        "brute-force closure")
   }
 
   test("dimCorrelation: crafted perfect/anti correlations, fixture " +

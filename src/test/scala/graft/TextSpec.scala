@@ -333,6 +333,33 @@ class TextSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("mixtureSample plans through the bounded-heap TopKPerKey node " +
+    "and equals the window-only reference formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 300L
+    val df = TextAnalysis.mixtureSample(tables.documents, budget)
+    // the corpus-wide per-stratum ranking must run through the bounded
+    // heaps (k = max quota), NOT a full sort of every stratum: the only
+    // corpus-width operator between scan and the residual window is the
+    // partial/final TopKPerKeyExec pair
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"expected the TopKPerKey bounded-heap node in:\n$plan")
+    // output equivalence with the pre-round-6 full-window formulation
+    val quotas = TextAnalysis.temperatureMixture(tables.documents, budget)
+      .select(col("lang"), col("source"), col("quota"))
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = tables.documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang", "source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy("doc_id")
+    assert(df.collect().toSeq == ref.collect().toSeq)
+  }
+
   test("dsirWeights: fixture corpus — k selected, selection is a clean " +
     "cut in (logw desc, doc_id) order") {
     val got = TextAnalysis.dsirWeights(tables.documents).collect()
