@@ -31,6 +31,7 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
     master.fold(b)(b.master)
   }

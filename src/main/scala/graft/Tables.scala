@@ -42,27 +42,47 @@ object Tables {
     s"$d/$name.parquet"
   }
 
-  /** Load one table (no view registration).
+  /** Load one table (no view registration), normalizing `ts` to
+    * session-zoned TIMESTAMP regardless of how the fixture parquet was
+    * written. Three flavors exist in the wild (and have each shown up
+    * in the driver-generated testdata across rounds):
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; we read nanos as long (legacy conf) and truncate to
-    * µs with integer division (`div`, not `/`: a double round-trip would
-    * lose precision on ~1.7e18 nanosecond epochs). DuckDB keeps ns — the
-    * declared oracle queries never emit sub-second values, so the two
-    * engines agree.
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; we read
+    *    nanos as long (legacy conf) and truncate to µs with integer
+    *    division (`div`, not `/`: a double round-trip would lose
+    *    precision on ~1.7e18 nanosecond epochs);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): pandas/pyarrow's
+    *    default, which Spark 4 infers as TIMESTAMP_NTZ — every
+    *    `unix_micros(ts)` call site would fail analysis. We disable the
+    *    inference (naive → session-zoned TIMESTAMP; session tz is
+    *    pinned UTC, so values are unchanged) and, defensively, cast any
+    *    NTZ column that still slips through (e.g. a schema cached
+    *    before the conf was set);
+    *  - TIMESTAMP(MICROS, adjusted): read as-is.
+    *
+    * DuckDB reads all three as naive-or-UTC TIMESTAMP, so the declared
+    * oracle queries agree in every case.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    normalizeTs(spark.read.parquet(path(dir, name)))
+  }
+
+  /** Normalize a `ts` column to session-zoned TIMESTAMP whatever the
+    * scan produced: long nanos → truncate to µs; TIMESTAMP_NTZ →
+    * lossless cast (session tz is UTC); TIMESTAMP → as-is. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
-  }
 
   def apply(spark: SparkSession, dir: String): Tables =
     new Tables(spark, dir)

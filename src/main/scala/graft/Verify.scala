@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,6 +20,12 @@ object Verify {
     // optional substring filter for focused local iteration; the driver
     // sets no filter and always dumps the full set
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    // Failed queries must stay VISIBLE: round 6's correctness artifact
+    // silently dropped three erroring queries (152 entries where round 5
+    // had 155) and the absence was only caught by a cross-round diff.
+    // Record every failure in errors.json and leave an empty marker dir
+    // so the driver reports an err row instead of omitting the query.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (n, _) =>
         filter.forall(f => f.split(',').exists(n.contains)) }
@@ -25,7 +33,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: ${msg.take(300)}")
+        failures += name -> msg.linesIterator.next().take(200)
+        new java.io.File(s"$outDir/$name").mkdirs()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: " +
+          failures.map(_._1).mkString(", "))
+    }
     spark.stop()
   }
 }

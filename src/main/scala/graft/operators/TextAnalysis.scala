@@ -658,7 +658,14 @@ object TextAnalysis {
       // one tiny driver-side reuse: the quota frame is |strata| rows
       // (broadcast below); its max sizes the bounded heaps
       .localCheckpoint(true)
-    val maxQuota = quotas.agg(max("quota")).head().getLong(0)
+    // max over an EMPTY quota frame is one NULL row — read through
+    // Option so an empty corpus yields an empty sample, not an NPE.
+    // The Int.MaxValue clamp bounds the heap size: a budget where one
+    // stratum's quota exceeds 2³¹ would silently degrade to "keep all",
+    // which at that scale is the only sane fallback anyway (documented
+    // in BASELINE.md).
+    val maxQuota = Option(quotas.agg(max("quota")).head()
+        .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     graft.plans.GraftExtensions.register(documents.sparkSession)
     val ranked = graft.plans.TopKPerKey.topK(
       documents

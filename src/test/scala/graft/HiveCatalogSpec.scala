@@ -34,6 +34,7 @@ class HiveCatalogSpec extends AnyFunSuite {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()
       .getOrCreate()

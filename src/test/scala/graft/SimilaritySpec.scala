@@ -193,8 +193,11 @@ class SimilaritySpec extends SparkSpec {
     val brute = e.as("a").join(e.as("b"),
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-        (Similarity.dot(col("a.v"), col("b.v")) /
-          (col("a.n") * col("b.n"))).as("cos"))
+        // round exactly like the LSH paths do, so a borderline cosine
+        // in [0.3999995, 0.4) cannot make this reference disagree with
+        // the engine on a future fixture refresh
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n")), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .select("vec_i", "vec_j").as[(Long, Long)].collect()
     val bParent = scala.collection.mutable.Map[Long, Long]()
@@ -212,6 +215,11 @@ class SimilaritySpec extends SparkSpec {
     val fullRecall = Similarity.semanticDedup(tables.embeddings,
         minCos = 0.4, targetOccupancy = Long.MaxValue, targetRecall = 0.999)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NOTE fixture dependence: targetRecall=0.999 < 1, so exact
+    // equality holds only because this fixture's true pairs all
+    // collide at the saturated band count. If a fixture refresh flips
+    // this test, weaken to a recall bound (≥ 0.99 of bExpected) rather
+    // than chasing exactness — the engine contract is probabilistic.
     assert(fullRecall == bExpected,
       "adaptive semanticDedup at saturated recall must equal the " +
         "brute-force closure")
