@@ -149,6 +149,8 @@ object SparkEntry {
     "q148_dim_corr" -> q(t => Similarity.dimCorrelation(t.embeddings)),
     "q149_mixture_sample" ->
       q(t => TextAnalysis.mixtureSample(t.documents)),
+    "q150_pii_scrub" -> q(t => Scrub.q150(t.documents)),
+    "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1595,6 +1597,67 @@ object SparkEntry {
         |  ON q.lang = ranked.lang AND q.source = ranked.source
         |WHERE rn <= quota
         |ORDER BY doc_id""".stripMargin,
+    // q150/q151: the PII / URL material is planted deterministically
+    // from doc_id on BOTH sides (the fixture text is PII-free word
+    // soup), so the redaction/canonicalization logic itself is what the
+    // hash compares — same construction as the q35 hyperplane oracle.
+    "q150_pii_scrub" ->
+      """WITH enriched AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+        |      '@example' || (doc_id % 7) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') ||
+        |      '-' ||
+        |      lpad(CAST((doc_id * 104729) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)
+        |      || '.0.' || ((doc_id * 31) % 256) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b'))
+        |    AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b',
+        |    '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS red_md5
+        |FROM enriched ORDER BY doc_id""".stripMargin,
+    "q151_url_canonical" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END) ||
+        |    '/p/' || (doc_id % 11) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END)
+        |      AS url
+        |  FROM (SELECT doc_id,
+        |      (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+        |            WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END) ||
+        |      'site' || (doc_id % 37) || '.example.com' AS h
+        |    FROM documents)),
+        |canon AS (
+        |  SELECT regexp_replace(lower(
+        |           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+        |           '^www\.', '') AS host,
+        |         regexp_replace(
+        |           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+        |           '/$', '') AS path
+        |  FROM urls)
+        |SELECT host, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT path) AS n_paths,
+        |  COUNT(*) - COUNT(DISTINCT path) AS dup_mass
+        |FROM canon GROUP BY host ORDER BY host""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus hygiene operators every Dolma/CCNet-shaped training pipeline
+  * runs before anything touches a tokenizer: PII redaction and URL/host
+  * canonicalization. (The reference engine has no counterpart — these
+  * extend the engine's LLM-data-pipeline surface, SURVEY §2.12.)
+  *
+  * Both are pure narrow column transforms (codegen'd `regexp_replace` /
+  * `regexp_count` / string ops — no UDFs, no shuffle of their own), so
+  * at 100 TB they ride the corpus scan for free; only the reporting
+  * aggregates underneath q150/q151 shuffle, and those are hash-aggs on
+  * low-cardinality keys (PII class / canonical host).
+  *
+  * Regex notes: patterns are deliberately restricted to constructs with
+  * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle) —
+  * character classes, bounded repetition, `\b`, non-capturing-free
+  * alternation. No backreferences, no lookaround.
+  */
+object Scrub {
+
+  /** PII classes, ordered: redaction applies in this sequence. The
+    * three defaults match disjoint token shapes (an email can never
+    * contain a NANP phone match; an IPv4 needs four numeric groups
+    * where a phone needs 3-3-4), so redaction order cannot change the
+    * output — the order only fixes the scan sequence. */
+  val EmailRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP forms: `555-123-4567`, `(555) 123-4567`, `+1 555-123-4567`.
+    * The word boundary sits INSIDE the bare-digit alternative: `\b`
+    * before `\(` never matches (paren and the preceding space are both
+    * non-word), and RE2 has no lookbehind to express it otherwise. */
+  val PhoneRe: String =
+    "(\\+[0-9]{1,2} )?(\\([0-9]{3}\\) |\\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\\b"
+  val Ipv4Re: String =
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  val DefaultClasses: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "<EMAIL>"),
+    ("phone", PhoneRe, "<PHONE>"),
+    ("ip", Ipv4Re, "<IP>"))
+
+  /** Redact every PII class occurrence in `text`, appending one count
+    * column per class (`n_<class>`, counted pre-redaction) and
+    * replacing the text column with its redacted form. Idempotent: the
+    * replacement tokens match none of the patterns. */
+  def piiScrub(
+      df: DataFrame,
+      textCol: String = "text",
+      classes: Seq[(String, String, String)] = DefaultClasses): DataFrame = {
+    val counted = classes.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val redacted = classes.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    counted.withColumn(textCol, redacted)
+  }
+
+  /** Canonical host: lowercase, leading `www.` stripped. */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** Canonical path: query/fragment dropped (parse_url PATH already
+    * excludes them), trailing slash stripped. */
+  def canonicalPath(url: Column): Column =
+    regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+
+  /** Canonical URL string (scheme dropped — dedup treats http/https
+    * mirrors as one document). */
+  def canonicalUrl(url: Column): Column =
+    concat(canonicalHost(url), canonicalPath(url))
+
+  // ---- q150 / q151: the declared oracle queries --------------------
+
+  /** Deterministic PII enrichment of the synthetic corpus: the fixture
+    * text is PII-free word soup, so the declared query plants one
+    * email / NANP phone / IPv4 on residue-selected docs AS A FUNCTION
+    * OF doc_id — both engines derive the identical string, making the
+    * redaction path itself oracle-checkable (the same construction the
+    * q35 hyperplane oracle uses). */
+  private def piiEnriched(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val email = when(id % 3 === 0, concat(
+      lit(" contact user"), id.cast("string"),
+      lit("@example"), (id % 7).cast("string"), lit(".com")))
+      .otherwise(lit(""))
+    val phone = when(id % 5 === 0, concat(
+      lit(" call 555-"),
+      lpad(((id * 7919) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 104729) % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    val ip = when(id % 7 === 0, concat(
+      lit(" from 10."), (id % 256).cast("string"),
+      lit(".0."), ((id * 31) % 256).cast("string")))
+      .otherwise(lit(""))
+    documents.withColumn("text", concat(col("text"), email, phone, ip))
+  }
+
+  /** q150 — PII scrub report: per document, the per-class redaction
+    * counts and the md5 of the redacted text (hash-portable proof the
+    * redacted STRING is right, not just the counts). */
+  def q150(documents: DataFrame): DataFrame =
+    piiScrub(piiEnriched(documents))
+      .select(col("doc_id"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("n_ip").cast("long").as("n_ip"),
+        md5(col("text")).as("red_md5"))
+      .orderBy("doc_id")
+
+  /** Deterministic URL enrichment: scheme / WWW-prefix / host case /
+    * trailing slash / utm query all vary by doc_id residues — the
+    * classic C4-provenance mess, derived identically in both engines. */
+  private def urlEnriched(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, lit("https")).otherwise(lit("http"))
+    val www = when(id % 3 === 0, lit("www."))
+      .when(id % 3 === 1, lit("WWW.")).otherwise(lit(""))
+    val hostRaw = concat(www, lit("site"), (id % 37).cast("string"),
+      lit(".example.com"))
+    val host = when(id % 5 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val path = concat(lit("/p/"), (id % 11).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")))
+    val query = when(id % 6 === 0, lit("?utm_source=x")).otherwise(lit(""))
+    documents.withColumn("url",
+      concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** q151 — host-level provenance stats over canonicalized URLs:
+    * per canonical host, document count, distinct canonical paths, and
+    * dup mass (docs sharing an already-seen canonical path — the
+    * URL-dedup yield estimate). One narrow scan + one hash-agg on ≤37
+    * hosts here, |hosts| ≪ |docs| on any real crawl. */
+  def q151(documents: DataFrame): DataFrame =
+    urlEnriched(documents)
+      .select(canonicalHost(col("url")).as("host"),
+        canonicalPath(col("url")).as("path"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        (count(lit(1)) - countDistinct(col("path"))).as("dup_mass"))
+      .orderBy("host")
+}

@@ -41,12 +41,36 @@ object PlanAudit {
     p +: (through ++ p.subqueries).flatMap(flatten)
   }
 
+  /** True when every row-path into `p` provably flows through a LIMIT
+    * with no row-expanding node in between: an unpartitioned window
+    * over such an input holds ≤ k rows in its single task and is NOT a
+    * scale hazard (e.g. a rank over a top-k frame). Conservative: any
+    * node outside the non-expanding unary set (project/filter/sort/
+    * exchange/codegen wrappers) stops the descent. */
+  private def boundedByLimit(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case a: AdaptiveSparkPlanExec => boundedByLimit(a.executedPlan)
+      case q: QueryStageExec => boundedByLimit(q.plan)
+      case _: ProjectExec | _: FilterExec | _: SortExec |
+          _: CoalesceExec | _: WholeStageCodegenExec |
+          _: InputAdapter | _: ShuffleExchangeExec =>
+        p.children.forall(boundedByLimit)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        boundedByLimit(r.child)
+      case _ => false
+    }
+  }
+
   /** All single-task scale hazards in the query's physical plan.
     * Call AFTER an action if AQE is on (the final adaptive plan is
     * what executes); with AQE off the static plan is complete. */
   def singleTaskHazards(df: DataFrame): Seq[Finding] =
     flatten(df.queryExecution.executedPlan).collect {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
+      case w: WindowExec
+          if w.partitionSpec.isEmpty && !boundedByLimit(w.child) =>
         Finding("unpartitioned-window", w.nodeName)
       case s: ShuffleExchangeExec
           if s.outputPartitioning.numPartitions == 1

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Scrub
+import org.apache.spark.sql.functions._
+
+/** Crafted-fixture coverage for the corpus-hygiene operators: PII
+  * redaction (q150) and URL canonicalization (q151). The oracle gate
+  * proves engine parity on the synthetic corpus; these prove the
+  * operators do the right thing on REAL-shaped inputs the fixture
+  * can't produce (multiple PII per doc, format variants, already-clean
+  * text, canonicalization collisions). */
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub redacts every class and counts pre-redaction") {
+    val docs = Seq(
+      ("reach me at a.b+c@mail-host.co.uk or backup@x.io now", 2, 0, 0),
+      ("call 555-123-4567 or (555) 123-4567 or +1 555-123-4567", 0, 3, 0),
+      ("servers 10.0.0.1 and 192.168.255.254 are up", 0, 0, 2),
+      ("mixed: a@b.com, 555-000-1111, 127.0.0.1", 1, 1, 1),
+      ("clean text with no pii at all, just words", 0, 0, 0),
+      ("version 1.2.3 and price 10.99 are not IPs", 0, 0, 0))
+      .toDF("text", "e", "p", "i")
+    val got = Scrub.piiScrub(docs).collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("n_email") == r.getAs[Int]("e"), r.toString)
+      assert(r.getAs[Int]("n_phone") == r.getAs[Int]("p"), r.toString)
+      assert(r.getAs[Int]("n_ip") == r.getAs[Int]("i"), r.toString)
+      val t = r.getAs[String]("text")
+      assert(!t.matches(s".*${Scrub.EmailRe}.*"), t)
+      assert(!t.contains("555-123-4567") && !t.contains("10.0.0.1"), t)
+    }
+    // the clean rows came through byte-identical
+    assert(got.map(_.getAs[String]("text"))
+      .contains("clean text with no pii at all, just words"))
+    assert(got.map(_.getAs[String]("text"))
+      .contains("version 1.2.3 and price 10.99 are not IPs"))
+  }
+
+  test("piiScrub is idempotent: scrubbing scrubbed text is a no-op") {
+    val docs = Seq("a@b.com 555-123-4567 10.0.0.1 plus words").toDF("text")
+    val once = Scrub.piiScrub(docs).select("text").as[String].head()
+    val twice = Scrub.piiScrub(Scrub.piiScrub(docs))
+      .select("text").as[String].head()
+    assert(once == twice)
+    assert(once == "<EMAIL> <PHONE> <IP> plus words")
+  }
+
+  test("canonicalUrl folds scheme/www/case/trailing-slash/query variants " +
+    "into one key") {
+    val variants = Seq(
+      "https://www.Example.com/a/b",
+      "http://EXAMPLE.COM/a/b/",
+      "https://example.com/a/b?utm_source=x",
+      "http://WWW.example.com/a/b/?q=1#frag")
+      .toDF("url")
+    val canon = variants.select(Scrub.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSet
+    assert(canon == Set("example.com/a/b"), canon.toString)
+  }
+
+  test("canonicalHost keeps non-www subdomains and interior 'www'") {
+    val got = Seq("https://cdn.example.com/x", "https://wwwx.example.com/x",
+      "https://a.www.example.com/x")
+      .toDF("url").select(Scrub.canonicalHost(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(got == Seq("cdn.example.com", "wwwx.example.com",
+      "a.www.example.com"))
+  }
+
+  test("q150/q151 run on the fixture corpus with sane totals") {
+    val r150 = Scrub.q150(tables.documents)
+    val n = tables.documents.count()
+    assert(r150.count() == n)
+    val agg = r150.agg(sum("n_email"), sum("n_phone"), sum("n_ip"))
+      .head()
+    // residue-planted: one email per doc_id%3==0, phone %5, ip %7
+    assert(agg.getLong(0) == (0L until n).count(_ % 3 == 0))
+    assert(agg.getLong(1) == (0L until n).count(_ % 5 == 0))
+    assert(agg.getLong(2) == (0L until n).count(_ % 7 == 0))
+    val r151 = Scrub.q151(tables.documents).collect()
+    assert(r151.length == math.min(37L, n))
+    // dup_mass consistency: n_docs - n_paths, and hosts are canonical
+    r151.foreach { r =>
+      assert(r.getAs[Long]("dup_mass")
+        == r.getAs[Long]("n_docs") - r.getAs[Long]("n_paths"))
+      val h = r.getAs[String]("host")
+      assert(h == h.toLowerCase && !h.startsWith("www."), h)
+    }
+  }
+}
