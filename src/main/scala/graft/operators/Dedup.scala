@@ -186,28 +186,66 @@ object Dedup {
     * [[ngramJaccardPairs]]; real-corpus deployments should prefer this
     * one.
     */
-  def ngramJaccardPairsPrefix(
-      documents: DataFrame, n: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
-    val t = minJaccard
-    val sets = spread(documents).select(
+  /** PPJoin candidate pairs from a `(doc_id, sh, n_sh)` shingle-set
+    * frame: prefix-match join plus (when `ppjoin`) the length and
+    * positional filters of Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection" (WWW '08) — both EXACT:
+    *
+    *  - length: Jac ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (overlap
+    *    is at most the smaller set);
+    *  - positional: a pair needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉; for
+    *    a prefix element matched at (1-based) positions (pa, pb), the
+    *    overlap can be at most 1 + min(|A|−pa, |B|−pb). The per-match
+    *    filter is sound because the FIRST common shingle in the global
+    *    order always lies in both prefixes (prefix-filter theorem) and
+    *    its match row satisfies the bound whenever the pair truly
+    *    qualifies — later match rows may fail it, but `distinct`
+    *    only needs one surviving row.
+    *
+    * Boundary epsilon: 1e-9 absorbs double rounding of t·max (e.g.
+    * 0.3·10 = 3.0000000000000004 would drop an exactly-boundary pair).
+    * Exposed (not private) so DedupSpec can count candidates with the
+    * filters on and off. */
+  def prefixCandidates(
+      sets: DataFrame, t: Double, ppjoin: Boolean = true): DataFrame = {
+    val prefixIdx = sets.select(
+      col("doc_id"), col("n_sh"),
+      posexplode(slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))))
+      .select(col("doc_id"), col("n_sh"),
+        (col("pos") + 1).as("p"), col("col").as("h"))
+    val eps = 1e-9
+    val base = col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+    val joinCond = if (!ppjoin) base else base &&
+      (least(col("a.n_sh"), col("b.n_sh")) + lit(eps)
+        >= lit(t) * greatest(col("a.n_sh"), col("b.n_sh"))) &&
+      (least(col("a.n_sh") - col("a.p"), col("b.n_sh") - col("b.p"))
+        + lit(1) + lit(eps)
+        >= lit(t / (1 + t)) * (col("a.n_sh") + col("b.n_sh")))
+    prefixIdx.as("a")
+      .join(prefixIdx.as("b"), joinCond)
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  /** Shingle-set frame feeding [[prefixCandidates]]: per doc, the
+    * sorted distinct xxhash64 fingerprints and their count. */
+  def shingleSets(documents: DataFrame, n: Int = 3): DataFrame =
+    spread(documents).select(
       col("doc_id"),
       sort_array(transform(
         array_distinct(shingles(col("text"), n)),
         s => xxhash64(s))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+
+  def ngramJaccardPairsPrefix(
+      documents: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val t = minJaccard
+    val sets = shingleSets(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length: n_sh - ceil(t * n_sh) + 1
-    val prefixIdx = sets.select(
-      col("doc_id"),
-      explode(slice(col("sh"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("h"))
-    val cand = prefixIdx.as("a")
-      .join(prefixIdx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+    val cand = prefixCandidates(sets, t)
     val result = cand
       .join(sets.select(col("doc_id").as("doc_i"), col("sh").as("sa"),
         col("n_sh").as("na")), "doc_i")

@@ -47,6 +47,28 @@ class DedupSpec extends SparkSpec {
       && prefixLo.exceptAll(naiveLo).count() == 0)
   }
 
+  test("PPJoin length+positional filters shrink candidates without " +
+    "losing a true pair") {
+    val sets = Dedup.shingleSets(tables.documents, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (t <- Seq(0.3, 0.5)) {
+      val plain = Dedup.prefixCandidates(sets, t, ppjoin = false)
+      val filtered = Dedup.prefixCandidates(sets, t, ppjoin = true)
+      val (nPlain, nFiltered) = (plain.count(), filtered.count())
+      // exact: filtered ⊆ plain, and every true pair survives
+      assert(filtered.exceptAll(plain).count() == 0)
+      val truePairs = Dedup.ngramJaccardPairs(tables.documents, 3, t)
+        .select($"doc_i", $"doc_j")
+      assert(truePairs.exceptAll(filtered).count() == 0,
+        s"t=$t lost a qualifying pair")
+      assert(nFiltered < nPlain,
+        s"t=$t: PPJoin filters should prune ($nFiltered vs $nPlain)")
+      info(s"t=$t candidates: $nPlain -> $nFiltered " +
+        f"(${100.0 * (nPlain - nFiltered) / nPlain}%.1f%% pruned)")
+    }
+    sets.unpersist()
+  }
+
   test("minhash est_jac approximates true jaccard on near-dup docs") {
     val docs = tables.documents
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
