@@ -151,6 +151,7 @@ object SparkEntry {
       q(t => TextAnalysis.mixtureSample(t.documents)),
     "q150_pii_scrub" -> q(t => Scrub.q150(t.documents)),
     "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
+    "q152_paragraph_dedup" -> q(t => Dedup.paragraphDedup(t.documents)),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1658,6 +1659,21 @@ object SparkEntry {
         |  COUNT(DISTINCT path) AS n_paths,
         |  COUNT(*) - COUNT(DISTINCT path) AS dup_mass
         |FROM canon GROUP BY host ORDER BY host""".stripMargin,
+    "q152_paragraph_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |paras AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+        |         md5(array_to_string(tk[i*10+1 : i*10+10], ' ')) AS pmd5
+        |  FROM toks, UNNEST(generate_series(0,
+        |    CAST(ceil(len(tk)/10.0) AS INT) - 1)) AS t(i)),
+        |kept AS (
+        |  SELECT doc_id, pidx, pmd5,
+        |         ROW_NUMBER() OVER (PARTITION BY pmd5
+        |           ORDER BY doc_id, pidx) AS rn
+        |  FROM paras)
+        |SELECT doc_id, pidx, pmd5 FROM kept WHERE rn = 1
+        |ORDER BY doc_id, pidx""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -743,4 +743,46 @@ object Dedup {
       .filter(col("lcs_tokens") >= minTokens)
       .orderBy("doc_i", "doc_j")
   }
+
+  /** q152 — corpus-wide paragraph-level exact dedup, the Dolma/CCNet
+    * "drop repeated paragraphs, keep the first occurrence" pass that
+    * runs between document-level dedup and quality filtering (boiler
+    * plate lines, shared headers/footers, and licence blocks repeat
+    * across documents that are NOT near-dups as wholes). Documents
+    * split into fixed-`paraTokens` token chunks (the fixture has no
+    * newlines; on a real corpus swap the chunker for split-on-\n\n —
+    * the dedup core is chunker-agnostic), each paragraph keyed by md5,
+    * and the (doc_id, pidx)-smallest occurrence of each distinct
+    * paragraph is kept.
+    *
+    * Scale: one explode (linear in corpus tokens), one window
+    * partitioned by `pmd5` — keyed on the paragraph hash, so the
+    * heaviest task holds one duplicate CLASS, never the corpus; the
+    * classic repeated-boilerplate skew (one paragraph in 10⁸ docs)
+    * concentrates one hash's occurrences, for which min-aggregation
+    * (groupBy pmd5 → min struct) would be the skew-safe swap — at that
+    * point ORDER within ties is the only difference and both engines
+    * agree on (doc_id, pidx) min. Output is the kept-paragraph list;
+    * reassembly is a groupBy(doc_id) sort_array(collect_list) away. */
+  def paragraphDedup(
+      documents: DataFrame, paraTokens: Int = 10): DataFrame = {
+    val paras = spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("tk")) / lit(paraTokens.toDouble)).cast("int")
+              - 1),
+          i => array_join(
+            slice(col("tk"), i * paraTokens + 1, lit(paraTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("pidx"),
+        md5(col("col")).as("pmd5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pmd5").orderBy("doc_id", "pidx")
+    paras
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "pidx", "pmd5")
+      .orderBy("doc_id", "pidx")
+  }
 }

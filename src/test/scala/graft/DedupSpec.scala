@@ -69,6 +69,30 @@ class DedupSpec extends SparkSpec {
     sets.unpersist()
   }
 
+  test("paragraphDedup keeps first occurrence corpus-wide, drops " +
+    "repeats, covers every distinct paragraph") {
+    // 4-token paragraphs; doc 2 repeats doc 1's first paragraph as its
+    // SECOND paragraph; doc 3 repeats its own paragraph internally
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // paras: [a b c d], [e f g h]
+      (2L, "x y z w a b c d"),          // [x y z w], [a b c d] <- dup of doc1/p0
+      (3L, "k k k k k k k k"))          // [k k k k] twice  <- self-dup
+      .toDF("doc_id", "text")
+    val kept = Dedup.paragraphDedup(docs, paraTokens = 4)
+      .select($"doc_id", $"pidx").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L)))
+    // corpus-wide: every distinct paragraph hash appears exactly once
+    val hashes = Dedup.paragraphDedup(docs, 4).select("pmd5")
+      .as[String].collect()
+    assert(hashes.length == hashes.distinct.length)
+    // fixture corpus: kept < total (the planted doc dups share paras)
+    val total = tables.documents.selectExpr(
+      "cast(ceil(size(split(text,' '))/10.0) as long) as n")
+      .agg(sum("n")).head().getLong(0)
+    val keptN = Dedup.paragraphDedup(tables.documents).count()
+    assert(keptN < total, s"$keptN vs $total")
+  }
+
   test("minhash est_jac approximates true jaccard on near-dup docs") {
     val docs = tables.documents
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
