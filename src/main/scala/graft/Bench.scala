@@ -91,9 +91,11 @@ object Bench {
         val cell = """\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
         val text = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
+        // LAST occurrence wins: re-baseline sections appended in later
+        // rounds override the historical table above them
         cell.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-          .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
       }
     }
     val focused: Seq[(String, Double)] = results.flatMap { case (name, v) =>

@@ -757,12 +757,13 @@ object Dedup {
     *
     * Scale: one explode (linear in corpus tokens), one window
     * partitioned by `pmd5` — keyed on the paragraph hash, so the
-    * heaviest task holds one duplicate CLASS, never the corpus; the
-    * classic repeated-boilerplate skew (one paragraph in 10⁸ docs)
-    * concentrates one hash's occurrences, for which min-aggregation
-    * (groupBy pmd5 → min struct) would be the skew-safe swap — at that
-    * point ORDER within ties is the only difference and both engines
-    * agree on (doc_id, pidx) min. Output is the kept-paragraph list;
+    * heaviest task holds one duplicate CLASS, never the corpus. The
+    * classic repeated-boilerplate skew (one paragraph in 10⁸ docs) is
+    * already defused in the physical plan: Catalyst's WindowGroupLimit
+    * rewrite (rn = 1 filter over row_number) inserts a MAP-SIDE top-1
+    * per pmd5 before the shuffle (verified via explain), so a
+    * mega-duplicate class ships one row per input partition, not its
+    * full occurrence list. Output is the kept-paragraph list;
     * reassembly is a groupBy(doc_id) sort_array(collect_list) away. */
   def paragraphDedup(
       documents: DataFrame, paraTokens: Int = 10): DataFrame = {
