@@ -152,6 +152,11 @@ object SparkEntry {
     "q150_pii_scrub" -> q(t => Scrub.q150(t.documents)),
     "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
     "q152_paragraph_dedup" -> q(t => Dedup.paragraphDedup(t.documents)),
+    "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
+      t.documents.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
+      t.documents.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 10 >= 8))),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
@@ -1674,6 +1679,26 @@ object SparkEntry {
         |  FROM paras)
         |SELECT doc_id, pidx, pmd5 FROM kept WHERE rn = 1
         |ORDER BY doc_id, pidx""".stripMargin,
+    // q153: the bloom pre-filter is engine-internal — the oracle
+    // replays the plain anti-join + within-batch-first semantics.
+    "q153_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS k
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS k
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |newdocs AS (
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)),
+        |first AS (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM newdocs)
+        |SELECT doc_id, lang, source FROM first WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -765,6 +765,53 @@ object Dedup {
     * mega-duplicate class ships one row per input partition, not its
     * full occurrence list. Output is the kept-paragraph list;
     * reassembly is a groupBy(doc_id) sort_array(collect_list) away. */
+  /** q153 — incremental batch-vs-corpus dedup: the production shape of
+    * exact dedup, where a new crawl increment is deduped against the
+    * historical corpus (and within itself) WITHOUT rescanning the
+    * corpus text. Key = the q17b boilerplate-prefix fingerprint
+    * (md5 of the first `prefixTokens` tokens; swap the key expression
+    * for full-text md5 on corpora with true full-text dups).
+    *
+    * Scale posture: the corpus contributes only its DISTINCT key set —
+    * text never shuffles. A Bloom filter over the corpus keys
+    * ([[graft.functions.BloomFilter]], mergeable — in production it
+    * persists and absorbs each increment instead of rebuilding)
+    * broadcast-probes the batch map-side: bloom-NEGATIVE rows are
+    * definitely new and bypass the anti-join entirely (zero shuffle for
+    * the ~unique bulk of a typical increment); only bloom-positives —
+    * true dups + fp·|batch| rows — enter the exact left-anti join, so
+    * false positives cost a join probe, never a wrong answer. The
+    * oracle replays the plain anti-join semantics; the bloom split is
+    * an engine-internal optimization invisible to results (same
+    * discipline as q139's bloom-pruned join). */
+  def incrementalDedup(
+      corpus: DataFrame, batch: DataFrame,
+      prefixTokens: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions._
+    def key(c: Column): Column =
+      md5(concat_ws(" ", slice(split(c, " "), 1, prefixTokens)))
+    val corpusKeys = corpus.select(key(col("text")).as("__k")).distinct()
+    val bloom = corpusKeys
+      .agg(bloom_agg(xxhash64(col("__k"))).as("__bloom"))
+    val keyed = batch
+      .withColumn("__k", key(col("text")))
+      .crossJoin(broadcast(bloom))
+      .withColumn("__maybe",
+        bloom_might_contain(xxhash64(col("__k")), col("__bloom")))
+      .drop("__bloom")
+    val sureNew = keyed.filter(!col("__maybe"))
+    val confirmed = keyed.filter(col("__maybe"))
+      .join(corpusKeys, Seq("__k"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("doc_id")
+    sureNew.unionByName(confirmed)
+      // within-batch dedup: keep the smallest doc_id per key
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def paragraphDedup(
       documents: DataFrame, paraTokens: Int = 10): DataFrame = {
     val paras = spread(documents)

@@ -93,6 +93,44 @@ class DedupSpec extends SparkSpec {
     assert(keptN < total, s"$keptN vs $total")
   }
 
+  test("incrementalDedup: bloom fast-path equals plain anti-join, " +
+    "drops corpus dups and within-batch repeats") {
+    // corpus has prefix-keys A, B; batch: one dup of A (drop), one new
+    // key C kept, one within-batch repeat of C (drop), one new D kept
+    val corpus = Seq(
+      (1L, "a a a a a tail one", "en", "s1"),
+      (2L, "b b b b b tail two", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      (10L, "a a a a a different tail", "en", "s2"), // dup of corpus A
+      (11L, "c c c c c fresh", "de", "s2"),          // new
+      (12L, "c c c c c fresher still", "de", "s2"),  // within-batch dup
+      (13L, "d d d d d new", "fr", "s2"))            // new
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 13L))
+    // engine-level equivalence on the fixture: the bloom split must
+    // reproduce the naive anti-join + first-per-key exactly
+    val c = tables.documents.filter($"doc_id" % 10 < 8)
+    val b = tables.documents.filter($"doc_id" % 10 >= 8)
+    def key(t: org.apache.spark.sql.Column) =
+      md5(concat_ws(" ", slice(split(t, " "), 1, 5)))
+    val naive = {
+      val ck = c.select(key($"text").as("k")).distinct()
+      val nw = b.withColumn("k", key($"text"))
+        .join(ck, Seq("k"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("doc_id")
+      nw.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select("doc_id", "lang", "source")
+    }
+    val fast = Dedup.incrementalDedup(c, b)
+    assert(fast.exceptAll(naive).count() == 0
+      && naive.exceptAll(fast).count() == 0)
+    assert(fast.count() < b.count(), "fixture must exercise drops")
+  }
+
   test("minhash est_jac approximates true jaccard on near-dup docs") {
     val docs = tables.documents
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
