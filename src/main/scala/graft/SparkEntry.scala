@@ -152,6 +152,7 @@ object SparkEntry {
     "q150_pii_scrub" -> q(t => Scrub.q150(t.documents)),
     "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
     "q152_paragraph_dedup" -> q(t => Dedup.paragraphDedup(t.documents)),
+    "q154_normalize" -> q(t => Scrub.q154(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -1699,6 +1700,26 @@ object SparkEntry {
         |  FROM newdocs)
         |SELECT doc_id, lang, source FROM first WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // q154: unicode planted via chr() codepoints (SQL side) / \u
+    // escapes (Scala side) — identical strings; the hash proves JVM
+    // Normalizer NFC == DuckDB nfc_normalize byte-for-byte.
+    "q154_normalize" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ||
+        |      ' nai' || chr(776) || 've' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' caf' || chr(233) ||
+        |      ' na' || chr(239) || 've' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '  tab' || chr(9) ||
+        |      'and   runs  ' ELSE '' END AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g'))
+        |      AS norm
+        |  FROM enriched)
+        |SELECT doc_id, norm <> raw AS changed, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

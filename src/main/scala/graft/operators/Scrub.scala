@@ -73,6 +73,16 @@ object Scrub {
   def canonicalUrl(url: Column): Column =
     concat(canonicalHost(url), canonicalPath(url))
 
+  /** Canonical text normalization: Unicode NFC (via the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — no UDF) + whitespace
+    * collapse + trim. Run BEFORE any hash-keyed text operator: a
+    * combining-mark `café` and the precomposed form are byte-different
+    * but canonically equal, so unnormalized corpora under-dedup. Pure
+    * narrow transform; rides the corpus scan. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.TextFunctions.nfc_normalize(c), "\\s+", " "))
+
   // ---- q150 / q151: the declared oracle queries --------------------
 
   /** Deterministic PII enrichment of the synthetic corpus: the fixture
@@ -127,6 +137,31 @@ object Scrub {
     val query = when(id % 6 === 0, lit("?utm_source=x")).otherwise(lit(""))
     documents.withColumn("url",
       concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** q154 — normalization report: per document, whether normalization
+    * changed anything and the md5 of the normalized text. The fixture
+    * is ASCII single-spaced, so unicode (combining-mark AND precomposed
+    * `café`/`naïve` variants) and whitespace mess are planted from
+    * doc_id residues — both engines derive the identical raw string,
+    * and the hash gate proves NFC + collapse produce byte-identical
+    * output across JVM `java.text.Normalizer` and DuckDB's
+    * `nfc_normalize` (both implement the Unicode standard). */
+  def q154(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(col("text"),
+      // decomposed: e + U+0301 combining acute, i + U+0308 diaeresis
+      when(id % 4 === 0, lit(" cafe\u0301 nai\u0308ve"))
+        .otherwise(lit("")),
+      // precomposed U+00E9 / U+00EF: already NFC, changed = false
+      when(id % 4 === 1, lit(" caf\u00e9 na\u00efve"))
+        .otherwise(lit("")),
+      when(id % 4 === 2, lit("  tab\tand   runs  ")).otherwise(lit("")))
+    val norm = normalizeText(raw)
+    documents.select(id,
+      (norm =!= raw).as("changed"),
+      md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
   }
 
   /** q151 — host-level provenance stats over canonicalized URLs:

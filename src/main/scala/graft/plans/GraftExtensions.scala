@@ -39,7 +39,12 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) =>
+        graft.functions.NfcNormalize(args(0))))
 
   /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for
     * the bounded-heap top-k node. All four arguments are literals

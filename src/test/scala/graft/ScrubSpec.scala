@@ -68,6 +68,43 @@ class ScrubSpec extends SparkSpec {
       "a.www.example.com"))
   }
 
+  test("nfc_normalize: decomposed == precomposed after NFC; ASCII " +
+    "fast-path returns input unchanged; null-safe; codegen active") {
+    import graft.functions.TextFunctions.nfc_normalize
+    val df = Seq(
+      ("café naïve", "café naïve"),
+      ("plain ascii", "plain ascii"))
+      .toDF("a", "b")
+      .select(nfc_normalize(col("a")).as("na"),
+        nfc_normalize(col("b")).as("nb"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+    // null in -> null out
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(nfc_normalize(col("s"))).head()
+    assert(n.isNullAt(0))
+    // the expression must not break the codegen span (checked over a
+    // parquet scan — a local Seq constant-folds to LocalTableScan).
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact
+    // plan rendering; the Project wrapping nfc_normalize must carry it.
+    val plan = tables.documents
+      .select(nfc_normalize(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // SQL surface registered by GraftExtensions.register
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('café')").head()
+      .getString(0) == "café")
+  }
+
+  test("normalizeText collapses whitespace and folds unicode variants " +
+    "to one dedup key") {
+    val got = Seq("  café   x\ty  ", "café x y")
+      .toDF("text")
+      .select(Scrub.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSet
+    assert(got == Set("caf\u00e9 x y"), got.toString)
+  }
+
   test("q150/q151 run on the fixture corpus with sane totals") {
     val r150 = Scrub.q150(tables.documents)
     val n = tables.documents.count()
