@@ -328,4 +328,92 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-7 operators -------------------------------------------
+
+  /** Small-vocab random corpora: heavy shingle sharing, the worst case
+    * for prefix filtering — exactly where a pruning bug would show. */
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 12)
+    docs <- Gen.listOfN(n, Gen.choose(6, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("PPJoin-filtered prefix Jaccard equals the naive form on random " +
+    "small-vocab corpora (worst case for pruning)") {
+    forSamples(corpusGen, 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.6)) {
+        val naive = Dedup.ngramJaccardPairs(df, 3, t)
+        val ppjoin = Dedup.ngramJaccardPairsPrefix(df, 3, t)
+        assert(naive.exceptAll(ppjoin).count() == 0
+          && ppjoin.exceptAll(naive).count() == 0, s"t=$t docs=$docs")
+      }
+    }
+  }
+
+  test("paragraphDedup: kept hashes distinct, cover all paragraphs, " +
+    "and each keeper is the (doc_id, pidx)-minimal occurrence") {
+    forSamples(corpusGen, 3) { docs =>
+      val k = 4
+      val kept = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), k)
+        .select($"doc_id", $"pidx", $"pmd5")
+        .as[(Long, Long, String)].collect()
+      // brute-force paragraphs in Scala
+      val paras = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(k).zipWithIndex
+          .map { case (chunk, i) => (id, i.toLong, chunk.mkString(" ")) }
+      }
+      val expect = paras.groupBy(_._3).map { case (_, occ) =>
+        occ.minBy(p => (p._1, p._2))
+      }.map(p => (p._1, p._2)).toSet
+      assert(kept.map(_._3).distinct.length == kept.length)
+      assert(kept.map(p => (p._1, p._2)).toSet == expect, docs.toString)
+    }
+  }
+
+  test("incrementalDedup equals brute-force anti-join + first-per-key " +
+    "on random corpus/batch splits") {
+    forSamples(corpusGen, 3) { docs =>
+      val all = docs.map { case (id, t) => (id, t, "xx", s"s$id") }
+        .toDF("doc_id", "text", "lang", "source")
+      val corpus = all.filter($"doc_id" % 3 =!= 0)
+      val batch = all.filter($"doc_id" % 3 === 0)
+      val got = Dedup.incrementalDedup(corpus, batch, prefixTokens = 3)
+        .select("doc_id").as[Long].collect().toSeq
+      def key(t: String) = t.split(" ").take(3).mkString(" ")
+      val corpusKeys = docs.filter(_._1 % 3 != 0).map(d => key(d._2)).toSet
+      val expect = docs.filter(_._1 % 3 == 0)
+        .filterNot(d => corpusKeys(key(d._2)))
+        .groupBy(d => key(d._2)).map(_._2.minBy(_._1)._1)
+        .toSeq.sorted
+      assert(got == expect, docs.toString)
+    }
+  }
+
+  test("piiScrub and normalizeText are idempotent on random text with " +
+    "planted PII and unicode/whitespace mess") {
+    val messGen: Gen[String] = Gen.listOfN(6, Gen.oneOf(
+      "word", "a@b.io", "555-123-4567", "10.0.0.7", "caf\u00e9",
+      "cafe\u0301", "  ", "\t", "x")).map(_.mkString(" "))
+    forSamples(Gen.listOfN(8, messGen), 3) { texts =>
+      val df = texts.toDF("text")
+      val once = graft.operators.Scrub.piiScrub(df)
+        .select("text").as[String].collect().toSeq
+      val twice = graft.operators.Scrub
+        .piiScrub(graft.operators.Scrub.piiScrub(df))
+        .select("text").as[String].collect().toSeq
+      assert(once == twice)
+      val n1 = df.select(graft.operators.Scrub.normalizeText($"text")
+        .as("text")).as[String].collect().toSeq
+      val n2 = df.select(graft.operators.Scrub.normalizeText(
+        graft.operators.Scrub.normalizeText($"text")).as("text"))
+        .as[String].collect().toSeq
+      assert(n1 == n2)
+      // NFC-folding: decomposed and precomposed inputs normalize equal
+      n1.foreach(s => assert(java.text.Normalizer.isNormalized(
+        s, java.text.Normalizer.Form.NFC)))
+    }
+  }
 }
