@@ -47,9 +47,12 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // nextOption: an EMPTY (non-null) message would make .next()
+        // throw from inside the failure handler and kill the sweep
+        val msg = Option(e.getMessage).filter(_.nonEmpty)
+          .getOrElse(e.getClass.getName)
         System.err.println(s"[bench] $name FAILED: ${msg.take(300)}")
-        Left(msg.linesIterator.next().take(200))
+        Left(msg.linesIterator.nextOption().getOrElse(msg).take(200))
       }
     }
 
@@ -83,10 +86,14 @@ object Bench {
 
     // sweep-outlier re-measure: parse BASELINE.md's per-query rows
     // (markdown `| qNN_name | sec |` cells, possibly two per line) and
-    // focused-re-run anything >1.5× its row — min-of-two again
+    // focused-re-run anything >1.5× its row — min-of-two again.
+    // Baseline rows are sf0.1 timings, so the gate only applies to the
+    // sf0.1 sweep: at any other SF every query is trivially "over"
+    // and the whole sweep would re-run focused at the expensive scale.
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BASELINE.md")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)
+          || !sfDir.matches(""".*/sf0\.1/?$""")) Map.empty
       else {
         val cell = """\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
         val text = new String(java.nio.file.Files.readAllBytes(p),
@@ -98,10 +105,13 @@ object Bench {
           .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
       }
     }
+    // a flagged query whose focused re-runs BOTH fail must NOT be
+    // republished as "focused" — that would claim a re-measure that
+    // never succeeded; it keeps its sweep value untagged
     val focused: Seq[(String, Double)] = results.flatMap { case (name, v) =>
-      baseline.get(name).filter(b => v > 1.5 * b).map { _ =>
+      baseline.get(name).filter(b => v > 1.5 * b).flatMap { _ =>
         val runs = Seq(run1(name), run1(name)).collect { case Right(t) => t }
-        name -> (if (runs.nonEmpty) runs.min else v)
+        if (runs.nonEmpty) Some(name -> runs.min) else None
       }
     }
     val focusedMap = focused.toMap
@@ -109,10 +119,20 @@ object Bench {
     def jnum(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
+    // full JSON string escape incl. control chars — a tab inside a
+    // Spark error message would otherwise make the driver's parse
+    // target (and target/bench.json) invalid JSON
+    def jesc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def jstr(pairs: Seq[(String, String)]): String =
-      pairs.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
-          "\"" }
+      pairs.map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
         .mkString("{", ",", "}")
     // canonical per-query numbers: sweep min-of-two, replaced by the
     // focused re-measure where one ran (the focused number is the honest
@@ -152,8 +172,10 @@ object Bench {
       println(f"""{"bench_query":"$k","sec":$v%.3f$tag}""")
     }
     errors.sortBy { case (n, _) => numKey(n) }.foreach { case (k, e) =>
-      println(s"""{"bench_query":"$k","err":true,"msg":"${
-        e.replace("\\", "\\\\").replace("\"", "\\\"").take(120)}"}""")
+      // truncate the RAW message, then escape — truncating after
+      // escaping could cut an escape sequence in half and leave an
+      // unterminated JSON string
+      println(s"""{"bench_query":"$k","err":true,"msg":"${jesc(e.take(120))}"}""")
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

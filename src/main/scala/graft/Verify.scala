@@ -33,10 +33,25 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // nextOption guards an EMPTY (non-null) message — .next()
+        // would throw from inside the handler, abort the loop, and
+        // silently drop every remaining query from the artifact
+        val msg = Option(e.getMessage).filter(_.nonEmpty)
+          .getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: ${msg.take(300)}")
-        failures += name -> msg.linesIterator.next().take(200)
-        new java.io.File(s"$outDir/$name").mkdirs()
+        failures += name -> msg.linesIterator.nextOption()
+          .getOrElse(msg).take(200)
+        // the marker dir must be EMPTY: a mid-write failure leaves
+        // _temporary debris, and a rerun over a previous success would
+        // otherwise serve STALE parquet as current results
+        val dir = new java.io.File(s"$outDir/$name")
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+          f.delete(); ()
+        }
+        rmrf(dir)
+        dir.mkdirs()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
 
-  /** PII classes, ordered: redaction applies in this sequence. The
-    * three defaults match disjoint token shapes (an email can never
-    * contain a NANP phone match; an IPv4 needs four numeric groups
-    * where a phone needs 3-3-4), so redaction order cannot change the
-    * output — the order only fixes the scan sequence. */
+  /** PII classes, ordered: redaction applies in this sequence, and for
+    * OVERLAPPING matches the order decides (e.g. a phone number used
+    * as an email local part, `555-123-4567@x.com`, matches both; the
+    * email-first order redacts the whole address as `<EMAIL>`, which
+    * is the containing span — the reason email runs first). Counts are
+    * per-class over the raw text, so one such span counts under both
+    * classes. Callers supplying custom `classes` should order them
+    * containing-span-first. */
   val EmailRe: String =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** NANP forms: `555-123-4567`, `(555) 123-4567`, `+1 555-123-4567`.
