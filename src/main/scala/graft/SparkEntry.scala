@@ -153,6 +153,7 @@ object SparkEntry {
     "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
     "q152_paragraph_dedup" -> q(t => Dedup.paragraphDedup(t.documents)),
     "q154_normalize" -> q(t => Scrub.q154(t.documents)),
+    "q155_blocklist" -> q(t => Scrub.q155(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -1720,6 +1721,14 @@ object SparkEntry {
         |  FROM enriched)
         |SELECT doc_id, norm <> raw AS changed, md5(norm) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q155_blocklist" ->
+      """SELECT source,
+        |  COALESCE(list_min(list_intersect(string_split(text, ' '),
+        |    ['slow', 'merge', 'window'])), '') AS term,
+        |  COUNT(*) AS n
+        |FROM documents
+        |GROUP BY source, term
+        |ORDER BY source, term""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -86,6 +86,33 @@ object Scrub {
     trim(regexp_replace(
       graft.functions.TextFunctions.nfc_normalize(c), "\\s+", " "))
 
+  /** Blocklist tagging (the C4 "bad words" filter): mark each document
+    * with the alphabetically-smallest blocklist term it contains (a
+    * deterministic representative — the engines must agree on WHICH
+    * term gets reported) and a `blocked` flag; `blocklistDrop` keeps
+    * the clean docs. Token-exact matching, not substring — "class"
+    * must not trip a blocklist entry "ass" (the documented C4 flaw).
+    *
+    * Scale: for typical blocklists (10²–10⁴ terms) the list rides the
+    * expression as a literal array — evaluated per row inside codegen,
+    * no shuffle, no join. For 10⁶+ terms switch to explode(tokens) +
+    * broadcast semi-join on a hashed term set (the q153 bloom pattern
+    * applies); the tag column contract stays identical. */
+  def blocklistTag(
+      df: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val hit = array_min(array_intersect(
+      split(col(textCol), " "), lit(terms.toArray)))
+    df.withColumn("block_term", hit)
+      .withColumn("blocked", hit.isNotNull)
+  }
+
+  def blocklistDrop(
+      df: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame =
+    blocklistTag(df, terms, textCol)
+      .filter(!col("blocked")).drop("block_term", "blocked")
+
   // ---- q150 / q151: the declared oracle queries --------------------
 
   /** Deterministic PII enrichment of the synthetic corpus: the fixture
@@ -166,6 +193,18 @@ object Scrub {
       md5(norm).as("norm_md5"))
       .orderBy("doc_id")
   }
+
+  /** q155 — blocklist report: per (source, representative term) doc
+    * counts; kept docs report the empty term (NULL is avoided as a
+    * sort key — engines disagree on null ordering). Fixture vocab
+    * terms stand in for a real bad-words list. */
+  def q155(documents: DataFrame): DataFrame =
+    blocklistTag(documents, Seq("slow", "merge", "window"))
+      .select(col("source"),
+        coalesce(col("block_term"), lit("")).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "term")
 
   /** q151 — host-level provenance stats over canonicalized URLs:
     * per canonical host, document count, distinct canonical paths, and

@@ -105,6 +105,28 @@ class ScrubSpec extends SparkSpec {
     assert(got == Set("caf\u00e9 x y"), got.toString)
   }
 
+  test("blocklistTag: token-exact (no substring trips), deterministic " +
+    "min-term representative, drop keeps exactly the clean docs") {
+    val docs = Seq(
+      (1L, "this class is fine"),            // "class" must NOT trip "ass"
+      (2L, "zebra apple banana"),            // two hits -> min "apple"
+      (3L, "all clean words here"),
+      (4L, "ends with apple"))
+      .toDF("doc_id", "text")
+    val terms = Seq("ass", "apple", "zebra")
+    val tagged = Scrub.blocklistTag(docs, terms)
+      .select($"doc_id", $"block_term", $"blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(tagged(1L) == ((None, false)))
+    assert(tagged(2L) == ((Some("apple"), true)))
+    assert(tagged(3L) == ((None, false)))
+    assert(tagged(4L) == ((Some("apple"), true)))
+    val kept = Scrub.blocklistDrop(docs, terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("q150/q151 run on the fixture corpus with sane totals") {
     val r150 = Scrub.q150(tables.documents)
     val n = tables.documents.count()
