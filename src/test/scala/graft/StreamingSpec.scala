@@ -28,6 +28,30 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("corpus-hygiene transforms are streaming-safe: stream == batch " +
+    "(piiScrub + normalizeText + blocklistTag are narrow, no state)") {
+    import graft.operators.Scrub
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-docs").toString + "/documents"
+    tables.documents.write.parquet(docsDir)
+    val schema = tables.documents.schema
+    def hygiene(df: DataFrame): DataFrame =
+      Scrub.blocklistTag(
+        Scrub.piiScrub(df.withColumn(
+          "text", Scrub.normalizeText(col("text")))),
+        Seq("slow", "merge", "window"))
+        .select(col("doc_id"), col("text"), col("n_email"),
+          col("blocked"), col("block_term"))
+    val batch = hygiene(spark.read.parquet(docsDir))
+    val q = spark.readStream.schema(schema).parquet(docsDir)
+      .transform(hygiene)
+      .writeStream.format("memory").queryName("hygiene")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("hygiene")
+    assert(canon(stream) == canon(batch))
+  }
+
   test("tumbling window: stream == batch") {
     val batch = EventsStreaming.tumblingCounts(
       spark.read.parquet(eventsDir))
