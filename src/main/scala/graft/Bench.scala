@@ -52,7 +52,10 @@ object Bench {
         val msg = Option(e.getMessage).filter(_.nonEmpty)
           .getOrElse(e.getClass.getName)
         System.err.println(s"[bench] $name FAILED: ${msg.take(300)}")
-        Left(msg.linesIterator.nextOption().getOrElse(msg).take(200))
+        // first INFORMATIVE line: a leading newline in the message
+        // would otherwise record an empty error string
+        Left(msg.linesIterator.find(_.trim.nonEmpty)
+          .getOrElse(msg).take(200))
       }
     }
 
@@ -92,8 +95,11 @@ object Bench {
     // and the whole sweep would re-run focused at the expensive scale.
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BASELINE.md")
-      if (!java.nio.file.Files.exists(p)
-          || !sfDir.matches(""".*/sf0\.1/?$""")) Map.empty
+      // last path COMPONENT must be sf0.1 — a regex demanding a slash
+      // before it would silently disable the gate for a relative dir
+      val atBaselineSf = sfDir.stripSuffix("/").split('/')
+        .lastOption.contains("sf0.1")
+      if (!java.nio.file.Files.exists(p) || !atBaselineSf) Map.empty
       else {
         val cell = """\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
         val text = new String(java.nio.file.Files.readAllBytes(p),

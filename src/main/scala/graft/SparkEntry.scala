@@ -1723,7 +1723,8 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
     "q155_blocklist" ->
       """SELECT source,
-        |  COALESCE(list_min(list_intersect(string_split(text, ' '),
+        |  COALESCE(list_min(list_intersect(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |    ['slow', 'merge', 'window'])), '') AS term,
         |  COUNT(*) AS n
         |FROM documents

@@ -39,19 +39,32 @@ object Verify {
         val msg = Option(e.getMessage).filter(_.nonEmpty)
           .getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: ${msg.take(300)}")
-        failures += name -> msg.linesIterator.nextOption()
+        val firstLine = msg.linesIterator.find(_.trim.nonEmpty)
           .getOrElse(msg).take(200)
         // the marker dir must be EMPTY: a mid-write failure leaves
         // _temporary debris, and a rerun over a previous success would
-        // otherwise serve STALE parquet as current results
+        // otherwise serve STALE parquet as current results. If the
+        // cleanup itself fails, say so LOUDLY in the recorded error —
+        // stale-served-as-current must never be invisible.
         val dir = new java.io.File(s"$outDir/$name")
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
-          f.delete(); ()
+        def rmrf(f: java.io.File): Boolean = {
+          val childrenOk =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty)
+                .forall(rmrf)
+            else true
+          childrenOk && (f.delete() || !f.exists())
         }
-        rmrf(dir)
+        val cleaned = rmrf(dir)
         dir.mkdirs()
+        val residue = Option(dir.listFiles()).getOrElse(Array.empty)
+        failures += name -> (
+          if (cleaned && residue.isEmpty) firstLine
+          else s"[STALE-DIR: marker dir could not be emptied — " +
+            s"results under $name may be stale] " + firstLine)
+        if (!cleaned || residue.nonEmpty)
+          System.err.println(
+            s"[verify] $name marker dir NOT emptied — stale risk")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -101,8 +101,14 @@ object Scrub {
   def blocklistTag(
       df: DataFrame, terms: Seq[String],
       textCol: String = "text"): DataFrame = {
+    // lowercase + split on non-alphanumeric runs: 'Ass', 'ass.' and
+    // 'bad\nass' all yield the token 'ass' — case or punctuation
+    // adjacency must not let a listed term escape (the false-negative
+    // mirror of C4's substring false positives). Terms are lowercased
+    // to match.
     val hit = array_min(array_intersect(
-      split(col(textCol), " "), lit(terms.toArray)))
+      split(lower(col(textCol)), "[^a-z0-9]+"),
+      lit(terms.map(_.toLowerCase).toArray)))
     df.withColumn("block_term", hit)
       .withColumn("blocked", hit.isNotNull)
   }

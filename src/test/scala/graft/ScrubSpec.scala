@@ -111,7 +111,9 @@ class ScrubSpec extends SparkSpec {
       (1L, "this class is fine"),            // "class" must NOT trip "ass"
       (2L, "zebra apple banana"),            // two hits -> min "apple"
       (3L, "all clean words here"),
-      (4L, "ends with apple"))
+      (4L, "ends with apple"),
+      (5L, "you Ass. and more"),             // case + punctuation adjacency
+      (6L, "bad\nass newline-split"))        // newline boundary
       .toDF("doc_id", "text")
     val terms = Seq("ass", "apple", "zebra")
     val tagged = Scrub.blocklistTag(docs, terms)
@@ -122,6 +124,8 @@ class ScrubSpec extends SparkSpec {
     assert(tagged(2L) == ((Some("apple"), true)))
     assert(tagged(3L) == ((None, false)))
     assert(tagged(4L) == ((Some("apple"), true)))
+    assert(tagged(5L) == ((Some("ass"), true)))
+    assert(tagged(6L) == ((Some("ass"), true)))
     val kept = Scrub.blocklistDrop(docs, terms)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))

@@ -31,8 +31,20 @@ class StreamingSpec extends SparkSpec {
   test("corpus-hygiene transforms are streaming-safe: stream == batch " +
     "(piiScrub + normalizeText + blocklistTag are narrow, no state)") {
     import graft.operators.Scrub
-    val docsDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-docs").toString + "/documents"
+    val docsRoot = java.nio.file.Files
+      .createTempDirectory("graft-stream-docs")
+    // recursive cleanup at JVM exit — deleteOnExit can't remove a
+    // populated directory and repeated runs would accumulate copies
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(docsRoot.toFile.listFiles).foreach { _ =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(docsRoot.toFile)
+      }))
+    val docsDir = docsRoot.toString + "/documents"
     tables.documents.write.parquet(docsDir)
     val schema = tables.documents.schema
     def hygiene(df: DataFrame): DataFrame =
