@@ -1631,13 +1631,15 @@ object SparkEntry {
         |    '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b'))
         |    AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(t,
-        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |    '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b'))
+        |    AS BIGINT) AS n_ip,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |    '<EMAIL>', 'g'),
         |    '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b',
         |    '<PHONE>', 'g'),
-        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS red_md5
+        |    '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b',
+        |    '<IP>', 'g')) AS red_md5
         |FROM enriched ORDER BY doc_id""".stripMargin,
     "q151_url_canonical" ->
       """WITH urls AS (
@@ -1724,7 +1726,7 @@ object SparkEntry {
     "q155_blocklist" ->
       """SELECT source,
         |  COALESCE(list_min(list_intersect(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |    ['slow', 'merge', 'window'])), '') AS term,
         |  COUNT(*) AS n
         |FROM documents

@@ -37,8 +37,14 @@ object Scrub {
     * non-word), and RE2 has no lookbehind to express it otherwise. */
   val PhoneRe: String =
     "(\\+[0-9]{1,2} )?(\\([0-9]{3}\\) |\\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\\b"
-  val Ipv4Re: String =
-    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** Valid-octet IPv4 only (0–255 per octet, longest-alternative-first
+    * so leftmost-first (Java/RE2) and leftmost-longest engines agree):
+    * `999.999.999.999` or `300.1.2.3` are version-ish noise, not PII,
+    * and redacting them destroys non-PII text for nothing. */
+  val Ipv4Re: String = {
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+    s"\\b($octet\\.){3}$octet\\b"
+  }
 
   val DefaultClasses: Seq[(String, String, String)] = Seq(
     ("email", EmailRe, "<EMAIL>"),
@@ -98,17 +104,36 @@ object Scrub {
     * no shuffle, no join. For 10⁶+ terms switch to explode(tokens) +
     * broadcast semi-join on a hashed term set (the q153 bloom pattern
     * applies); the tag column contract stays identical. */
+  /** Tokenizer shared by text and terms: lowercase + split on runs of
+    * anything that is not a Unicode letter or digit. `\p{L}`/`\p{N}`
+    * have identical semantics in Java regex (Spark) and RE2 (DuckDB),
+    * so `café`, Cyrillic, or CJK-adjacent terms tokenize the same on
+    * both sides — an ASCII-only class would make every non-ASCII
+    * letter a boundary and silently never match accented terms. */
+  private val TokenSplitRe = "[^\\p{L}\\p{N}]+"
+
   def blocklistTag(
       df: DataFrame, terms: Seq[String],
       textCol: String = "text"): DataFrame = {
-    // lowercase + split on non-alphanumeric runs: 'Ass', 'ass.' and
-    // 'bad\nass' all yield the token 'ass' — case or punctuation
-    // adjacency must not let a listed term escape (the false-negative
-    // mirror of C4's substring false positives). Terms are lowercased
-    // to match.
+    // lowercase + token split: 'Ass', 'ass.' and 'bad\nass' all yield
+    // the token 'ass' — case or punctuation adjacency must not let a
+    // listed term escape (the false-negative mirror of C4's substring
+    // false positives). Terms are lowercased to match.
+    val lowered = terms.map(_.toLowerCase)
+    // Fail LOUDLY on terms this tokenizer can never match (empty, or
+    // multi-token like "bad word" / "e-mail"): a silently-dead
+    // blocklist entry passes documents it was meant to catch.
+    val dead = lowered.filter { t =>
+      t.split(TokenSplitRe).filter(_.nonEmpty).toSeq != Seq(t)
+    }
+    require(dead.isEmpty,
+      "blocklist terms must be single tokens under the " +
+        s"letter/digit tokenizer; unmatched as-is: ${dead.mkString(", ")} " +
+        "(split multi-word phrases into their tokens or use an n-gram " +
+        "phrase filter)")
     val hit = array_min(array_intersect(
-      split(lower(col(textCol)), "[^a-z0-9]+"),
-      lit(terms.map(_.toLowerCase).toArray)))
+      split(lower(col(textCol)), TokenSplitRe),
+      lit(lowered.toArray)))
     df.withColumn("block_term", hit)
       .withColumn("blocked", hit.isNotNull)
   }

@@ -50,7 +50,11 @@ object PlanAudit {
   private def boundedByLimit(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution._
     p match {
-      case _: GlobalLimitExec | _: LocalLimitExec |
+      // NOT LocalLimitExec: LocalLimit(k) caps rows PER PARTITION, so
+      // k·numPartitions rows can still reach a window above a shuffle
+      // of its output — only a global bound is a real bound. Real limit
+      // plans always carry one of these global nodes.
+      case _: GlobalLimitExec |
           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
       case a: AdaptiveSparkPlanExec => boundedByLimit(a.executedPlan)
       case q: QueryStageExec => boundedByLimit(q.plan)

@@ -46,11 +46,22 @@ class FixtureSchemaSpec extends SparkSpec {
     "embeddings" -> Seq("vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
 
+  test("the pinned schema map covers exactly Tables.names") {
+    // Both directions: a NEW fixture table must be pinned here (not
+    // explode at registration time via expected(name)), and a STALE
+    // pin for a dropped table must be flagged, not silently ignored.
+    assert(expected.keySet == Tables.names.toSet,
+      s"pinned-but-gone: ${expected.keySet -- Tables.names}; " +
+        s"unpinned: ${Tables.names.toSet -- expected.keySet}")
+  }
+
   for (name <- Tables.names)
     test(s"fixture table '$name' has the pinned post-load schema") {
       val got = Tables.load(spark, sfDir, name).schema
         .map(f => f.name -> normalize(f.dataType))
-      val want = expected(name)
+      val want = expected.getOrElse(name,
+        fail(s"table '$name' is missing from the pinned schema map — " +
+          "add its post-load schema to FixtureSchemaSpec.expected"))
         .map { case (n, t) => n -> normalize(t) }
       assert(got == want,
         s"FIXTURE SCHEMA DRIFT in '$name': the driver-generated parquet " +

@@ -37,6 +37,52 @@ class ScrubSpec extends SparkSpec {
       .contains("version 1.2.3 and price 10.99 are not IPs"))
   }
 
+  test("Ipv4Re redacts only valid-octet IPs: 999.999.999.999 and " +
+    "300.1.2.3 survive unredacted") {
+    val docs = Seq(
+      "bogus 999.999.999.999 stays",
+      "octet 300.1.2.3 overflows",
+      "also 256.0.0.1 is invalid",
+      "edge 255.255.255.255 is real",
+      "min 0.0.0.0 is real",
+      "mixed 199.99.9.0 is real")
+      .toDF("text")
+    val got = Scrub.piiScrub(docs)
+      .select("text", "n_ip").as[(String, Int)].collect().toMap
+    assert(got("bogus 999.999.999.999 stays") == 0)
+    assert(got("octet 300.1.2.3 overflows") == 0)
+    assert(got("also 256.0.0.1 is invalid") == 0)
+    assert(got("edge <IP> is real") == 1)
+    assert(got("min <IP> is real") == 1)
+    assert(got("mixed <IP> is real") == 1)
+  }
+
+  test("blocklistTag matches accented and non-Latin terms (unicode " +
+    "letter/digit tokenizer) and rejects multi-token terms loudly") {
+    val docs = Seq(
+      (1L, "visit the Café today"),          // accented + case
+      (2L, "пример текста здесь"),           // Cyrillic term hit
+      (3L, "cafe without the accent"),       // must NOT match 'café'
+      (4L, "naïve—dashed; punctuation"),     // unicode punct boundary
+      (5L, "all clean words"))
+      .toDF("doc_id", "text")
+    val tagged = Scrub.blocklistTag(docs, Seq("café", "пример", "naïve"))
+      .select($"doc_id", $"block_term").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tagged(1L) == Some("café"))
+    assert(tagged(2L) == Some("пример"))
+    assert(tagged(3L) == None)
+    assert(tagged(4L) == Some("naïve"))
+    assert(tagged(5L) == None)
+    // a term the tokenizer can never produce fails at call time, not
+    // silently at match time
+    val e = intercept[IllegalArgumentException] {
+      Scrub.blocklistTag(docs, Seq("ok", "bad word", "e-mail"))
+    }
+    assert(e.getMessage.contains("bad word")
+      && e.getMessage.contains("e-mail"), e.getMessage)
+  }
+
   test("piiScrub is idempotent: scrubbing scrubbed text is a no-op") {
     val docs = Seq("a@b.com 555-123-4567 10.0.0.1 plus words").toDF("text")
     val once = Scrub.piiScrub(docs).select("text").as[String].head()
