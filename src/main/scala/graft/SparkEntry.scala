@@ -152,6 +152,7 @@ object SparkEntry {
     "q150_pii_scrub" -> q(t => Scrub.q150(t.documents)),
     "q151_url_canonical" -> q(t => Scrub.q151(t.documents)),
     "q152_paragraph_dedup" -> q(t => Dedup.paragraphDedup(t.documents)),
+    "q152b_paragraph_newline" -> q(t => Dedup.q152b(t.documents)),
     "q154_normalize" -> q(t => Scrub.q154(t.documents)),
     "q155_blocklist" -> q(t => Scrub.q155(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
@@ -1676,6 +1677,33 @@ object SparkEntry {
         |         md5(array_to_string(tk[i*10+1 : i*10+10], ' ')) AS pmd5
         |  FROM toks, UNNEST(generate_series(0,
         |    CAST(ceil(len(tk)/10.0) AS INT) - 1)) AS t(i)),
+        |kept AS (
+        |  SELECT doc_id, pidx, pmd5,
+        |         ROW_NUMBER() OVER (PARTITION BY pmd5
+        |           ORDER BY doc_id, pidx) AS rn
+        |  FROM paras)
+        |SELECT doc_id, pidx, pmd5 FROM kept WHERE rn = 1
+        |ORDER BY doc_id, pidx""".stripMargin,
+    // q152b: real \n\n paragraph boundaries, planted from doc_id (the
+    // q150 construction) — licence header shared by doc_id%3==0 docs,
+    // body = the doc's own text, footer shared by doc_id%4==0 docs.
+    // concat_ws skips the NULL footer identically in both engines.
+    "q152b_paragraph_newline" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, concat_ws(chr(10) || chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'license header alpha beta'
+        |         ELSE 'intro note ' || doc_id END,
+        |    text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'contact footer omega' END)
+        |      AS t
+        |  FROM documents),
+        |split AS (
+        |  SELECT doc_id, string_split(t, chr(10) || chr(10)) AS p
+        |  FROM enriched),
+        |paras AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pidx, md5(p[i+1]) AS pmd5
+        |  FROM split,
+        |    UNNEST(generate_series(0, len(p) - 1)) AS t(i)),
         |kept AS (
         |  SELECT doc_id, pidx, pmd5,
         |         ROW_NUMBER() OVER (PARTITION BY pmd5

@@ -812,9 +812,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup core shared by every chunker: keep the (doc_id, pidx)-
+    * smallest occurrence of each distinct paragraph hash. Expects
+    * (doc_id, pidx, pmd5); the WindowGroupLimit map-side top-1 per
+    * pmd5 applies regardless of how paragraphs were produced. */
+  private def keepFirstParagraph(paras: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pmd5").orderBy("doc_id", "pidx")
+    paras
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "pidx", "pmd5")
+      .orderBy("doc_id", "pidx")
+  }
+
   def paragraphDedup(
-      documents: DataFrame, paraTokens: Int = 10): DataFrame = {
-    val paras = spread(documents)
+      documents: DataFrame, paraTokens: Int = 10): DataFrame =
+    keepFirstParagraph(spread(documents)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -824,13 +838,34 @@ object Dedup {
           i => array_join(
             slice(col("tk"), i * paraTokens + 1, lit(paraTokens)), " "))))
       .select(col("doc_id"), col("pos").cast("long").as("pidx"),
-        md5(col("col")).as("pmd5"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("pmd5").orderBy("doc_id", "pidx")
-    paras
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "pidx", "pmd5")
-      .orderBy("doc_id", "pidx")
+        md5(col("col")).as("pmd5")))
+
+  /** The REAL-corpus chunker q152's scaladoc promises: paragraphs are
+    * `\n\n`-delimited spans (Dolma/CCNet convention), not fixed token
+    * windows — a repeated licence block dedups wherever it sits in the
+    * document, while the fixed-token chunker only catches it when the
+    * token offsets happen to align (ParagraphChunkerSpec shows the
+    * disagreement). Same explode + pmd5-window core, same scale shape. */
+  def paragraphDedupNewline(documents: DataFrame): DataFrame =
+    keepFirstParagraph(spread(documents)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("pidx"),
+        md5(col("col")).as("pmd5")))
+
+  /** q152b — paragraph dedup on real `\n\n` boundaries, oracle-gated:
+    * the fixture corpus is single-line word soup, so multi-paragraph
+    * structure is planted deterministically from doc_id (the q150
+    * construction): a licence-header paragraph shared by every
+    * doc_id%3==0 doc, the doc's own text as its body paragraph, and a
+    * footer paragraph shared by every doc_id%4==0 doc. Both engines
+    * derive identical strings, so the hash gate checks the chunker +
+    * keep-first semantics end-to-end on real paragraph boundaries. */
+  def q152b(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val header = when(id % 3 === 0, lit("license header alpha beta"))
+      .otherwise(concat(lit("intro note "), id.cast("string")))
+    val footer = when(id % 4 === 0, lit("contact footer omega"))
+    paragraphDedupNewline(documents.withColumn("text",
+      concat_ws("\n\n", header, col("text"), footer)))
   }
 }

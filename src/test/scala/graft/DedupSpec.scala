@@ -93,6 +93,41 @@ class DedupSpec extends SparkSpec {
     assert(keptN < total, s"$keptN vs $total")
   }
 
+  test("paragraphDedupNewline dedups a shared paragraph at ANY offset " +
+    "where the fixed-token chunker misses it (chunkers disagree)") {
+    // the shared licence para sits after leads of DIFFERENT token
+    // lengths, so no fixed-width token chunk aligns across the docs —
+    // but the \n\n chunker sees the identical paragraph in both
+    val shared = "this block is identical license text"
+    val docs = Seq(
+      (1L, s"short lead\n\n$shared"),
+      (2L, s"a much longer unique leading paragraph here\n\n$shared"))
+      .toDF("doc_id", "text")
+    val byPara = Dedup.paragraphDedupNewline(docs)
+      .select($"doc_id", $"pidx").as[(Long, Long)].collect().toSet
+    // doc 2's copy of the shared para (its pidx=1) is dropped
+    assert(byPara == Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    // the token chunker keeps EVERY chunk: offsets misalign, so no two
+    // chunks hash equal and nothing dedups — the disagreement q152b's
+    // real-boundary chunker exists to fix
+    val byTokens = Dedup.paragraphDedup(docs, paraTokens = 4)
+    assert(byTokens.count()
+      == byTokens.select("pmd5").distinct.count())
+    val totalChunks = docs.selectExpr(
+      "cast(ceil(size(split(text,' '))/4.0) as long) as n")
+      .agg(sum("n")).head().getLong(0)
+    assert(byTokens.count() == totalChunks)
+    // q152b on the fixture: planted headers/footers dedup to exactly
+    // one kept copy each; every doc keeps its own body paragraph
+    val n = tables.documents.count()
+    val b = Dedup.q152b(tables.documents)
+    val keptHashes = b.select("pmd5").as[String].collect()
+    assert(keptHashes.length == keptHashes.distinct.length)
+    // one shared header + per-doc intro headers + n bodies + one footer
+    val expected = 1 + (0L until n).count(_ % 3 != 0) + n + 1
+    assert(b.count() == expected, s"${b.count()} vs $expected")
+  }
+
   test("incrementalDedup: bloom fast-path equals plain anti-join, " +
     "drops corpus dups and within-batch repeats") {
     // corpus has prefix-keys A, B; batch: one dup of A (drop), one new
