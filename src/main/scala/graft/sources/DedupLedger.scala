@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+/** Persistent state for incremental batch-vs-corpus dedup — the
+  * production form [[graft.operators.Dedup.incrementalDedup]]'s own
+  * scaladoc promises: the corpus key-ledger and its Bloom filter are
+  * built ONCE, then each crawl increment loads them, dedups against
+  * them, and absorbs its new keys — the corpus text is never rescanned
+  * and the ledger grows by O(|new keys|) per increment, not O(corpus).
+  *
+  * State layout under `statePath` (all parquet — works on any Hadoop
+  * filesystem, not just local disk):
+  * {{{
+  *   keys/part_<version>/   append-only: one dir of NEW distinct keys
+  *                          per absorbed increment (never rewritten)
+  *   bloom/v_<version>/     one-row parquet: the MERGED Bloom payload
+  *                          (GBF1 header + bit words) covering every
+  *                          key part up to <version>
+  *   CURRENT                text manifest: version + the committed key
+  *                          part list, updated atomically (tmp+rename)
+  *                          AFTER the new part and bloom land
+  * }}}
+  *
+  * Crash safety follows the [[Incremental]] ledger discipline: data
+  * first, manifest last. A crash between part write and manifest
+  * rename leaves an orphan part dir that loads ignore (only manifest-
+  * listed parts are read), and re-running the same `absorb` is
+  * idempotent — the manifest never advanced, so the replay sees the
+  * identical prior state and derives the identical kept set.
+  *
+  * Scale posture at 100 TB: an increment touches (a) the batch itself,
+  * (b) the ~128 KB bloom payload (one-row parquet, broadcast as a
+  * literal), (c) the key parts — 16-byte md5 keys, |corpus docs| rows
+  * ≪ corpus bytes — and (c) only on the build side of the left-anti
+  * confirm join that bloom-POSITIVE rows enter; the bloom-negative
+  * bulk of a typical increment never shuffles at all. Bloom merge is
+  * a word-wise OR of two payloads (commutative, order-free), done on
+  * ≤128 KB arrays — driver-side but constant-size.
+  */
+object DedupLedger {
+
+  /** Same key as q153's stateless contract: md5 of the first
+    * `prefixTokens` tokens (the q17b boilerplate-prefix fingerprint). */
+  def keyOf(text: Column, prefixTokens: Int): Column =
+    md5(concat_ws(" ", slice(split(text, " "), 1, prefixTokens)))
+
+  final case class Manifest(version: Long, keyParts: Seq[String])
+
+  private def currentFile(statePath: String) =
+    new java.io.File(statePath, "CURRENT")
+
+  def readManifest(statePath: String): Option[Manifest] = {
+    val f = currentFile(statePath)
+    if (!f.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val lines = src.getLines().filter(_.nonEmpty).toList
+        Some(Manifest(lines.head.toLong, lines.tail))
+      } finally src.close()
+    }
+  }
+
+  /** Data is already durable when this runs; the rename is the commit
+    * point (same tmp+rename the [[Incremental]] ledger uses). */
+  private def writeManifest(statePath: String, m: Manifest): Unit = {
+    val dir = new java.io.File(statePath)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, ".current_tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try { w.println(m.version); m.keyParts.foreach(w.println) }
+    finally w.close()
+    if (currentFile(statePath).exists()) currentFile(statePath).delete()
+    require(tmp.renameTo(currentFile(statePath)),
+      s"CURRENT rename failed under $statePath")
+  }
+
+  private def partName(version: Long) = f"part_$version%08d"
+  private def keysDir(statePath: String, part: String) =
+    s"$statePath/keys/$part"
+  private def bloomDir(statePath: String, version: Long) =
+    s"$statePath/bloom/v_$version"
+
+  private val payloadSchema =
+    StructType(Seq(StructField("payload", ArrayType(LongType), false)))
+
+  private def writeBloom(
+      spark: SparkSession, statePath: String, version: Long,
+      payload: Array[Long]): Unit =
+    spark.createDataFrame(
+      java.util.List.of(Row(payload.toSeq)), payloadSchema)
+      .write.mode("overwrite").parquet(bloomDir(statePath, version))
+
+  private def readBloom(
+      spark: SparkSession, statePath: String,
+      version: Long): Array[Long] =
+    spark.read.parquet(bloomDir(statePath, version))
+      .head().getSeq[Long](0).toArray
+
+  /** Build the ledger from the historical corpus — the ONE full corpus
+    * scan this state ever requires. Refuses to overwrite existing
+    * state. */
+  def init(
+      spark: SparkSession, statePath: String, corpus: DataFrame,
+      prefixTokens: Int = 5, mBits: Int = 1 << 20,
+      numHashes: Int = 7): Unit = {
+    import graft.functions.BloomFunctions._
+    require(readManifest(statePath).isEmpty,
+      s"ledger already initialized at $statePath")
+    val keys = corpus.select(keyOf(col("text"), prefixTokens).as("__k"))
+      .distinct()
+    keys.write.mode("overwrite").parquet(keysDir(statePath, partName(1)))
+    val persisted = spark.read.parquet(keysDir(statePath, partName(1)))
+    val payload = persisted
+      .agg(bloom_agg(xxhash64(col("__k")), mBits, numHashes).as("p"))
+      .head().getSeq[Long](0).toArray
+    writeBloom(spark, statePath, 1, payload)
+    writeManifest(statePath, Manifest(1, Seq(partName(1))))
+  }
+
+  /** All committed corpus keys, as the lazy union of the manifest's
+    * parts — 16-byte fingerprints, never text. */
+  def keys(spark: SparkSession, statePath: String): DataFrame = {
+    val m = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    spark.read.parquet(m.keyParts.map(keysDir(statePath, _)): _*)
+  }
+
+  /** Dedup `batch` against the ledger (and within itself), absorb its
+    * new keys + bloom bits, and return the kept rows
+    * (doc_id, lang, source — the q153 contract). State advances one
+    * version per call; the corpus text is never read. */
+  def absorb(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      prefixTokens: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val m = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(
+        s"no ledger at $statePath — call init(corpus) first"))
+    val ledgerKeys = keys(spark, statePath)
+    val payload = readBloom(spark, statePath, m.version)
+
+    // same split as Dedup.incrementalDedup, with the PERSISTED bloom
+    // as a literal instead of a rebuilt aggregate: negatives are
+    // definitely-new and skip the confirm join entirely
+    val keyed = batch
+      .withColumn("__k", keyOf(col("text"), prefixTokens))
+      .withColumn("__maybe",
+        bloom_might_contain(xxhash64(col("__k")), lit(payload)))
+    val sureNew = keyed.filter(!col("__maybe"))
+    val confirmed = keyed.filter(col("__maybe"))
+      .join(ledgerKeys, Seq("__k"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("doc_id")
+    val kept = sureNew.unionByName(confirmed)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("__k"))
+      .persist()
+
+    // ---- state advance: new part + merged bloom, then the manifest
+    val next = m.version + 1
+    // mode=overwrite: a crash AFTER these writes but BEFORE the
+    // manifest rename leaves orphan part/bloom dirs for this version;
+    // the replay of the same increment (manifest never advanced, so it
+    // re-derives the identical state) must be able to reclaim them.
+    // Single-writer discipline is assumed, as with any ledger.
+    kept.select("__k")                    // kept is 1 row per key
+      .write.mode("overwrite")
+      .parquet(keysDir(statePath, partName(next)))
+    // batch bloom sized/hashed from the PERSISTED payload's own header
+    // (numHashes) and word count (mBits) — merge requires identical
+    // geometry, so it is read, not re-specified
+    val numHashes = (payload(0) & 0x7fffffffL).toInt
+    val mBits = (payload.length - 1) * 64
+    val batchPayload = spark.read
+      .parquet(keysDir(statePath, partName(next)))
+      .agg(bloom_agg(xxhash64(col("__k")), mBits, numHashes).as("p"))
+      .head().getSeq[Long](0).toArray
+    val merged = payload.clone()
+    var i = 1 // word 0 is the header (identical on both sides)
+    while (i < merged.length) { merged(i) |= batchPayload(i); i += 1 }
+    writeBloom(spark, statePath, next, merged)
+    writeManifest(statePath,
+      Manifest(next, m.keyParts :+ partName(next)))
+
+    val out = kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    kept.unpersist()
+    out
+  }
+}
