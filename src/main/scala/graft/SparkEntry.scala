@@ -238,6 +238,8 @@ object SparkEntry {
       val t = Tables(s, dir)
       graft.ml.Recommender.recommend(t.lineitem, t.orders)
     }),
+    "ml_quality_scores" -> ((s, dir) =>
+      graft.ml.QualityModel.ccnetScores(Tables(s, dir).documents)),
   )
 
   /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */
