@@ -183,10 +183,17 @@ object Bench {
       // unterminated JSON string
       println(s"""{"bench_query":"$k","err":true,"msg":"${jesc(e.take(120))}"}""")
     }
+    // durable artifact, written twice: target/ is gitignored AND wiped
+    // by clean builds (round 7's copy vanished exactly that way, and
+    // the log-tail capture clipped q01–q05), so the repo-root copy is
+    // the byte-complete record that survives independent of both —
+    // it's tracked, so the end-of-round commit preserves it.
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(out, bytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_latest.json"), bytes)
     println(json)
     val compact = numOrdered.map { case (k, v) =>
       "\"" + k.split('_').head + f"\":$v%.3f" } ++
