@@ -62,11 +62,15 @@ object QualityModel {
       .setLabelCol("label").setFeaturesCol("features")
       .fit(labeled)
 
-  /** Score a corpus: P(target-domain) per document as `quality`. */
+  /** Score a corpus: P(target-domain) per document as `quality`.
+    * Featurizer dimensionality comes FROM the model
+    * (`model.numFeatures`), so a loaded model can never be scored
+    * against a mismatched hash space — the mismatch is
+    * unrepresentable rather than a silent wrong answer. */
   def score(
       model: LogisticRegressionModel, corpus: DataFrame,
-      textCol: String = "text", dims: Int = 1 << 18): DataFrame =
-    model.transform(hashedNgrams(corpus, textCol, dims))
+      textCol: String = "text"): DataFrame =
+    model.transform(hashedNgrams(corpus, textCol, model.numFeatures))
       .withColumn("quality",
         vector_to_array(col("probability")).getItem(1))
       .drop("features", "rawPrediction", "probability", "prediction")
@@ -91,9 +95,22 @@ object QualityModel {
     val labeled = hashedNgrams(enriched, dims = dims)
       .withColumn("label", (id % 5 === 0).cast("double"))
     val model = train(labeled.filter(id % 2 === 0))
-    score(model, enriched, dims = dims)
+    score(model, enriched)
       .withColumn("label", (id % 5 === 0).cast("double"))
       .select(col("doc_id"), col("label"), col("quality"))
       .orderBy("doc_id")
   }
+
+  /** Persist / reload the trained model (the S8 ML-sink discipline,
+    * `Ranker.loadModels` precedent): the production workflow trains on
+    * a sample once and scores every later corpus increment with the
+    * SAME model — retraining per increment would shift the score
+    * distribution under downstream thresholds. Spark ML's native
+    * writer: a directory of parquet + metadata, valid on any Hadoop
+    * filesystem. */
+  def saveModel(model: LogisticRegressionModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(path: String): LogisticRegressionModel =
+    LogisticRegressionModel.load(path)
 }

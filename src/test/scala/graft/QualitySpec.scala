@@ -23,13 +23,25 @@ class QualitySpec extends SparkSpec {
     // train on the even ids only; odd ids are out-of-sample
     val model = QualityModel.train(labeled.filter($"doc_id" % 2 === 0))
     val heldOut = QualityModel
-      .score(model, docs.filter($"doc_id" % 2 === 1), dims = 1 << 12)
+      .score(model, docs.filter($"doc_id" % 2 === 1))
       .select($"doc_id", $"quality").as[(Long, Double)].collect()
     heldOut.foreach { case (id, q) =>
       assert(q >= 0.0 && q <= 1.0, s"$id: $q")
       if (id < 30) assert(q > 0.5, s"held-out target doc $id scored $q")
       else assert(q < 0.5, s"held-out noise doc $id scored $q")
     }
+    // score() derives the hash space from the model, so the non-default
+    // 2^12 training dims carry through without being re-specified
+    assert(model.numFeatures == (1 << 12))
+    // production workflow: persist the model, reload, score identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("quality_model").toString
+    QualityModel.saveModel(model, dir)
+    val reloaded = QualityModel.loadModel(dir)
+    val again = QualityModel
+      .score(reloaded, docs.filter($"doc_id" % 2 === 1))
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    assert(again.toSeq.sorted == heldOut.toSeq.sorted)
   }
 
   test("ml_quality_scores recovers the planted domain slice on the " +
