@@ -64,6 +64,37 @@ class StreamingSpec extends SparkSpec {
     assert(canon(stream) == canon(batch))
   }
 
+  test("model-based quality scoring is streaming-safe: a persisted " +
+    "model scores the document stream == batch") {
+    import graft.ml.QualityModel
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-qscore")
+    val docsDir = root.toString + "/documents"
+    tables.documents.write.parquet(docsDir)
+    // the production split: train OFFLINE on a labeled sample, persist,
+    // then score the ingest stream with the reloaded model — scoring is
+    // a narrow stateless transform (hash featurizer + one broadcast
+    // coefficient vector), so it composes with readStream unchanged
+    val labeled = QualityModel
+      .hashedNgrams(tables.documents, dims = 1 << 12)
+      .withColumn("label", (col("doc_id") % 5 === 0).cast("double"))
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-qmodel").toString
+    QualityModel.saveModel(QualityModel.train(labeled), modelDir)
+    val model = QualityModel.loadModel(modelDir)
+    def scoreIt(df: DataFrame): DataFrame =
+      QualityModel.score(model, df)
+        .select(col("doc_id"), col("quality"))
+    val batch = scoreIt(spark.read.parquet(docsDir))
+    val q = spark.readStream.schema(tables.documents.schema)
+      .parquet(docsDir)
+      .transform(scoreIt)
+      .writeStream.format("memory").queryName("qscore")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(spark.table("qscore")) == canon(batch))
+  }
+
   test("tumbling window: stream == batch") {
     val batch = EventsStreaming.tumblingCounts(
       spark.read.parquet(eventsDir))
