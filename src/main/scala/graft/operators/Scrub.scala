@@ -144,6 +144,40 @@ object Scrub {
     blocklistTag(df, terms, textCol)
       .filter(!col("blocked")).drop("block_term", "blocked")
 
+  /** The 10⁶+-term path `blocklistTag`'s scaladoc promises: the term
+    * list arrives as a DATAFRAME (loaded from wherever the list
+    * lives — it no longer fits a codegen literal array), documents
+    * explode to DISTINCT tokens, and one semi-shaped join + min-agg
+    * finds each doc's representative term. Even a 10⁷-term list is a
+    * few hundred MB — Spark broadcasts it when it fits
+    * (autoBroadcastJoinThreshold) and falls back to a shuffle join
+    * beyond that, either way never materializing doc×term. Terms that
+    * can never match (multi-token under the shared tokenizer) are
+    * dropped IN-PLAN — the DataFrame-scale equivalent of the Seq
+    * form's loud require (a driver-side validation can't see a
+    * distributed list).
+    *
+    * Contract identical to [[blocklistTag]]: `block_term` = the
+    * alphabetically-smallest matching term (lowercased), `blocked`
+    * flag; ScrubSpec asserts row-for-row equivalence between the two
+    * forms on the same list. `idCol` must be a unique row key (the
+    * explode round-trips through it). */
+  def blocklistTagJoin(
+      df: DataFrame, terms: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      termCol: String = "term"): DataFrame = {
+    val cleanTerms = terms
+      .select(lower(col(termCol)).as("__term")).distinct()
+      .filter(col("__term").rlike("^[\\p{L}\\p{N}]+$"))
+    val tokens = df.select(col(idCol),
+      explode(array_distinct(
+        split(lower(col(textCol)), TokenSplitRe))).as("__term"))
+    val hits = tokens.join(cleanTerms, "__term")
+      .groupBy(idCol).agg(min("__term").as("block_term"))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("blocked", col("block_term").isNotNull)
+  }
+
   // ---- q150 / q151: the declared oracle queries --------------------
 
   /** Deterministic PII enrichment of the synthetic corpus: the fixture

@@ -191,4 +191,30 @@ object DedupLedger {
     kept.unpersist()
     out
   }
+
+  /** Compact the key parts into one. Every absorb adds a part dir;
+    * after many increments the confirm join pays |parts| file listings
+    * and small-file overhead, so periodic compaction is the standard
+    * append-only-ledger maintenance step. Rewrites the (already
+    * distinct-by-construction) key union as a single part and commits
+    * a one-part manifest re-pointing at the UNCHANGED bloom bits —
+    * the filter already covers every key, and bloom bits only ever
+    * accumulate. Crash-safe like absorb: data first, manifest rename
+    * last; the superseded parts become unreferenced orphans. Returns
+    * true if compaction ran (no-op on a single-part ledger). */
+  def compact(spark: SparkSession, statePath: String): Boolean = {
+    val m = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    if (m.keyParts.lengthCompare(1) <= 0) false
+    else {
+      val next = m.version + 1
+      keys(spark, statePath)
+        .write.mode("overwrite")
+        .parquet(keysDir(statePath, partName(next)))
+      writeBloom(spark, statePath, next,
+        readBloom(spark, statePath, m.version))
+      writeManifest(statePath, Manifest(next, Seq(partName(next))))
+      true
+    }
+  }
 }

@@ -105,6 +105,38 @@ class DedupLedgerSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("compaction folds the part list to one without changing any " +
+    "future absorb's result") {
+    val (corpusDir, b1Dir, b2Dir, _) = fixture("compact")
+    val corpus = spark.read.parquet(corpusDir)
+    val (b1, b2) =
+      (spark.read.parquet(b1Dir), spark.read.parquet(b2Dir))
+    def run(compactAfterB1: Boolean): (Set[Long], Long, Int) = {
+      val state = java.nio.file.Files
+        .createTempDirectory("ledger_ct").toString
+      DedupLedger.init(spark, state, corpus)
+      DedupLedger.absorb(spark, state, b1).collect()
+      if (compactAfterB1)
+        assert(DedupLedger.compact(spark, state))
+      val kept2 = DedupLedger.absorb(spark, state, b2)
+        .collect().map(_.getLong(0)).toSet
+      val m = DedupLedger.readManifest(state).get
+      (kept2, DedupLedger.keys(spark, state).count(),
+        m.keyParts.length)
+    }
+    val (plainKept, plainKeys, plainParts) = run(compactAfterB1 = false)
+    val (compKept, compKeys, compParts) = run(compactAfterB1 = true)
+    assert(compKept == plainKept)
+    assert(compKeys == plainKeys)
+    assert(plainParts == 3) // init + two absorbs
+    assert(compParts == 2)  // compacted single part + b2's part
+    // single-part ledger: compaction is a no-op
+    val state1 = java.nio.file.Files
+      .createTempDirectory("ledger_ct1").toString
+    DedupLedger.init(spark, state1, corpus)
+    assert(!DedupLedger.compact(spark, state1))
+  }
+
   test("absorb reads bloom geometry from the persisted payload header " +
     "(non-default mBits/numHashes round-trip + merge)") {
     val (corpusDir, b1Dir, b2Dir, state) = fixture("geom")

@@ -177,6 +177,25 @@ class ScrubSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("blocklistTagJoin (the 10^6+-term explode+join path) matches " +
+    "the literal-array form row for row; unmatchable DataFrame terms " +
+    "drop in-plan instead of crashing") {
+    val terms = Seq("slow", "merge", "window", "café")
+    val literal = Scrub.blocklistTag(tables.documents, terms)
+      .select("doc_id", "block_term", "blocked")
+    // the DF list carries extra junk a distributed list can't be
+    // require()'d over: multi-token + empty-ish entries must be
+    // silently unmatchable, not fatal
+    val termsDf = (terms ++ Seq("bad word", "e-mail", "  "))
+      .toDF("term")
+    val joined = Scrub.blocklistTagJoin(tables.documents, termsDf)
+      .select("doc_id", "block_term", "blocked")
+    assert(joined.exceptAll(literal).count() == 0
+      && literal.exceptAll(joined).count() == 0)
+    // sanity: the list actually hits something on the fixture
+    assert(literal.filter($"blocked").count() > 0)
+  }
+
   test("q150/q151 run on the fixture corpus with sane totals") {
     val r150 = Scrub.q150(tables.documents)
     val n = tables.documents.count()
