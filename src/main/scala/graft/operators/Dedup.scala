@@ -846,9 +846,15 @@ object Dedup {
     * document, while the fixed-token chunker only catches it when the
     * token offsets happen to align (ParagraphChunkerSpec shows the
     * disagreement). Same explode + pmd5-window core, same scale shape. */
-  def paragraphDedupNewline(documents: DataFrame): DataFrame =
+  def paragraphDedupNewline(
+      documents: DataFrame,
+      // regex; corpora with Windows line endings pass "(\r?\n){2}" —
+      // the default stays the literal convention the q152b oracle
+      // replays (DuckDB string_split is literal, so the oracle pins
+      // the \n\n contract; the separator is engine-side configurable)
+      sep: String = "\n\n"): DataFrame =
     keepFirstParagraph(spread(documents)
-      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")))
+      .select(col("doc_id"), posexplode(split(col("text"), sep)))
       .select(col("doc_id"), col("pos").cast("long").as("pidx"),
         md5(col("col")).as("pmd5")))
 

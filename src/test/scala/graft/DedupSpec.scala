@@ -117,6 +117,15 @@ class DedupSpec extends SparkSpec {
       "cast(ceil(size(split(text,' '))/4.0) as long) as n")
       .agg(sum("n")).head().getLong(0)
     assert(byTokens.count() == totalChunks)
+    // CRLF corpora: the separator is a regex parameter — "(\r?\n){2}"
+    // finds the same shared paragraph across unix and windows docs
+    val crlf = Seq(
+      (1L, s"short lead\r\n\r\n$shared"),
+      (2L, s"another lead\n\n$shared"))
+      .toDF("doc_id", "text")
+    val byCrlf = Dedup.paragraphDedupNewline(crlf, sep = "(\\r?\\n){2}")
+      .select($"doc_id", $"pidx").as[(Long, Long)].collect().toSet
+    assert(byCrlf == Set((1L, 0L), (1L, 1L), (2L, 0L)))
     // q152b on the fixture: planted headers/footers dedup to exactly
     // one kept copy each; every doc keeps its own body paragraph
     val n = tables.documents.count()
