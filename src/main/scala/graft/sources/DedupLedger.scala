@@ -47,10 +47,17 @@ object DedupLedger {
   def keyOf(text: Column, prefixTokens: Int): Column =
     md5(concat_ws(" ", slice(split(text, " "), 1, prefixTokens)))
 
-  final case class Manifest(version: Long, keyParts: Seq[String])
+  /** `lastBatchId` records the streaming micro-batch whose absorb this
+    * manifest version committed ([[absorbSink]]'s exactly-once marker);
+    * None for batch-mode absorbs. */
+  final case class Manifest(
+      version: Long, keyParts: Seq[String],
+      lastBatchId: Option[Long] = None)
 
   private def currentFile(statePath: String) =
     new java.io.File(statePath, "CURRENT")
+
+  private val BatchMarker = "lastBatch="
 
   def readManifest(statePath: String): Option[Manifest] = {
     val f = currentFile(statePath)
@@ -59,7 +66,9 @@ object DedupLedger {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try {
         val lines = src.getLines().filter(_.nonEmpty).toList
-        Some(Manifest(lines.head.toLong, lines.tail))
+        val (markers, parts) = lines.tail.partition(_.startsWith(BatchMarker))
+        Some(Manifest(lines.head.toLong, parts,
+          markers.headOption.map(_.stripPrefix(BatchMarker).toLong)))
       } finally src.close()
     }
   }
@@ -71,8 +80,11 @@ object DedupLedger {
     dir.mkdirs()
     val tmp = new java.io.File(dir, ".current_tmp")
     val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try { w.println(m.version); m.keyParts.foreach(w.println) }
-    finally w.close()
+    try {
+      w.println(m.version)
+      m.lastBatchId.foreach(id => w.println(s"$BatchMarker$id"))
+      m.keyParts.foreach(w.println)
+    } finally w.close()
     if (currentFile(statePath).exists()) currentFile(statePath).delete()
     require(tmp.renameTo(currentFile(statePath)),
       s"CURRENT rename failed under $statePath")
@@ -136,6 +148,20 @@ object DedupLedger {
   def absorb(
       spark: SparkSession, statePath: String, batch: DataFrame,
       prefixTokens: Int = 5): DataFrame = {
+    val p = dedupBatch(spark, statePath, batch, prefixTokens)
+    commitState(spark, statePath, p, batchId = None)
+    val out = p.kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    p.kept.unpersist()
+    out
+  }
+
+  /** Derived-but-uncommitted increment: the kept rows (persisted, one
+    * row per new key) + the manifest snapshot they were derived from. */
+  private final case class Pending(kept: DataFrame, m: Manifest)
+
+  private def dedupBatch(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      prefixTokens: Int): Pending = {
     import graft.functions.BloomFunctions._
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(
@@ -160,15 +186,23 @@ object DedupLedger {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"), col("__k"))
       .persist()
+    Pending(kept, m)
+  }
 
-    // ---- state advance: new part + merged bloom, then the manifest
-    val next = m.version + 1
+  /** State advance: new part + merged bloom, then the manifest — the
+    * rename is the commit. */
+  private def commitState(
+      spark: SparkSession, statePath: String, p: Pending,
+      batchId: Option[Long]): Unit = {
+    import graft.functions.BloomFunctions._
+    val payload = readBloom(spark, statePath, p.m.version)
+    val next = p.m.version + 1
     // mode=overwrite: a crash AFTER these writes but BEFORE the
     // manifest rename leaves orphan part/bloom dirs for this version;
     // the replay of the same increment (manifest never advanced, so it
     // re-derives the identical state) must be able to reclaim them.
     // Single-writer discipline is assumed, as with any ledger.
-    kept.select("__k")                    // kept is 1 row per key
+    p.kept.select("__k")                  // kept is 1 row per key
       .write.mode("overwrite")
       .parquet(keysDir(statePath, partName(next)))
     // batch bloom sized/hashed from the PERSISTED payload's own header
@@ -185,12 +219,44 @@ object DedupLedger {
     while (i < merged.length) { merged(i) |= batchPayload(i); i += 1 }
     writeBloom(spark, statePath, next, merged)
     writeManifest(statePath,
-      Manifest(next, m.keyParts :+ partName(next)))
-
-    val out = kept.select("doc_id", "lang", "source").orderBy("doc_id")
-    kept.unpersist()
-    out
+      Manifest(next, p.m.keyParts :+ partName(next), batchId))
   }
+
+  /** Streaming ingest: a `foreachBatch` function that dedups each
+    * micro-batch against the ledger and appends the kept rows under
+    * `outDir/batch_<id>` — the production crawl-stream shape, with
+    * EXACTLY-ONCE output despite foreachBatch's at-least-once replay:
+    *
+    *  1. output lands FIRST, in a per-batch dir written with
+    *     mode=overwrite, so a replay of a half-done batch (state not
+    *     yet committed → it re-derives the identical kept set) redoes
+    *     the same deterministic dir;
+    *  2. the state commit records the batchId in the manifest LAST —
+    *     a replay of a FULLY-committed batch (crash after commit,
+    *     before the stream checkpoint advanced) sees its own id and
+    *     becomes a no-op, instead of re-absorbing against the advanced
+    *     ledger (which would derive an EMPTY kept set and clobber the
+    *     batch's real output).
+    *
+    * One stream per ledger (single-writer, as everywhere here).
+    * Usage: `docs.writeStream.foreachBatch(
+    *   DedupLedger.absorbSink(spark, state, out)).start()`. */
+  def absorbSink(
+      spark: SparkSession, statePath: String, outDir: String,
+      prefixTokens: Int = 5): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val cur = readManifest(statePath).getOrElse(
+        throw new IllegalStateException(
+          s"no ledger at $statePath — call init(corpus) first"))
+      if (!cur.lastBatchId.contains(batchId)) {
+        val p = dedupBatch(spark, statePath, batch, prefixTokens)
+        p.kept.select("doc_id", "lang", "source")
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        commitState(spark, statePath, p, Some(batchId))
+        p.kept.unpersist()
+        ()
+      }
+    }
 
   /** Compact the key parts into one. Every absorb adds a part dir;
     * after many increments the confirm join pays |parts| file listings

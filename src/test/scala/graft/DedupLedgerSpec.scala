@@ -105,6 +105,59 @@ class DedupLedgerSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("streaming ingest via absorbSink: two micro-batches over a file " +
+    "stream equal the batch two-increment replay; a committed-batch " +
+    "replay is a no-op, not a clobber") {
+    val (corpusDir, b1Dir, b2Dir, state) = fixture("stream")
+    val corpus = spark.read.parquet(corpusDir)
+    DedupLedger.init(spark, state, corpus)
+    // twin state, batch mode — the expected result
+    val twin = java.nio.file.Files
+      .createTempDirectory("ledger_twin").toString
+    DedupLedger.init(spark, twin, corpus)
+    val expected =
+      (DedupLedger.absorb(spark, twin, spark.read.parquet(b1Dir))
+        .collect() ++
+        DedupLedger.absorb(spark, twin, spark.read.parquet(b2Dir))
+          .collect()).map(_.getLong(0)).toSet
+
+    val root = java.nio.file.Files
+      .createTempDirectory("ledger_streamio").toString
+    val (inDir, outDir, ckpt) =
+      (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def feed(srcDir: String, tag: String): Unit =
+      new java.io.File(srcDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(inDir, s"${tag}_$i.parquet"))
+        }
+    val q = spark.readStream.schema(corpus.schema).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(DedupLedger.absorbSink(spark, state, outDir))
+      .start()
+    try {
+      feed(b1Dir, "b1"); q.processAllAvailable()
+      feed(b2Dir, "b2"); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(outDir)
+    assert(streamed.collect().map(_.getLong(0)).toSet == expected)
+
+    // exactly-once guard: replaying the LAST committed micro-batch
+    // (crash-after-commit-before-checkpoint) must not re-absorb — the
+    // advanced ledger would derive an empty kept set and clobber the
+    // batch's real output
+    val m = DedupLedger.readManifest(state).get
+    val lastId = m.lastBatchId.get
+    DedupLedger.absorbSink(spark, state, outDir)(
+      spark.read.parquet(b2Dir), lastId)
+    assert(DedupLedger.readManifest(state).get.version == m.version)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir).collect().map(_.getLong(0)).toSet == expected)
+  }
+
   test("compaction folds the part list to one without changing any " +
     "future absorb's result") {
     val (corpusDir, b1Dir, b2Dir, _) = fixture("compact")
