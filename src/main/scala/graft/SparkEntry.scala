@@ -155,6 +155,8 @@ object SparkEntry {
     "q152b_paragraph_newline" -> q(t => Dedup.q152b(t.documents)),
     "q154_normalize" -> q(t => Scrub.q154(t.documents)),
     "q155_blocklist" -> q(t => Scrub.q155(t.documents)),
+    "q156_shuffle_shards" ->
+      q(t => TextAnalysis.shuffleShards(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -1802,6 +1804,35 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source, term
         |ORDER BY source, term""".stripMargin,
+    // q156: the md5 shuffle key uses the established portable mapping
+    // (Spark conv(substr(md5,1,8),16,10) == DuckDB '0x'||substr cast,
+    // q64 precedent); shard boundaries from the running token sum in
+    // shuffle order — the engine computes that sum via GlobalRank (no
+    // unpartitioned window), the oracle via a plain window.
+    "q156_shuffle_shards" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+        |      AS hkey
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, hkey,
+        |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_tokens) OVER () AS tot
+        |  FROM base),
+        |s AS (
+        |  SELECT doc_id, n_tokens, hkey,
+        |    LEAST(CAST(FLOOR((cum - n_tokens) * 8.0 / tot) AS BIGINT),
+        |      7) AS shard
+        |  FROM c)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY hkey, doc_id) AS pos,
+        |  n_tokens
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -887,4 +887,48 @@ object TextAnalysis {
           .cast("int").as("selected"))
       .orderBy("doc_id")
   }
+
+  /** q156 — deterministic global shuffle + token-balanced contiguous
+    * sharding: the "shuffle the corpus, write N shards" step every
+    * training pipeline runs last. Shuffle order is md5(doc_id||salt)
+    * — a seeded, engine-portable permutation (no RNG, so the oracle
+    * replays it exactly); a shard is a CONTIGUOUS span of that order,
+    * with boundaries placed by the distributed running sum of token
+    * counts ([[GlobalRank.cumSum]] — no unpartitioned window) so
+    * shards balance by TOKEN MASS, not doc count (docs vary 10×+ in
+    * length; doc-count-balanced shards skew what the trainer actually
+    * consumes). shard = floor(tokens_before · N / total), clamped.
+    *
+    * Scale: the cumsum is the two-level GlobalRank shape (256-way
+    * bucketed, broadcast offsets); the in-shard position window is
+    * keyed by shard — in production N is sized so a shard is one
+    * trainer file (1–4 GB ⇒ thousands of shards at 100 TB), which
+    * bounds every per-shard task at ~corpus/N exactly like any
+    * range-partitioned sort. Integer-exact: hash, token counts, and
+    * boundary arithmetic are all integral (the one division is exact
+    * in double far beyond 2^53 … total·N fits 2^63 up to ~10^14
+    * tokens · 8 shards). */
+  def shuffleShards(
+      documents: DataFrame, nShards: Int = 8,
+      salt: String = "shard"): DataFrame = {
+    val h = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val base = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      h.as("hkey"))
+    val withCum = GlobalRank.cumSum(
+      base, col("hkey"), col("doc_id"), col("n_tokens"), "cum_tokens")
+    val total = base.agg(sum("n_tokens").as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hkey", "doc_id")
+    withCum.crossJoin(broadcast(total))
+      .withColumn("shard", least(
+        floor((col("cum_tokens") - col("n_tokens"))
+          * nShards / col("__tot")),
+        lit(nShards - 1L)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -370,4 +370,38 @@ class TextSpec extends SparkSpec {
       got.filter(_._3 == 1).map(key).max,
       got.filter(_._3 == 0).map(key).min))
   }
+  test("shuffleShards: exact cover, contiguous hash-order shards, " +
+    "token balance within boundary-doc granularity, deterministic") {
+    val n = tables.documents.count()
+    val shards = TextAnalysis.shuffleShards(tables.documents, nShards = 8)
+      .collect()
+    assert(shards.length == n)
+    assert(shards.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    val byShard = shards.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet == (0 until 8).toSet)
+    // per-shard positions are 1..|shard| (a valid within-shard order)
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq
+        == (1L to rows.length).toSeq, s"shard $sh")
+    }
+    // token balance: a shard's mass differs from total/N by at most
+    // the boundary docs' tokens (contiguous spans of the hash order
+    // cut at token offsets)
+    val total = shards.map(_.getAs[Long]("n_tokens")).sum
+    val maxDoc = shards.map(_.getAs[Long]("n_tokens")).max
+    val target = total.toDouble / 8
+    byShard.foreach { case (sh, rows) =>
+      val mass = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(math.abs(mass - target) <= 2 * maxDoc,
+        s"shard $sh mass $mass vs target $target (maxDoc $maxDoc)")
+    }
+    // the permutation actually shuffles: shard-0 doc ids are not just
+    // the smallest ids
+    val shard0 = byShard(0).map(_.getAs[Long]("doc_id")).toSet
+    assert(shard0 != (0L until shard0.size.toLong).toSet)
+    // deterministic: same output on a second run
+    val again = TextAnalysis.shuffleShards(tables.documents, nShards = 8)
+      .collect()
+    assert(shards.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
