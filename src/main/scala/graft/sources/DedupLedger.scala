@@ -248,6 +248,21 @@ object DedupLedger {
       val cur = readManifest(statePath).getOrElse(
         throw new IllegalStateException(
           s"no ledger at $statePath — call init(corpus) first"))
+      // checkpoint/state drift guard: valid ids are last (replay, the
+      // no-op below) or last+1 (progress). Anything else means the
+      // stream checkpoint and the ledger diverged — most commonly a
+      // FRESH checkpoint over existing state, whose replayed early
+      // batches would re-absorb against the advanced ledger, derive
+      // EMPTY kept sets, and overwrite the real per-batch output dirs.
+      // Fail loudly instead.
+      cur.lastBatchId.foreach { last =>
+        require(batchId == last || batchId == last + 1,
+          s"stream/ledger mismatch at $statePath: ledger committed " +
+            s"micro-batch $last but foreachBatch delivered $batchId; " +
+            "the checkpoint, the ledger state, and the output dir " +
+            "form one unit — restarting a stream with a fresh " +
+            "checkpoint over existing state is not recoverable here")
+      }
       if (!cur.lastBatchId.contains(batchId)) {
         val p = dedupBatch(spark, statePath, batch, prefixTokens)
         p.kept.select("doc_id", "lang", "source")

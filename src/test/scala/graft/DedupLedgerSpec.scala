@@ -156,6 +156,14 @@ class DedupLedgerSpec extends SparkSpec {
     assert(DedupLedger.readManifest(state).get.version == m.version)
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(outDir).collect().map(_.getLong(0)).toSet == expected)
+
+    // checkpoint/state drift guard: a fresh checkpoint restarting at
+    // batch 0 over this advanced ledger must fail loudly, not clobber
+    val e = intercept[IllegalArgumentException] {
+      DedupLedger.absorbSink(spark, state, outDir)(
+        spark.read.parquet(b1Dir), 0L)
+    }
+    assert(e.getMessage.contains("stream/ledger mismatch"), e.getMessage)
   }
 
   test("compaction folds the part list to one without changing any " +
