@@ -157,6 +157,9 @@ object SparkEntry {
     "q155_blocklist" -> q(t => Scrub.q155(t.documents)),
     "q156_shuffle_shards" ->
       q(t => TextAnalysis.shuffleShards(t.documents)),
+    "q157_line_scrub" -> q(t => Scrub.q157(t.documents)),
+    "q158_html_strip" -> q(t => Scrub.q158(t.documents)),
+    "q159_constraint_audit" -> q(Constraints.q159),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -1833,6 +1836,159 @@ object SparkEntry {
         |    ORDER BY hkey, doc_id) AS pos,
         |  n_tokens
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q157: parallel unnest(range, ls) zips positionally in DuckDB —
+    // the posexplode twin; string_agg(... ORDER BY pos) rebuilds the
+    // doc in original line order; concat_ws skips NULL branches in
+    // both engines, so the planted chrome lines drop out identically.
+    "q157_line_scrub" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'home about contact login' END,
+        |    text,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'sign up for our newsletter today' END,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'copyright acme corp all rights reserved' END,
+        |    'ref code ' || doc_id) AS t
+        |  FROM documents),
+        |split AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM enriched),
+        |lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos,
+        |         unnest(ls) AS line
+        |  FROM split),
+        |keyed AS (
+        |  SELECT doc_id, pos, line, trim(line) AS key FROM lines),
+        |freq AS (
+        |  SELECT key FROM keyed WHERE len(key) > 0
+        |  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 30),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.line FROM keyed k
+        |  LEFT JOIN freq f ON k.key = f.key WHERE f.key IS NULL),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines FROM keyed GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+        |       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT)
+        |         AS n_removed,
+        |       md5(COALESCE(a.clean, '')) AS clean_md5
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q158: lazy quantifiers + (?s) behave identically in Java regex
+    // and RE2; entity replaces run in the same fixed order (&amp;
+    // last) on both sides.
+    "q158_html_strip" ->
+      """WITH enriched AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<script>var x = 1 < 2 && true;</script>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<style>.nav { color: #fff; }</style>'
+        |      ELSE '' END ||
+        |    '</head><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+        |    '</p>' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<p>Tom &amp; Jerry &lt;tag&gt; &quot;q&quot;' ||
+        |           ' &#39;s&nbsp;end</p>'
+        |      ELSE '' END ||
+        |    '</body></html>' AS raw
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(raw,
+        |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb
+        |  FROM enriched),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(nb, '<[^>]+>')) AS BIGINT)
+        |      AS n_tags,
+        |    regexp_replace(nb, '<[^>]+>', ' ', 'g') AS nt
+        |  FROM b),
+        |u AS (
+        |  SELECT doc_id, n_tags,
+        |    replace(replace(replace(replace(replace(replace(nt,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS ut
+        |  FROM s)
+        |SELECT doc_id, n_tags,
+        |  md5(trim(regexp_replace(ut, '\s+', ' ', 'g'))) AS clean_md5,
+        |  CAST(len(trim(regexp_replace(ut, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // q159: each engine computes integer sum/count ratios rounded to
+    // 6 — bit-stable across engines; 'constraint' is reserved in
+    // DuckDB, hence check_name.
+    "q159_constraint_audit" ->
+      """SELECT 'completeness_l_shipdate' AS check_name,
+        |  ROUND(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) AS metric,
+        |  ROUND(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) >= 1.0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'uniqueness_l_orderkey_linenumber',
+        |  ROUND((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+        |    l_linenumber FROM lineitem))::DOUBLE / COUNT(*), 6),
+        |  ROUND((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+        |    l_linenumber FROM lineitem))::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_l_quantity_1_50',
+        |  ROUND(SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1
+        |    ELSE 0 END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1
+        |    ELSE 0 END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nonneg_l_extendedprice',
+        |  ROUND(SUM(CASE WHEN l_extendedprice >= 0.0 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN l_extendedprice >= 0.0 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'bound_l_discount_le_005',
+        |  ROUND(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'set_o_orderstatus',
+        |  ROUND(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+        |    ELSE 0 END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+        |    ELSE 0 END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'pattern_o_orderpriority',
+        |  ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority,
+        |    '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority,
+        |    '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+        |    >= 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'positive_o_totalprice',
+        |  ROUND(SUM(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'ref_lineitem_orderkey_in_orders',
+        |  ROUND(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6),
+        |  ROUND(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / COUNT(*), 6) >= 1.0
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+        |  FROM orders) o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY check_name""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -285,4 +285,158 @@ object Scrub {
         countDistinct(col("path")).as("n_paths"),
         (count(lit(1)) - countDistinct(col("path"))).as("dup_mass"))
       .orderBy("host")
+
+  // ---- q157: frequent-line scrub (C4 line-level boilerplate removal)
+
+  /** Remove every LINE that occurs in >= `minDocs` distinct documents
+    * and reassemble each document from its surviving lines in original
+    * order — the C4/CCNet line-level boilerplate pass (nav bars,
+    * cookie banners, copyright footers repeat across a site; body
+    * prose does not). This is a cleaning TRANSFORM, not a detector:
+    * the output carries the rebuilt text. Documents whose every line
+    * is boilerplate survive with empty text (dropping them is the
+    * caller's policy decision, cf. [[blocklistDrop]]).
+    *
+    * Line identity is `trim(line)`; run [[normalizeText]] first on
+    * corpora where unicode/whitespace variants should fold together.
+    *
+    * Scale: one explode to (doc, pos, line), one hash-agg counting
+    * distinct docs per line (partial aggs absorb hot boilerplate
+    * lines map-side), one equi-join of lines against the frequent
+    * set, one groupBy(doc) reassembly. The frequent set is tiny by
+    * construction (heavy-tailed boilerplate), so AQE broadcasts the
+    * join; at 100 TB key both sides on xxhash64(line) fingerprints so
+    * the shuffle carries 8 bytes per line, not the line text — the
+    * reassembly side already has to carry the text either way.
+    * `idCol` must be a unique row key (the explode round-trips it). */
+  def lineScrub(
+      df: DataFrame, minDocs: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val frequent = lines
+      .filter(length(col("__key")) > 0)
+      .groupBy("__key")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__key")
+    val kept = lines.join(frequent, Seq("__key"), "left_anti")
+    val rebuilt = lines.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"))
+      .join(
+        kept.groupBy(idCol).agg(
+          count(lit(1)).as("__n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("__pos"), col("__line")))),
+              s => s.getField("__line")),
+            "\n").as("__clean")),
+        Seq(idCol), "left")
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .withColumn("n_removed",
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).cast("long"))
+      .drop("__clean", "__n_kept")
+  }
+
+  /** Deterministic multi-line enrichment: the fixture text is a single
+    * line, so the declared query plants site-chrome lines (nav on
+    * doc_id%2, newsletter on %3, copyright footer on %4 — each lands
+    * in far more than `minDocs` docs) plus a per-doc unique reference
+    * line that must SURVIVE the scrub. `concat_ws` skips the NULL
+    * branches in both engines. */
+  private def lineEnriched(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    documents.withColumn("text", concat_ws("\n",
+      when(id % 2 === 0, lit("home about contact login")),
+      col("text"),
+      when(id % 3 === 0, lit("sign up for our newsletter today")),
+      when(id % 4 === 0, lit("copyright acme corp all rights reserved")),
+      concat(lit("ref code "), id.cast("string"))))
+  }
+
+  /** q157 — line-scrub report: per document, original line count,
+    * removed count, and the md5 of the REBUILT text (hash-portable
+    * proof the reassembled string — content, order, separators — is
+    * right, not just the counts; the q150 pattern). */
+  def q157(documents: DataFrame): DataFrame =
+    lineScrub(lineEnriched(documents), minDocs = 30)
+      .select(col("doc_id"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_removed"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  // ---- q158: HTML → text extraction (the WET/CC-extract pass) ------
+
+  /** Drop `<script>`/`<style>` blocks WITH their contents (tag-strip
+    * alone would leak JS/CSS into the "text"). Runs first: script
+    * bodies legally contain bare `<` (e.g. `1 < 2`) that would
+    * otherwise start a bogus tag match. */
+  def dropCodeBlocks(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+
+  /** HTML entity unescape, single pass in fixed order (`&amp;` LAST,
+    * the standard non-recursive rule: `&amp;lt;` yields the literal
+    * text `&lt;`, not `<`). Covers the five named entities + nbsp
+    * that dominate real crawl text; a full entity table is the same
+    * fold over more literals. */
+  def unescapeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) =>
+        replace(acc, lit(e), lit(r))
+      }
+
+  /** HTML → text: drop script/style blocks, strip tags to spaces,
+    * unescape entities, collapse whitespace — the Common-Crawl
+    * WET-style extraction every web-corpus pipeline starts from.
+    * Pure narrow codegen'd transform (regexp_replace + replace
+    * chain); rides the corpus scan, embarrassingly parallel. */
+  def htmlStrip(c: Column): Column =
+    trim(regexp_replace(
+      unescapeEntities(regexp_replace(dropCodeBlocks(c), "<[^>]+>", " ")),
+      "\\s+", " "))
+
+  /** Deterministic HTML enrichment: wrap the fixture text in page
+    * chrome — title/h1, a script block on doc_id%3, a style block on
+    * %5, an entity-laden paragraph on %2 — derived identically in
+    * both engines (the q150 pattern). */
+  private def htmlEnriched(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    documents.withColumn("raw", concat(
+      lit("<html><head><title>Doc "), id.cast("string"), lit("</title>"),
+      when(id % 3 === 0,
+        lit("<script>var x = 1 < 2 && true;</script>")).otherwise(lit("")),
+      when(id % 5 === 0,
+        lit("<style>.nav { color: #fff; }</style>")).otherwise(lit("")),
+      lit("</head><body><h1>Doc "), id.cast("string"), lit("</h1><p>"),
+      col("text"), lit("</p>"),
+      when(id % 2 === 0,
+        lit("<p>Tom &amp; Jerry &lt;tag&gt; &quot;q&quot;" +
+          " &#39;s&nbsp;end</p>")).otherwise(lit("")),
+      lit("</body></html>")))
+  }
+
+  /** q158 — HTML-extraction report: per document, the markup-tag
+    * count (after block removal — script/style innards are not
+    * "tags") and the md5 + length of the extracted text (hash-
+    * portable proof of the exact extracted string). */
+  def q158(documents: DataFrame): DataFrame = {
+    val noBlocks = dropCodeBlocks(col("raw"))
+    htmlEnriched(documents)
+      .select(col("doc_id"),
+        regexp_count(noBlocks, lit("<[^>]+>")).cast("long").as("n_tags"),
+        htmlStrip(col("raw")).as("__clean"))
+      .select(col("doc_id"), col("n_tags"),
+        md5(col("__clean")).as("clean_md5"),
+        length(col("__clean")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Constraints
+import graft.operators.Constraints.Check
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+/** Deequ-style constraint audit (q159): metric math on crafted
+  * violations, the one-scan-per-table plan contract, and the fixture
+  * report's expected verdicts. */
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val crafted = Seq(
+    (1L, Some("a"), 10.0), (2L, Some("b"), -5.0),
+    (3L, None, 20.0), (4L, Some("d"), 30.0),
+    (4L, Some("e"), 40.0)) // duplicate id
+    .toDF("id", "s", "v")
+
+  test("fraction / uniqueness metrics measure crafted violations " +
+    "and both verdict paths fire") {
+    val got = Constraints.audit(crafted, Seq(
+      Check("complete_s", Constraints.fraction(col("s").isNotNull),
+        _ >= 1.0),
+      Check("unique_id", Constraints.uniqueness(col("id")), _ >= 1.0),
+      Check("nonneg_v", Constraints.fraction(col("v") >= 0), _ >= 1.0),
+      Check("some_rows", count(lit(1)).cast("double"), _ >= 1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got("complete_s") == ((0.8, false)))
+    assert(got("unique_id") == ((0.8, false)))
+    assert(got("nonneg_v") == ((0.8, false)))
+    assert(got("some_rows") == ((5.0, true)))
+  }
+
+  test("audit evaluates every declared check in ONE aggregate pass " +
+    "(the Deequ analyzer-batching contract)") {
+    val df = Constraints.audit(crafted, Seq(
+      Check("a", Constraints.fraction(col("v") > 0), _ >= 1.0),
+      Check("b", Constraints.fraction(col("s").isNotNull), _ >= 1.0),
+      Check("c", Constraints.uniqueness(col("id")), _ >= 1.0)))
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+    }
+    // uniqueness adds the internal distinct-expand rewrite, but there
+    // is exactly one aggregate SUBTREE over the input — no per-check
+    // rescan (each scan would show as a separate leaf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 1, leaves.mkString("\n"))
+    assert(aggs.nonEmpty)
+  }
+
+  test("refFraction measures orphaned children") {
+    val child = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "orphan"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val r = Constraints.refFraction(child, "fk", parent, "pk", "ref")
+      .head()
+    assert(r.getString(0) == "ref")
+    assert(r.getDouble(1) == 0.75)
+    assert(!r.getBoolean(2))
+  }
+
+  test("q159 on the fixture: nine rows; the discount bound AND the " +
+    "line-number uniqueness fail (a genuine fixture finding — " +
+    "(l_orderkey, l_linenumber) collides in ~24% of rows); the rest " +
+    "pass at exactly 1.0") {
+    val rows = Constraints.q159(tables).collect()
+    assert(rows.length == 9)
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getBoolean(2))).toMap
+    val failing =
+      Set("bound_l_discount_le_005", "uniqueness_l_orderkey_linenumber")
+    failing.foreach { n =>
+      assert(!byName(n)._2 && byName(n)._1 < 1.0,
+        s"$n: ${byName(n)}")
+    }
+    (byName.keySet -- failing).foreach { n =>
+      val (m, p) = byName(n)
+      assert(p && m == 1.0, s"$n: metric=$m passed=$p")
+    }
+  }
+}

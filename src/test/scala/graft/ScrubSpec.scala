@@ -216,4 +216,107 @@ class ScrubSpec extends SparkSpec {
       assert(h == h.toLowerCase && !h.startsWith("www."), h)
     }
   }
+
+  test("lineScrub removes frequent lines, keeps rare ones, preserves " +
+    "order, and rebuilds byte-exact text") {
+    // boilerplate 'NAV' and 'FOOT' appear in 3 docs each; body lines
+    // are unique; threshold 3 removes exactly the chrome
+    val docs = Seq(
+      (1L, "NAV\nalpha body one\nmid line a\nFOOT"),
+      (2L, "NAV\nbeta body two\nFOOT"),
+      (3L, "NAV\ngamma body three\nFOOT"),
+      (4L, "delta stands alone"))
+      .toDF("doc_id", "text")
+    val got = Scrub.lineScrub(docs, minDocs = 3)
+      .select("doc_id", "text", "n_lines", "n_removed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(got(1L) == (("alpha body one\nmid line a", 4L, 2L)))
+    assert(got(2L) == (("beta body two", 3L, 2L)))
+    assert(got(3L) == (("gamma body three", 3L, 2L)))
+    assert(got(4L) == (("delta stands alone", 1L, 0L)))
+  }
+
+  test("lineScrub threshold boundary: a line in minDocs-1 docs " +
+    "survives; all-boilerplate docs survive with empty text") {
+    val docs = Seq(
+      (1L, "twice\nunique a"), (2L, "twice\nunique b"),
+      (3L, "thrice"), (4L, "thrice"), (5L, "thrice"))
+      .toDF("doc_id", "text")
+    val got = Scrub.lineScrub(docs, minDocs = 3)
+      .select("doc_id", "text", "n_removed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_removed"))).toMap
+    // 'twice' occurs in 2 docs < 3 -> kept; 'thrice' in 3 -> scrubbed
+    assert(got(1L) == (("twice\nunique a", 0L)))
+    assert(got(2L) == (("twice\nunique b", 0L)))
+    assert(got(3L) == (("", 1L)))
+    assert(got(4L) == (("", 1L)))
+    assert(got(5L) == (("", 1L)))
+  }
+
+  test("lineScrub counts distinct DOCS, not occurrences: a line " +
+    "repeated inside one doc does not cross the threshold") {
+    val docs = Seq(
+      (1L, "echo\necho\necho\nbody one"),
+      (2L, "body two"))
+      .toDF("doc_id", "text")
+    val got = Scrub.lineScrub(docs, minDocs = 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "echo\necho\necho\nbody one")
+  }
+
+  test("htmlStrip extracts text: tags stripped, script/style bodies " +
+    "dropped, entities unescaped, whitespace collapsed") {
+    val docs = Seq(
+      ("<html><body><h1>Title</h1><p>Hello  <b>world</b>!</p>" +
+        "</body></html>", "Title Hello world !"),
+      ("<script>if (a < b && c > d) { alert('x'); }</script>keep me",
+        "keep me"),
+      ("<style>.x { color: red; }</style>styled out", "styled out"),
+      ("Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;",
+        "Tom & Jerry say \"hi\" <here>"),
+      // single-pass rule: &amp;lt; is the literal text '&lt;', not '<'
+      ("escaped &amp;lt; stays literal", "escaped &lt; stays literal"),
+      ("no markup at all", "no markup at all"))
+      .toDF("raw", "want")
+    docs.select(Scrub.htmlStrip(col("raw")).as("got"), col("want"))
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(1), r.toString)
+      }
+  }
+
+  test("q158 on the fixture: every doc extracts its body text and " +
+    "title; planted entity paragraph unescapes") {
+    val r = Scrub.q158(tables.documents).collect()
+    assert(r.length == tables.documents.count())
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      // base chrome: html, head, title, /title, /head, body, h1, /h1,
+      // p, /p, /body, /html = 12 tags; +2 per planted entity <p>
+      val expectTags = 12 + (if (id % 2 == 0) 2 else 0)
+      assert(row.getAs[Long]("n_tags") == expectTags, row.toString)
+      assert(row.getAs[Long]("n_chars") > 0)
+    }
+  }
+
+  test("q157 on the fixture: planted chrome lines are scrubbed, the " +
+    "per-doc ref line survives") {
+    val r = Scrub.q157(tables.documents)
+    val n = tables.documents.count()
+    assert(r.count() == n)
+    val rows = r.collect()
+    rows.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      // planted: nav on %2, newsletter on %3, footer on %4 all exceed
+      // the threshold and must be removed; body + ref line survive
+      val expectRemoved =
+        (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0) +
+          (if (id % 4 == 0) 1 else 0)
+      assert(row.getAs[Long]("n_removed") == expectRemoved, row.toString)
+      assert(row.getAs[Long]("n_lines") == expectRemoved + 2, row.toString)
+    }
+  }
 }
