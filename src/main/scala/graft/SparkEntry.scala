@@ -160,6 +160,8 @@ object SparkEntry {
     "q157_line_scrub" -> q(t => Scrub.q157(t.documents)),
     "q158_html_strip" -> q(t => Scrub.q158(t.documents)),
     "q159_constraint_audit" -> q(Constraints.q159),
+    "q160_zorder" -> q(ZOrder.q160),
+    "q161_cdc_chunks" -> q(t => Dedup.q161(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -1989,6 +1991,64 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
         |  FROM orders) o ON l.l_orderkey = o.o_orderkey
         |ORDER BY check_name""".stripMargin,
+    // q160: the oracle builds the Morton code arithmetically (list
+    // comprehension over 16 bit positions); the engine's native
+    // expression must agree bit-for-bit.
+    "q160_zorder" ->
+      """WITH z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum([
+        |      ((((l_partkey % 65536) >> i) & 1) << (2*i)) +
+        |      ((((l_suppkey % 65536) >> i) & 1) << (2*i+1))
+        |      for i in range(16)]) AS BIGINT) AS z
+        |  FROM lineitem)
+        |SELECT CAST(z >> 16 AS BIGINT) AS bucket,
+        |  COUNT(*)::BIGINT AS n,
+        |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+        |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+        |  MIN(z) AS min_z, MAX(z) AS max_z
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q161: boundary rule = first md5 hex nibble of the token < '2'
+    // (hex-string compare, the q46 portable-mapping precedent);
+    // parallel unnests zip positionally (q157 precedent).
+    "q161_cdc_chunks" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN text ||
+        |      ' terms of service apply to all users of this site' ||
+        |      ' without notice'
+        |    WHEN doc_id % 4 = 1 THEN
+        |      'terms of service apply to all users of this site' ||
+        |      ' without notice ' || text
+        |    ELSE text END AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos,
+        |         unnest(ls) AS tok
+        |  FROM (SELECT doc_id, string_split(t, ' ') AS ls
+        |        FROM enriched)),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) < '2' THEN 1 ELSE 0 END
+        |      AS b
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+        |    COUNT(*)::BIGINT AS n_tokens
+        |  FROM c GROUP BY doc_id, chunk_idx)
+        |SELECT chunk_md5, COUNT(*)::BIGINT AS n_occ,
+        |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  MAX(n_tokens)::BIGINT AS n_tokens
+        |FROM ch GROUP BY chunk_md5
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, chunk_md5 LIMIT 100""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

@@ -874,4 +874,83 @@ object Dedup {
     paragraphDedupNewline(documents.withColumn("text",
       concat_ws("\n\n", header, col("text"), footer)))
   }
+
+  // ---- q161: content-defined chunking (CDC) dedup ------------------
+
+  /** Content-defined chunking: split each document into chunks whose
+    * boundaries depend on CONTENT, not position — a token ends a
+    * chunk when its hash falls in a 1-in-2^`pBits` band (the
+    * rolling-hash cut rule of storage dedup: LBFS/rsync/restic
+    * lineage). The property that matters: inserting or deleting text
+    * shifts every downstream FIXED-size chunk and kills their hashes,
+    * but CDC boundaries re-synchronize immediately — a shared
+    * boilerplate block embedded at DIFFERENT offsets in different
+    * documents still yields identical chunks (CdcChunkSpec proves
+    * this; the fixed-token chunker above provably cannot).
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, chunk_md5,
+    * n_tokens). Expected chunk length is 2^pBits tokens.
+    *
+    * Scale: explode to tokens, one doc-partitioned window (running
+    * boundary count — never unpartitioned), one groupBy(doc, chunk)
+    * reassembly keyed by 16-byte md5. Corpus-wide chunk-dup analysis
+    * is then a hash-agg on the md5 — linear, no pairwise anything. */
+  def cdcChunks(
+      documents: DataFrame, pBits: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(pBits >= 1 && pBits <= 8, s"pBits in [1,8], got $pBits")
+    // boundary band: first hex nibble of md5(token) < 16/2^pBits —
+    // hex-string compare, portable to the oracle (q46 precedent)
+    val bandEnd = "0123456789abcdef".charAt(16 >> pBits).toString
+    val toks = spread(documents)
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(substring(md5(col("tok")), 1, 1) < bandEnd, 1L)
+          .otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ")).as("chunk_md5"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Deterministic shared-block enrichment for q161: a terms-of-
+    * service block is APPENDED on doc_id%4==0 and PREPENDED on
+    * doc_id%4==1 — different offsets in every affected doc, which is
+    * exactly the misalignment that defeats fixed-size chunking and
+    * that CDC must see through. */
+  private def cdcEnriched(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val block =
+      "terms of service apply to all users of this site without notice"
+    documents.withColumn("text",
+      when(id % 4 === 0, concat(col("text"), lit(" " + block)))
+        .when(id % 4 === 1, concat(lit(block + " "), col("text")))
+        .otherwise(col("text")))
+  }
+
+  /** q161 — corpus-wide CDC dup report: chunks occurring in more than
+    * one document, with occurrence and doc counts — the dedup-yield
+    * estimate a storage/corpus planner reads. The planted shared
+    * block surfaces here even though no two affected documents agree
+    * on its offset. */
+  def q161(documents: DataFrame): DataFrame =
+    cdcChunks(cdcEnriched(documents))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_occ"), col("chunk_md5"))
+      .limit(100)
 }

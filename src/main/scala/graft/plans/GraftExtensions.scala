@@ -44,7 +44,13 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) =>
-        graft.functions.NfcNormalize(args(0))))
+        graft.functions.NfcNormalize(args(0))),
+    (FunctionIdentifier("interleave_bits16"),
+      new ExpressionInfo(
+        classOf[graft.functions.InterleaveBits16].getName,
+        "interleave_bits16"),
+      (args: Seq[Expression]) =>
+        graft.functions.InterleaveBits16(args(0), args(1))))
 
   /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for
     * the bounded-heap top-k node. All four arguments are literals
