@@ -162,6 +162,7 @@ object SparkEntry {
     "q159_constraint_audit" -> q(Constraints.q159),
     "q160_zorder" -> q(ZOrder.q160),
     "q161_cdc_chunks" -> q(t => Dedup.q161(t.documents)),
+    "q162_sq8_ann" -> q(t => Similarity.sq8CosineTopK(t.embeddings)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -2049,6 +2050,35 @@ object SparkEntry {
         |FROM ch GROUP BY chunk_md5
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_occ DESC, chunk_md5 LIMIT 100""".stripMargin,
+    // q162: symmetric per-vector SQ8 — the quantized cosine is scale-
+    // free, so the score is exact-integer sums under IEEE sqrt/divide
+    // (bit-identical across engines); floor(x+0.5) is the one rounding
+    // rule both engines share on negative halves.
+    "q162_sq8_ann" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    GREATEST(list_max([abs(x::DOUBLE) for x in embedding]),
+        |      1e-12) / 127.0 AS sc
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |    [CAST(floor(x::DOUBLE / s.sc + 0.5) AS BIGINT)
+        |     for x in e.embedding] AS qc
+        |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id),
+        |base AS (
+        |  SELECT vec_id, qc, list_sum([c*c for c in qc]) AS d2
+        |  FROM codes WHERE list_sum([c*c for c in qc]) > 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_sum([q.qc[i] * c.qc[i]
+        |        for i in range(1, len(q.qc)+1)])::DOUBLE /
+        |      (sqrt(q.d2::DOUBLE) * sqrt(c.d2::DOUBLE)), 6) AS cos_q
+        |  FROM base q JOIN base c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT qid, cid, cos_q,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos_q DESC, cid) AS rk
+        |FROM pairs QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

