@@ -664,11 +664,19 @@ object Similarity {
   def sq8CosineTopK(
       embeddings: DataFrame, queryMaxId: Long = 10,
       k: Int = 5): DataFrame = {
+    // codes ride as ARRAY<DOUBLE> so the scoring loop is the fused
+    // native vec_dot expression (one codegen'd primitive loop, no
+    // per-pair intermediate array) — every product and running sum
+    // stays < 2^53, so double arithmetic here IS exact integer
+    // arithmetic and the oracle's BIGINT formulation matches
+    // bit-for-bit
+    import graft.functions.VectorFunctions.vec_dot
     val base = embeddings
-      .select(col("vec_id"), sq8Codes(asDouble(col("embedding"))).as("qc"))
-      .withColumn("d2",
-        aggregate(transform(col("qc"), x => x * x), lit(0L), _ + _))
-      .filter(col("d2") > 0L)
+      .select(col("vec_id"),
+        sq8Codes(asDouble(col("embedding")))
+          .cast("array<double>").as("qc"))
+      .withColumn("d2", vec_dot(col("qc"), col("qc")))
+      .filter(col("d2") > 0.0)
     val q = base.select(col("vec_id").as("qid"), col("qc").as("qa"),
       col("d2").as("da")).filter(col("qid") < queryMaxId)
     val c = base.select(col("vec_id").as("cid"), col("qc").as("qb"),
@@ -676,10 +684,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(
-          aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _)
-            .cast("double") /
-            (sqrt(col("da").cast("double")) *
-              sqrt(col("db").cast("double"))), 6).as("cos_q"))
+          vec_dot(col("qa"), col("qb")) /
+            (sqrt(col("da")) * sqrt(col("db"))), 6).as("cos_q"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_q").desc, col("cid").asc)
     scored.withColumn("rk", row_number().over(w))
