@@ -6,26 +6,33 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Native Catalyst expression computing the 32-bit Morton (Z-order)
-  * code of two 16-bit values: bit i of `x` lands at position 2i, bit
-  * i of `y` at 2i+1. Sorting/range-partitioning by this code clusters
-  * rows so that a range predicate on EITHER dimension touches few
-  * parquet row groups — multi-dimensional data skipping (the public
-  * Delta OPTIMIZE ZORDER / Databricks technique; at 100 TB the win is
+/** Native Catalyst expression computing the Morton (Z-order) code of
+  * two values at `bits` bits per side (≤ 31): bit i of `x` lands at
+  * position 2i, bit i of `y` at 2i+1. Sorting/range-partitioning by
+  * this code clusters rows so a range predicate on EITHER dimension
+  * touches few parquet row groups — multi-dimensional data skipping
+  * (the public Delta OPTIMIZE ZORDER technique; at 100 TB the win is
   * entire files never opened, which no post-scan filter can give).
   *
-  * Inputs are masked to their low 16 bits (callers scale real columns
-  * into [0, 65535] first — [[graft.operators.ZOrder.scaleTo16]]).
-  * Implementation is the classic magic-number bit spread: 4 shift-or
-  * steps per operand instead of a 16-iteration loop, branch-free,
-  * fully inside whole-stage codegen (a UDF here would break the span
-  * that the repartition feeding the parquet writer rides on).
+  * Division of labor with [[graft.sources.Writers.zValueN]]: zValueN
+  * is the GENERAL layout tool — n columns, per-column bit budgets,
+  * round-robin packing — built as a Column fold (2·Σbits bitwise
+  * terms). This expression is the fused fast path for the dominant
+  * 2-column equal-budget case: 12 shift-ands per row regardless of
+  * bit width, branch-free, fully inside whole-stage codegen. zValueN
+  * DELEGATES to it when n=2 with equal budgets, so the writer surface
+  * and the expression can never drift.
   *
-  * Null semantics: null if either input is null (BinaryExpression
-  * default).
+  * Inputs are masked to their low `bits` bits (callers scale real
+  * columns into range first — [[graft.operators.ZOrder.scaleTo16]]
+  * for continuous dimensions, dictionary/surrogate keys are already
+  * dense). Null if either input is null (BinaryExpression default).
   */
-case class InterleaveBits16(left: Expression, right: Expression)
+case class InterleaveBits(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
+
+  require(bits >= 1 && bits <= 31,
+    s"interleave bits must be in [1, 31], got $bits")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -37,14 +44,17 @@ case class InterleaveBits16(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
-  override def prettyName: String = "interleave_bits16"
+  override def prettyName: String = "interleave_bits"
+
+  private val mask: Long = (1L << bits) - 1
 
   @inline private def spread(v: Long): Long = {
-    var s = v & 0xffffL
-    s = (s | (s << 8)) & 0x00ff00ffL
-    s = (s | (s << 4)) & 0x0f0f0f0fL
-    s = (s | (s << 2)) & 0x33333333L
-    s = (s | (s << 1)) & 0x55555555L
+    var s = v & mask
+    s = (s | (s << 16)) & 0x0000ffff0000ffffL
+    s = (s | (s << 8)) & 0x00ff00ff00ff00ffL
+    s = (s | (s << 4)) & 0x0f0f0f0f0f0f0f0fL
+    s = (s | (s << 2)) & 0x3333333333333333L
+    s = (s | (s << 1)) & 0x5555555555555555L
     s
   }
 
@@ -59,11 +69,12 @@ case class InterleaveBits16(left: Expression, right: Expression)
       val sy = ctx.freshName("sy")
       def spreadCode(in: String, v: String): String =
         s"""
-           |long $v = $in & 0xffffL;
-           |$v = ($v | ($v << 8)) & 0x00ff00ffL;
-           |$v = ($v | ($v << 4)) & 0x0f0f0f0fL;
-           |$v = ($v | ($v << 2)) & 0x33333333L;
-           |$v = ($v | ($v << 1)) & 0x55555555L;
+           |long $v = $in & ${mask}L;
+           |$v = ($v | ($v << 16)) & 0x0000ffff0000ffffL;
+           |$v = ($v | ($v << 8)) & 0x00ff00ff00ff00ffL;
+           |$v = ($v | ($v << 4)) & 0x0f0f0f0f0f0f0f0fL;
+           |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+           |$v = ($v | ($v << 1)) & 0x5555555555555555L;
          """.stripMargin
       s"""
          |${spreadCode(x, sx)}
@@ -73,13 +84,17 @@ case class InterleaveBits16(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): InterleaveBits16 =
+      newLeft: Expression, newRight: Expression): InterleaveBits =
     copy(left = newLeft, right = newRight)
 }
 
 object ZOrderFunctions {
-  /** Column API for [[InterleaveBits16]]. */
+  /** Column API for [[InterleaveBits]] at an explicit bit width. */
+  def interleave_bits(x: Column, y: Column, bits: Int): Column =
+    GraftBridge.column(InterleaveBits(
+      GraftBridge.expression(x), GraftBridge.expression(y), bits))
+
+  /** The 16-bit-grid form (scaled continuous dimensions, q160). */
   def interleave_bits16(x: Column, y: Column): Column =
-    GraftBridge.column(InterleaveBits16(
-      GraftBridge.expression(x), GraftBridge.expression(y)))
+    interleave_bits(x, y, 16)
 }

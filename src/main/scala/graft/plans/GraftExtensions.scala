@@ -47,10 +47,17 @@ object GraftExtensions {
         graft.functions.NfcNormalize(args(0))),
     (FunctionIdentifier("interleave_bits16"),
       new ExpressionInfo(
-        classOf[graft.functions.InterleaveBits16].getName,
+        classOf[graft.functions.InterleaveBits].getName,
         "interleave_bits16"),
       (args: Seq[Expression]) =>
-        graft.functions.InterleaveBits16(args(0), args(1))))
+        graft.functions.InterleaveBits(args(0), args(1), 16)),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(
+        classOf[graft.functions.InterleaveBits].getName,
+        "interleave_bits"),
+      (args: Seq[Expression]) =>
+        graft.functions.InterleaveBits(args(0), args(1),
+          args(2).eval().asInstanceOf[Number].intValue())))
 
   /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for
     * the bounded-heap top-k node. All four arguments are literals

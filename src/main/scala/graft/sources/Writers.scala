@@ -90,13 +90,22 @@ object Writers {
     * survivors pack tighter, so unequal budgets (a 31-bit key next to
     * a 16-bit enum) waste no positions. For n=2 with equal budgets
     * this is the classic interleave: bit i of col 0 → position 2i,
-    * bit i of col 1 → 2i+1. A pure Column fold — codegen'd, no UDF. */
+    * bit i of col 1 → 2i+1. A pure Column fold — codegen'd, no UDF.
+    *
+    * The dominant n=2-equal-budget case routes through the fused
+    * native [[graft.functions.InterleaveBits]] expression (12
+    * shift-ands per row instead of a 2·Σbits-term fold); the general
+    * fold remains the reference semantics — ZOrderSpec pins the two
+    * paths equal bit-for-bit. */
   def zValueN(cols: Seq[Column], bits: Seq[Int]): Column = {
     require(cols.nonEmpty && cols.length == bits.length,
       s"zValueN: ${cols.length} columns vs ${bits.length} bit budgets")
     require(bits.forall(_ >= 1), s"zValueN: bit budgets must be >= 1")
     require(bits.sum <= 62,
       s"zValueN: total bits ${bits.sum} > 62 overflows the sign bit")
+    if (cols.length == 2 && bits(0) == bits(1) && bits(0) <= 31)
+      return graft.functions.ZOrderFunctions.interleave_bits(
+        cols(0).cast("long"), cols(1).cast("long"), bits(0))
     val longs = cols.map(_.cast("long"))
     var pos = 0
     var acc = lit(0L)

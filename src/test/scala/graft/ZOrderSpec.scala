@@ -18,12 +18,15 @@ import scala.jdk.CollectionConverters._
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
-  private def refInterleave(x: Long, y: Long): Long = {
+  private def refInterleaveAt(x: Long, y: Long, bits: Int): Long = {
     var z = 0L
-    for (i <- 0 until 16)
+    for (i <- 0 until bits)
       z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     z
   }
+
+  private def refInterleave(x: Long, y: Long): Long =
+    refInterleaveAt(x, y, 16)
 
   test("interleave_bits16 matches the bit-loop reference on edge " +
     "cases and a deterministic sweep; inputs mask to 16 bits") {
@@ -59,6 +62,36 @@ class ZOrderSpec extends SparkSpec {
     // and the codegen path agrees with eval: same results either way
     assert(df.collect().map(_.getLong(0)).toSeq ==
       (0L until 10L).map(i => refInterleave(i, i + 1)))
+  }
+
+  test("interleave_bits at 31 bits matches the bit-loop reference, " +
+    "and Writers.zValueN's 2-equal-budget delegation is bit-identical " +
+    "to the general fold's documented packing") {
+    graft.plans.GraftExtensions.register(spark)
+    val sweep = (0 until 300).map { i =>
+      ((i * 2654435761L) & 0x7fffffffL, (i * 40503L * 65537L) & 0x7fffffffL)
+    }
+    val got = sweep.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrderFunctions
+          .interleave_bits(col("x"), col("y"), 31).as("z31"),
+        graft.sources.Writers
+          .zValueN(Seq(col("x"), col("y")), Seq(31, 31)).as("zw"))
+      .collect()
+    got.foreach { r =>
+      val want = refInterleaveAt(r.getLong(0), r.getLong(1), 31)
+      assert(r.getLong(2) == want, s"expr (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getLong(3) == want, s"zValueN (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // SQL surface with an explicit width
+    assert(spark.sql("SELECT interleave_bits(3L, 5L, 31)")
+      .head().getLong(0) == 39L)
+    // the general fold (unequal budgets / n>2) is untouched: 3-column
+    // round-robin packing of (1,1,1) at 1 bit each = 0b111
+    assert(Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(graft.sources.Writers.zValueN(
+        Seq(col("a"), col("b"), col("c")), Seq(1, 1, 1)))
+      .head().getLong(0) == 7L)
   }
 
   test("monotone locality: z-range of a 2-d box is bounded — points " +
