@@ -163,6 +163,9 @@ object SparkEntry {
     "q160_zorder" -> q(ZOrder.q160),
     "q161_cdc_chunks" -> q(t => Dedup.q161(t.documents)),
     "q162_sq8_ann" -> q(t => Similarity.sq8CosineTopK(t.embeddings)),
+    // rows-only (ml_ convention): iterative BPE training is outside
+    // single-statement SQL; BpeSpec pins it to a reference impl
+    "ml_bpe_merges" -> q(t => Bpe.mlBpeMerges(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),

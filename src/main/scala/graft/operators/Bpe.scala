@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer training — the
+  * public Sennrich-2016 / GPT-2 / SentencePiece-BPE algorithm, built
+  * the way a 100 TB corpus forces: the corpus is touched ONCE (a
+  * distributed word-count hash-agg), and every merge round then runs
+  * over the DISTINCT-WORD working set — |vocab| rows, orders of
+  * magnitude smaller than the corpus — exactly the aggregation trick
+  * the public HuggingFace trainer uses. (The reference engine has no
+  * counterpart; this extends the LLM-data-pipeline surface, SURVEY
+  * §2.12 — "tokenizer training" is the one corpus pass every
+  * pretraining pipeline runs that the token-COUNTING operators q22/
+  * q86 presuppose.)
+  *
+  * Per merge round: adjacent symbol pairs explode (weighted by word
+  * frequency), one hash-agg finds the argmax pair (count desc, then
+  * lexicographic — fully deterministic), and a typed map applies the
+  * merge to each word's symbol sequence. The argmax collect is ONE
+  * ROW per round; the working set re-materializes via localCheckpoint
+  * each round (the q131 PageRank lineage discipline — without it the
+  * plan grows by one map per merge and round r replays rounds
+  * 0..r-1). The per-word merge application is a typed Dataset.map —
+  * adjacent-pair rewriting is inherently sequential per word, and the
+  * working set it runs over is the distinct-word table, not the
+  * corpus (documented trade, cf. Multimodal's mapPartitions rule).
+  */
+object Bpe {
+
+  /** One distinct word as its current symbol sequence + corpus
+    * frequency. */
+  final case class WordSyms(syms: Seq[String], n: Long)
+
+  /** One learned merge: rank = order it was learned, support = the
+    * weighted pair count that won the round. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, support: Long)
+
+  /** Distinct-word frequency table off ONE corpus scan. Words are
+    * whitespace tokens with a terminal end-of-word marker `</w>`
+    * symbol appended (the Sennrich convention: `low</w>` and the
+    * prefix `low` in `lower</w>` learn separate merges). */
+  def wordCounts(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private def toSyms(word: String): Seq[String] =
+    word.map(_.toString) :+ "</w>"
+
+  /** Apply one merge (left, right) -> left+right to a symbol
+    * sequence, leftmost-first, non-overlapping. */
+  def applyMerge(syms: Seq[String], left: String, right: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` merges over the corpus. Returns the learned
+    * merge table in rank order — the whole artifact a tokenizer
+    * needs (vocab = initial characters + merged symbols). */
+  def train(
+      documents: DataFrame, numMerges: Int,
+      minCount: Long = 2, textCol: String = "text"): Seq[Merge] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var words: Dataset[WordSyms] = wordCounts(documents, textCol)
+      .as[(String, Long)]
+      .map { case (w, n) => WordSyms(toSyms(w), n) }
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      // weighted pair counts over the distinct-word working set
+      val top = words
+        .flatMap(w => w.syms.sliding(2).collect {
+          case Seq(a, b) => ((a, b), w.n)
+        })
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        .toDF("l", "r", "c")
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1).collect() // argmax only: ONE row to the driver
+      if (top.isEmpty || top.head.getAs[Long]("c") < minCount) {
+        done = true
+      } else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getAs[Long]("c"))
+        merges += Merge(round, l, r, l + r, c)
+        val prev = words
+        words = words
+          .map(w => WordSyms(applyMerge(w.syms, l, r), w.n))
+          .localCheckpoint(eager = true) // cut per-round lineage
+        prev.unpersist()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode a word with a trained merge list (merges applied in rank
+    * order — the standard BPE encode). */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.foldLeft(toSyms(word)) { (syms, m) =>
+      applyMerge(syms, m.left, m.right)
+    }
+
+  /** Tokenize a text column with a trained merge list: the merges
+    * broadcast as a literal (tokenizers are KBs — the model ships to
+    * every executor like any blocklist), the corpus streams through a
+    * per-row encode. Output: one row per (input row id, token). */
+  def encodeTokens(
+      df: DataFrame, merges: Seq[Merge],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).iterator.flatMap { w =>
+          encodeWord(w, bc.value).iterator.map(t => (id, t))
+        }
+      }
+      .toDF(idCol, "token")
+  }
+
+  /** ml_bpe_merges — the declared rows-only artifact: 40 merges
+    * trained on the documents corpus, in rank order. Deterministic
+    * (argmax ties break lexicographically), but iterative — outside
+    * single-statement SQL, so gated by BpeSpec's reference-
+    * implementation equality instead of the DuckDB oracle (the ml_*
+    * convention). */
+  def mlBpeMerges(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    train(documents, numMerges = 40)
+      .toDF().select(
+        col("rank").cast("long").as("rank"),
+        col("left"), col("right"), col("merged"),
+        col("support"))
+      .orderBy("rank")
+  }
+}

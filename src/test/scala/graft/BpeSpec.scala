@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer (ml_bpe_merges): full merge-sequence equality against
+  * an independent single-machine reference, determinism, encode
+  * round-trips, and the monotone-support invariant. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference BPE (imperative, driver-only): same
+    * contract as Bpe.train — argmax by (count desc, pair asc),
+    * leftmost non-overlapping merge application. */
+  private def refTrain(
+      words: Map[String, Long], k: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var ws: Map[Seq[String], Long] = words.map { case (w, n) =>
+      (w.map(_.toString) :+ "</w>", n)
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.size < k && continue) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      ws.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) continue = false
+      else {
+        val ((l, r), c) = pairs.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        if (c < minCount) continue = false
+        else {
+          out += ((l, r, c))
+          ws = ws.map { case (syms, n) =>
+            (Bpe.applyMerge(syms, l, r), n)
+          }.groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private val tinyCorpus = Seq(
+    // the Sennrich-paper-style working example, as documents with
+    // repetition giving the word frequencies
+    (1L, "low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest"))
+    .toDF("doc_id", "text")
+
+  test("distributed train reproduces the reference merge sequence " +
+    "exactly (pairs, order, and support counts)") {
+    val got = Bpe.train(tinyCorpus, numMerges = 10, minCount = 2)
+      .map(m => (m.left, m.right, m.support))
+    val want = refTrain(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      10, 2)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the canonical first merges on this corpus: 'es' then 'est'
+    // dominate (9 occurrences via newest+widest)
+    assert(got.head._3 == 9L)
+  }
+
+  test("training is deterministic: two runs produce identical tables") {
+    val docs = tables.documents.limit(100)
+    val a = Bpe.train(docs, numMerges = 15)
+    val b = Bpe.train(docs, numMerges = 15)
+    assert(a == b)
+  }
+
+  test("encodeWord round-trips: tokens concatenate back to the word, " +
+    "and merge support never increases with rank") {
+    val merges = Bpe.train(tinyCorpus, numMerges = 10, minCount = 2)
+    Seq("low", "lowest", "newest", "wider", "unseen").foreach { w =>
+      val toks = Bpe.encodeWord(w, merges)
+      assert(toks.mkString == w + "</w>", s"$w -> $toks")
+    }
+    merges.sliding(2).foreach {
+      case Seq(a, b) => assert(a.support >= b.support, s"$a then $b")
+      case _ =>
+    }
+  }
+
+  test("encodeTokens (distributed) agrees with per-word encodeWord " +
+    "and preserves token order within documents") {
+    val merges = Bpe.train(tinyCorpus, numMerges = 10, minCount = 2)
+    val docs = Seq((7L, "low newest unknown")).toDF("doc_id", "text")
+    val got = Bpe.encodeTokens(docs, merges).collect()
+      .map(r => r.getString(1))
+    val want = Seq("low", "newest", "unknown").flatMap(w =>
+      Bpe.encodeWord(w, merges))
+    assert(got.toSeq == want)
+  }
+
+  test("ml_bpe_merges on the fixture: 40 ranked merges, supports " +
+    "positive and non-increasing, merged symbols consistent") {
+    val rows = Bpe.mlBpeMerges(tables.documents).collect()
+    assert(rows.length == 40)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i.toLong)
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left") + r.getAs[String]("right"))
+      assert(r.getAs[Long]("support") > 0L)
+    }
+    val supports = rows.map(_.getAs[Long]("support"))
+    supports.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"support rose: $a -> $b")
+      case _ =>
+    }
+  }
+}
