@@ -166,6 +166,8 @@ object SparkEntry {
     // rows-only (ml_ convention): iterative BPE training is outside
     // single-statement SQL; BpeSpec pins it to a reference impl
     "ml_bpe_merges" -> q(t => Bpe.mlBpeMerges(t.documents)),
+    "q163_attrition" ->
+      q(t => TextAnalysis.attritionFunnel(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -2082,6 +2084,40 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cos_q DESC, cid) AS rk
         |FROM pairs QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // q163: stage rules are byte-identical to q69's oracle (dedup
+    // keep-first window, per-lang quantile_disc(0.5) gate, md5-nibble
+    // split); the funnel only adds the counts.
+    "q163_attrition" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and')))
+        |      AS DOUBLE)/len(t) AS sw_ratio,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS k1
+        |  FROM (SELECT doc_id, lang, text, string_split(text,' ') AS t
+        |        FROM documents)),
+        |thresh AS (
+        |  SELECT lang, quantile_disc(sw_ratio, 0.5) AS p50
+        |  FROM base WHERE k1 = 1 GROUP BY lang),
+        |f AS (
+        |  SELECT b.k1,
+        |    CASE WHEN b.k1 = 1 AND b.sw_ratio >= t.p50 THEN 1 ELSE 0
+        |      END AS k2,
+        |    CASE WHEN b.k1 = 1 AND b.sw_ratio >= t.p50 AND
+        |      CAST(concat('0x', substr(md5(b.text), 1, 1)) AS INT) < 12
+        |      THEN 1 ELSE 0 END AS k3
+        |  FROM base b JOIN thresh t USING (lang)),
+        |c AS (
+        |  SELECT COUNT(*)::BIGINT AS n, SUM(k1)::BIGINT AS s1,
+        |         SUM(k2)::BIGINT AS s2, SUM(k3)::BIGINT AS s3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS stage, 'raw' AS name, n AS docs_in,
+        |         n AS docs_out, 0::BIGINT AS dropped FROM c
+        |  UNION ALL SELECT 1, 'exact_dedup', n, s1, n - s1 FROM c
+        |  UNION ALL SELECT 2, 'quality_gate', s1, s2, s1 - s2 FROM c
+        |  UNION ALL SELECT 3, 'train_split', s2, s3, s2 - s3 FROM c)
+        |ORDER BY stage""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

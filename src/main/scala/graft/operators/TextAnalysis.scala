@@ -412,6 +412,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q163 — the ATTRITION FUNNEL of the q69 corpus pipeline: per
+    * stage, documents in / out / dropped — the report an ingest
+    * operator actually watches (a stage suddenly dropping 40% is the
+    * first sign of a bad crawl or a broken filter, long before any
+    * downstream metric moves). Stage semantics are IDENTICAL to
+    * [[corpusPipeline]] (dedup keep-first → per-lang median stopword
+    * gate → content-hash train split), derived as per-doc survival
+    * FLAGS in one frame so the whole funnel is a single aggregate
+    * pass over the corpus plus the same one keyed window + tiny
+    * broadcast threshold join q69 already pays — counting the funnel
+    * costs no more than running it. */
+  def attritionFunnel(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      gateQuantile: Double = 0.5, trainNibbles: Int = 12): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val hashW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    val base = documents.select(
+      col("doc_id"), col("lang"), col("text"),
+      (size(filter(toks, t => array_contains(stopArr, t)))
+        / size(toks).cast("double")).as("sw_ratio"))
+      .withColumn("k1",
+        when(row_number().over(hashW) === 1, 1L).otherwise(0L))
+    val thresh = Relational.quantileDisc(
+      base.filter(col("k1") === 1L), "lang", "sw_ratio",
+      Seq("p50" -> gateQuantile))
+    val flagged = base.join(broadcast(thresh), "lang")
+      .withColumn("k2",
+        when(col("k1") === 1L && col("sw_ratio") >= col("p50"), 1L)
+          .otherwise(0L))
+      .withColumn("k3",
+        when(col("k2") === 1L &&
+          splitOf(col("text"), trainNibbles) === "train", 1L)
+          .otherwise(0L))
+    val c = flagged.agg(
+      count(lit(1)).as("n"), sum("k1").as("s1"),
+      sum("k2").as("s2"), sum("k3").as("s3"))
+    def row(stage: Int, name: String, in: Column, out: Column) =
+      struct(lit(stage.toLong).as("stage"), lit(name).as("name"),
+        in.as("docs_in"), out.as("docs_out"),
+        (in - out).as("dropped"))
+    c.select(explode(array(
+        row(0, "raw", col("n"), col("n")),
+        row(1, "exact_dedup", col("n"), col("s1")),
+        row(2, "quality_gate", col("s1"), col("s2")),
+        row(3, "train_split", col("s2"), col("s3")))).as("r"))
+      .select("r.*")
+      .orderBy("stage")
+  }
+
   /** q68 — bigram language-model quality score: per document, the mean
     * log conditional probability ln(c(x,y)/c(x)) of its bigram stream
     * under the corpus's own MLE bigram model — the KenLM-perplexity

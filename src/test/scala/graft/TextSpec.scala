@@ -404,4 +404,57 @@ class TextSpec extends SparkSpec {
       .collect()
     assert(shards.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("attritionFunnel: crafted corpus with hand-computed per-stage " +
+    "counts; funnel chains and stays consistent with corpusPipeline") {
+    import spark.implicits._
+    // 6 docs, one duplicate pair; 'en' lang throughout. Stopword
+    // ratios: the gate keeps sw_ratio >= per-lang median among the 5
+    // dedup survivors.
+    val docs = Seq(
+      (0L, "en", "the a of and x"), // sw 0.8
+      (1L, "en", "the a x y z"), // sw 0.4
+      (2L, "en", "x y z w v"), // sw 0.0
+      (3L, "en", "the of x y z"), // sw 0.4
+      (4L, "en", "the a of and x"), // dup of 0 -> dropped at stage 1
+      (5L, "en", "the the the x y")) // sw 0.6
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.attritionFunnel(docs).collect()
+    assert(rows.length == 4)
+    val byStage = rows.map(r => r.getAs[Long]("stage") ->
+      (r.getAs[String]("name"), r.getAs[Long]("docs_in"),
+        r.getAs[Long]("docs_out"), r.getAs[Long]("dropped"))).toMap
+    assert(byStage(0L) == (("raw", 6L, 6L, 0L)))
+    assert(byStage(1L) == (("exact_dedup", 6L, 5L, 1L)))
+    // survivors' sw ratios: 0.8, 0.4, 0.0, 0.4, 0.6 -> median (disc,
+    // ceil(5*0.5)=3rd smallest) = 0.4; gate keeps 0.8/0.4/0.4/0.6 = 4
+    assert(byStage(2L) == (("quality_gate", 5L, 4L, 1L)))
+    // stage 3 depends on md5 nibbles; assert chaining + bounds only
+    val (n3, in3, out3) = (byStage(3L)._1, byStage(3L)._2, byStage(3L)._3)
+    assert(n3 == "train_split" && in3 == 4L && out3 <= 4L)
+    // funnel count consistency with the pipeline itself: stage-3 out
+    // equals corpusPipeline's train rows
+    val pipelineTrain = TextAnalysis.corpusPipeline(docs)
+      .filter($"split" === "train").count()
+    assert(out3 == pipelineTrain)
+  }
+
+  test("attritionFunnel on the fixture: monotone, chained, and " +
+    "consistent with q69") {
+    val rows = TextAnalysis.attritionFunnel(tables.documents).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_out") <= r.getAs[Long]("docs_in"))
+      assert(r.getAs[Long]("dropped") ==
+        r.getAs[Long]("docs_in") - r.getAs[Long]("docs_out"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("docs_in") == a.getAs[Long]("docs_out")
+          || b.getAs[Long]("stage") == 1L) // stage 1 re-reads raw n
+      case _ =>
+    }
+    val gateOut = rows(2).getAs[Long]("docs_out")
+    assert(gateOut == TextAnalysis.corpusPipeline(tables.documents).count())
+  }
 }
