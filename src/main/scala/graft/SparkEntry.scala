@@ -168,6 +168,7 @@ object SparkEntry {
     "ml_bpe_merges" -> q(t => Bpe.mlBpeMerges(t.documents)),
     "q163_attrition" ->
       q(t => TextAnalysis.attritionFunnel(t.documents)),
+    "q164_script_mix" -> q(t => TextAnalysis.scriptMix(t.documents)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -2118,6 +2119,45 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'quality_gate', s1, s2, s1 - s2 FROM c
         |  UNION ALL SELECT 3, 'train_split', s2, s3, s2 - s3 FROM c)
         |ORDER BY stage""".stripMargin,
+    // q164: RE2 spells script classes \p{Cyrillic} where Java spells
+    // \p{IsCyrillic} — same Unicode script property (deliberate
+    // spelling exception, see TextAnalysis.scriptMix scaladoc);
+    // snippets planted via chr() codepoints (q154 precedent).
+    "q164_script_mix" ->
+      """WITH enriched AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 1 THEN ' ' || chr(1087) ||
+        |      chr(1088) || chr(1080) || chr(1074) || chr(1077) ||
+        |      chr(1090) ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 2 THEN ' ' || chr(20320) ||
+        |      chr(22909) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(945) ||
+        |      chr(946) || chr(947) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65533) ||
+        |      chr(65533) ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+        |      AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT)
+        |      AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT)
+        |      AS n_han,
+        |    CAST(len(regexp_extract_all(t, '\p{Greek}')) AS BIGINT)
+        |      AS n_greek,
+        |    CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+        |      AS n_replacement
+        |  FROM enriched)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+        |  n_replacement,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND
+        |         n_latin >= n_greek THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_greek
+        |         THEN 'cyrillic'
+        |       WHEN n_han >= n_greek THEN 'han'
+        |       ELSE 'greek' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

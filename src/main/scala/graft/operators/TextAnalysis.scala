@@ -464,6 +464,54 @@ object TextAnalysis {
       .orderBy("stage")
   }
 
+  /** q164 — Unicode script-mix + mojibake detection: per document,
+    * character counts per script class (Latin/Cyrillic/Han/Greek), the
+    * U+FFFD replacement-character count (the mojibake signature every
+    * bad-transcode leaves), and the dominant script under a fixed
+    * deterministic priority — the multilingual-routing signal a
+    * pretraining pipeline uses before language-ID (script is cheap
+    * and unambiguous; langid within a script is the expensive step).
+    * Pure codegen'd regexp_count projection riding the scan.
+    *
+    * Regex note: Spark (Java) spells script classes `\p{IsCyrillic}`,
+    * DuckDB (RE2) spells them `\p{Cyrillic}` — different strings,
+    * same Unicode script property, so the oracle uses the RE2
+    * spelling (the one deliberate q150-discipline exception, cf.
+    * Scrub's portability header).
+    *
+    * The fixture is ASCII word soup, so script snippets and mojibake
+    * are planted from doc_id residues (the q150 construction). */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      when(id % 3 === 1, // privet (Cyrillic)
+        lit(" \u043f\u0440\u0438\u0432\u0435\u0442"))
+        .otherwise(lit("")),
+      when(id % 3 === 2, // ni hao (Han)
+        lit(" \u4f60\u597d")).otherwise(lit("")),
+      when(id % 5 === 0, // alpha beta gamma (Greek)
+        lit(" \u03b1\u03b2\u03b3")).otherwise(lit("")),
+      when(id % 7 === 0, // U+FFFD replacement chars (mojibake)
+        lit(" \ufffd\ufffd")).otherwise(lit("")))
+    def cnt(re: String) = regexp_count(col("__t"), lit(re)).cast("long")
+    documents.withColumn("__t", planted)
+      .select(id,
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsGreek}").as("n_greek"),
+        cnt("\\ufffd").as("n_replacement"))
+      .withColumn("main_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_han") &&
+          col("n_latin") >= col("n_greek"), lit("latin"))
+          .when(col("n_cyrillic") >= col("n_han") &&
+            col("n_cyrillic") >= col("n_greek"), lit("cyrillic"))
+          .when(col("n_han") >= col("n_greek"), lit("han"))
+          .otherwise(lit("greek")))
+      .orderBy("doc_id")
+  }
+
   /** q68 — bigram language-model quality score: per document, the mean
     * log conditional probability ln(c(x,y)/c(x)) of its bigram stream
     * under the corpus's own MLE bigram model — the KenLM-perplexity

@@ -439,6 +439,28 @@ class TextSpec extends SparkSpec {
     assert(out3 == pipelineTrain)
   }
 
+  test("scriptMix counts characters per Unicode script with " +
+    "deterministic dominant-script tie-breaks (crafted inputs via " +
+    "the planted-residue path)") {
+    val r = TextAnalysis.scriptMix(tables.documents).collect()
+    assert(r.length == tables.documents.count())
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      // planted snippets are pure functions of doc_id residues
+      assert(row.getAs[Long]("n_cyrillic") ==
+        (if (id % 3 == 1) 6L else 0L), row.toString)
+      assert(row.getAs[Long]("n_han") ==
+        (if (id % 3 == 2) 2L else 0L), row.toString)
+      assert(row.getAs[Long]("n_greek") ==
+        (if (id % 5 == 0) 3L else 0L), row.toString)
+      assert(row.getAs[Long]("n_replacement") ==
+        (if (id % 7 == 0) 2L else 0L), row.toString)
+      // word-soup base text dominates every planted snippet
+      assert(row.getAs[String]("main_script") == "latin", row.toString)
+      assert(row.getAs[Long]("n_latin") > 10L)
+    }
+  }
+
   test("attritionFunnel on the fixture: monotone, chained, and " +
     "consistent with q69") {
     val rows = TextAnalysis.attritionFunnel(tables.documents).collect()
