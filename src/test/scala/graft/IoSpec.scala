@@ -450,4 +450,46 @@ class IoSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("new_col") == 9.5 &&
       rows(1).isNullAt(rows(1).fieldIndex("old_col")))
   }
+
+  test("compact rewrites a many-small-files directory into few files " +
+    "with content byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    val df = (0 until 5000).map(i => (i.toLong, s"row_$i"))
+      .toDF("id", "payload")
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 40)
+    val nOut = Writers.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(parquetFiles() == nOut && nOut < 40)
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // swap debris cleaned up
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_compact_")))
+  }
+
+  test("compact crash recovery: a stranded ._compact_old restores " +
+    "before recompaction; old+current together fail loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact2_").toString
+    val dir = s"$base/t"
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(4).write.parquet(dir)
+    // simulate a crash between the two swap renames: data only in old
+    new java.io.File(dir).renameTo(new java.io.File(dir + "._compact_old"))
+    assert(!new java.io.File(dir).exists())
+    val n = Writers.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // both current AND old present -> refuse (post-swap crash needs a
+    // human look, not silent data loss)
+    df.limit(10).write.parquet(dir + "._compact_old")
+    val e = intercept[IllegalArgumentException] {
+      Writers.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("prior compaction crashed"))
+  }
 }
