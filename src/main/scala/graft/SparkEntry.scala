@@ -169,6 +169,7 @@ object SparkEntry {
     "q163_attrition" ->
       q(t => TextAnalysis.attritionFunnel(t.documents)),
     "q164_script_mix" -> q(t => TextAnalysis.scriptMix(t.documents)),
+    "q165_k_anonymity" -> q(Constraints.q165),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
@@ -2158,6 +2159,18 @@ object SparkEntry {
         |       WHEN n_han >= n_greek THEN 'han'
         |       ELSE 'greek' END AS main_script
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q165_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (
+        |  SELECT sz, COUNT(*)::BIGINT AS n_classes,
+        |         SUM(sz)::BIGINT AS n_rows
+        |  FROM cls GROUP BY sz),
+        |t AS (SELECT COUNT(*)::BIGINT AS total FROM customer)
+        |SELECT h.sz::BIGINT AS class_size, h.n_classes, h.n_rows,
+        |  ROUND(h.n_rows * 100.0 / t.total, 4) AS pct_rows
+        |FROM h, t ORDER BY class_size""".stripMargin,
     "q137_scd1_merge" ->
       """WITH snap AS (SELECT c_custkey AS k, 'base' AS status,
         |                CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents

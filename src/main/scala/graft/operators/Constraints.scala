@@ -108,4 +108,42 @@ object Constraints {
       t.orders, "o_orderkey", "ref_lineitem_orderkey_in_orders")
     li.unionByName(ord).unionByName(ref).orderBy("check_name")
   }
+
+  // ---- q165: k-anonymity audit ------------------------------------
+
+  /** k-anonymity audit over a quasi-identifier column set (the
+    * Sweeney model every privacy review runs before a tabular release
+    * — PII *redaction* (q150) handles direct identifiers; THIS
+    * catches re-identification through combinations of innocent
+    * columns): group rows into equivalence classes by the QI columns
+    * and report the class-size histogram — `min(class_size)` IS the
+    * dataset's k, and the small-size rows quantify exactly how much
+    * re-identification surface a release would carry.
+    *
+    * Scale: one hash-agg on the QI key (partial map-side), a second
+    * hash-agg on |distinct sizes| ≪ rows, and a 1-row total via the
+    * scalar cross-join pattern — no unpartitioned window, nothing
+    * driver-side. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    val hist = classes.groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__sz")).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("class_size").cast("long").as("class_size"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_rows").cast("long").as("n_rows"),
+        round(col("n_rows") * 100.0 / col("__total"), 4)
+          .as("pct_rows"))
+      .orderBy("class_size")
+  }
+
+  /** q165 — the declared audit: customer released with quasi-
+    * identifiers (c_nationkey, c_mktsegment). First row's class_size
+    * is the dataset's k. */
+  def q165(t: graft.Tables): DataFrame =
+    kAnonymity(t.customer, Seq("c_nationkey", "c_mktsegment"))
 }

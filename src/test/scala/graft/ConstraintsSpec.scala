@@ -61,6 +61,26 @@ class ConstraintsSpec extends SparkSpec {
     assert(!r.getBoolean(2))
   }
 
+  test("kAnonymity: crafted table with known equivalence classes; " +
+    "histogram, percentages, and the k headline are exact") {
+    // QI (age, zip): classes {(30,A):3, (30,B):1, (40,A):2} -> k=1
+    val t = Seq(
+      (30, "A"), (30, "A"), (30, "A"),
+      (30, "B"),
+      (40, "A"), (40, "A"))
+      .toDF("age", "zip")
+    val rows = Constraints.kAnonymity(t, Seq("age", "zip")).collect()
+    val bysz = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bysz(1L) == ((1L, 1L, 16.6667)))
+    assert(bysz(2L) == ((1L, 2L, 33.3333)))
+    assert(bysz(3L) == ((1L, 3L, 50.0)))
+    // the dataset's k = smallest class size = first row ordered by size
+    assert(rows.map(_.getLong(0)).min == 1L)
+    // percentages cover the whole table
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 0.001)
+  }
+
   test("q159 on the fixture: nine rows; the discount bound AND the " +
     "line-number uniqueness fail (a genuine fixture finding — " +
     "(l_orderkey, l_linenumber) collides in ~24% of rows); the rest " +
