@@ -221,6 +221,112 @@ object Writers {
     files
   }
 
+  /** Targeted-delete rewrite (the GDPR right-to-erasure shape, public
+    * Delta-Lake DELETE semantics re-expressed on plain parquet): drop
+    * every row whose `keyCol` appears in `keys`, touching ONLY the
+    * files that contain a hit — at 100 TB an erasure request hits a
+    * handful of files and rewriting the table for it is absurd; file
+    * pruning is what makes at-rest deletion tractable.
+    *
+    * Mechanics: one scan joined to the (broadcast) key set identifies
+    * the hit files (`input_file_name`); those files re-read,
+    * anti-joined, and written to a temp dir; then a MANIFEST commit
+    * (the DedupLedger discipline) makes the multi-file swap crash-
+    * safe: the manifest records files-to-delete + files-to-add and is
+    * written BEFORE any destructive step. Recovery on the next call
+    * rolls the interrupted swap forward if every new file already
+    * landed, and rolls it back otherwise — either way the directory
+    * returns to a consistent state (old data intact, or new data
+    * complete; never half). Returns the number of rows dropped.
+    *
+    * The `keys` frame collects nothing; only the HIT FILE LIST comes
+    * to the driver (bounded by file count — the Warehouse partition-
+    * listing precedent). */
+  def purgeKeys(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, keys: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPurge(fs, path)
+    val keySet = keys.select(col(keys.columns.head).as("__k")).distinct()
+    val hitFiles = spark.read.parquet(path)
+      .withColumn("__f", input_file_name())
+      .join(broadcast(keySet), col(keyCol) === col("__k"))
+      .select("__f").distinct()
+      .collect().map(_.getString(0)) // bounded by |files touched|
+    if (hitFiles.isEmpty) return 0L
+    val tmp = s"$path/._purge_tmp"
+    val touched = spark.read.parquet(hitFiles: _*)
+    val kept = touched.join(broadcast(keySet),
+      col(keyCol) === col("__k"), "left_anti")
+    val dropped = touched.count() - kept.count()
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val newFiles = fs.listStatus(new Path(tmp)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    // manifest BEFORE any destructive step: the commit point
+    val manifest = new Path(path, "._purge_manifest")
+    val oldNames = hitFiles.map(f => new Path(f).getName)
+    writeText(fs, manifest,
+      (oldNames.map("D " + _) ++ newFiles.map("A " + _)).mkString("\n"))
+    // move new files in under purge-unique names, delete old, cleanup
+    newFiles.foreach { n =>
+      require(fs.rename(new Path(tmp, n), new Path(path, s"purge-$n")),
+        s"purgeKeys: rename of $n failed")
+    }
+    oldNames.foreach(n => fs.delete(new Path(path, n), false))
+    fs.delete(new Path(tmp), true)
+    fs.delete(manifest, false)
+    dropped
+  }
+
+  /** Finish or undo an interrupted [[purgeKeys]] swap: roll FORWARD
+    * when every manifest-listed new file landed (delete leftover old
+    * files), roll BACK otherwise (drop any half-moved new files — the
+    * old files are still present because deletion only starts after
+    * all adds). */
+  private def recoverPurge(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val manifest = new Path(path, "._purge_manifest")
+    if (!fs.exists(manifest)) {
+      fs.delete(new Path(path, "._purge_tmp"), true)
+      return
+    }
+    val lines = readText(fs, manifest).split("\n").filter(_.nonEmpty)
+    val dels = lines.filter(_.startsWith("D ")).map(_.drop(2))
+    val adds = lines.filter(_.startsWith("A ")).map(_.drop(2))
+    val allAdded = adds.forall(n => fs.exists(new Path(path, s"purge-$n")))
+    if (allAdded) // roll forward: finish deleting the old files
+      dels.foreach(n => fs.delete(new Path(path, n), false))
+    else { // roll back: old files are intact, drop partial adds
+      adds.foreach(n => fs.delete(new Path(path, s"purge-$n"), false))
+    }
+    fs.delete(new Path(path, "._purge_tmp"), true)
+    fs.delete(manifest, false)
+  }
+
+  private def writeText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** S9 — timestamped output layout
     * `<out>/<ts>_parsedData|_featureData|_models|_predictions`
     * (reference JobRunner.scala:31,59-61,70-71). */

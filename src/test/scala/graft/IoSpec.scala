@@ -492,4 +492,75 @@ class IoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("prior compaction crashed"))
   }
+
+  test("purgeKeys drops exactly the keyed rows and rewrites ONLY the " +
+    "files containing hits (file-pruning proof via untouched names)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_purge_").toString + "/t"
+    // 4 files, ids partitioned by range so hits land in known files
+    val df = (0L until 400L).map(i => (i, s"payload_$i")).toDF("id", "v")
+    df.repartitionByRange(4, col("id")).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+    val before = files()
+    assert(before.size == 4)
+    // keys 10 and 20 live in the first range file only
+    val dropped = Writers.purgeKeys(spark, dir, "id",
+      Seq(10L, 20L, 999999L).toDF("k"))
+    assert(dropped == 2L)
+    val after = files()
+    // exactly one original file replaced; the other three untouched
+    val untouched = before.keySet & after.keySet
+    assert(untouched.size == 3, s"$before -> $after")
+    untouched.foreach(n => assert(before(n) == after(n)))
+    assert((after.keySet -- before.keySet).forall(_.startsWith("purge-")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 398)
+    assert(back.filter(col("id").isin(10L, 20L)).isEmpty)
+    // remaining rows byte-identical
+    assert(back.exceptAll(df.filter(!col("id").isin(10L, 20L))).isEmpty)
+    // no-hit fast path: nothing changes, 0 returned
+    assert(Writers.purgeKeys(spark, dir, "id", Seq(777777L).toDF("k")) == 0L)
+    assert(files() == after)
+  }
+
+  test("purgeKeys crash recovery: a manifest with missing adds rolls " +
+    "BACK (old files intact); with all adds present it rolls FORWARD " +
+    "(old files finish deleting)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_purge2_").toString + "/t"
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.coalesce(1).write.parquet(dir)
+    val orig = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    def write(p: String, s: String): Unit = {
+      val w = new java.io.FileWriter(p); w.write(s); w.close()
+    }
+    // --- roll back: manifest promises two adds, only one (partial)
+    // landed — every moved-in file is manifest-listed by construction
+    write(s"$dir/._purge_manifest",
+      s"D $orig\nA ghost.parquet\nA partial.parquet")
+    write(s"$dir/purge-partial.parquet", "junk")
+    assert(Writers.purgeKeys(spark, dir, "id",
+      Seq(424242L).toDF("k")) == 0L)
+    assert(new java.io.File(s"$dir/$orig").exists())
+    assert(!new java.io.File(s"$dir/purge-partial.parquet").exists())
+    assert(!new java.io.File(s"$dir/._purge_manifest").exists())
+    assert(spark.read.parquet(dir).count() == 100)
+    // --- roll forward: all adds present, old file still there
+    val replacement =
+      Files.createTempDirectory("graft_purge3_").toString + "/r"
+    df.filter(col("id") =!= 5L).coalesce(1).write.parquet(replacement)
+    val newPart = new java.io.File(replacement).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newPart.toPath,
+      java.nio.file.Paths.get(s"$dir/purge-${newPart.getName}"))
+    write(s"$dir/._purge_manifest", s"D $orig\nA ${newPart.getName}")
+    assert(Writers.purgeKeys(spark, dir, "id",
+      Seq(424242L).toDF("k")) == 0L)
+    assert(!new java.io.File(s"$dir/$orig").exists())
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 99 && back.filter(col("id") === 5L).isEmpty)
+  }
 }
