@@ -90,4 +90,67 @@ class SketchSpec extends SparkSpec {
     assert(viaDays.exceptAll(direct).count() == 0 &&
       direct.exceptAll(viaDays).count() == 0)
   }
+
+  test("count-min sketch: estimates are exact over-estimates within " +
+    "the eps*N bound, distributed == local reference, merge is the " +
+    "sum of halves") {
+    import graft.functions.CountMinSketch
+    val (depth, width) = (5, 1024)
+    val toks = tables.documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val sketch = toks.agg(CountMinSketch
+      .cms_sketch(col("tok"), depth, width).as("s"))
+      .head().getAs[scala.collection.Seq[Long]]("s").toArray
+    // the CMS guarantee: never under, over by at most ~eps*N (checked
+    // with slack 2x the expectation bound — deterministic fixture)
+    val eps = math.E / width
+    truth.foreach { case (tok, c) =>
+      val est = CountMinSketch.estimate(sketch, depth, width, tok)
+      assert(est >= c, s"$tok underestimated: $est < $c")
+      assert(est <= c + (2 * eps * n).toLong + 1,
+        s"$tok overestimated: $est vs $c (N=$n)")
+    }
+    // distributed aggregation == single-threaded reference
+    val agg = new CountMinSketch(depth, width)
+    val local = tables.documents.collect()
+      .flatMap(_.getAs[String]("text").split(" "))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(sketch.toSeq == local.toSeq)
+    // mergeability: sum of the halves' sketches == whole
+    val half1 = toks.limit(1000).collect().map(_.getString(0))
+      .foldLeft(agg.zero)(agg.reduce)
+    val rest = toks.collect().map(_.getString(0)).drop(1000)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(half1, rest).toSeq == local.toSeq)
+  }
+
+  test("MisraGries + count-min compose: MG candidates, CMS counts, " +
+    "top token agrees with the exact table") {
+    import graft.functions.{CountMinSketch, MisraGries}
+    val (depth, width) = (5, 2048)
+    val toks = tables.documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val row = toks.agg(
+      MisraGries.mg_candidates(col("tok"), 16).as("cand"),
+      CountMinSketch.cms_sketch(col("tok"), depth, width).as("s"))
+      .head()
+    val cand = row.getAs[scala.collection.Seq[String]]("cand")
+    val sketch = row.getAs[scala.collection.Seq[Long]]("s").toArray
+    assert(cand.nonEmpty)
+    val estTop = cand
+      .map(t => t -> CountMinSketch.estimate(sketch, depth, width, t))
+      .maxBy { case (t, e) => (e, t) }._1
+    // CMS ranks by (over-)estimate, so near-ties can swap; the
+    // guarantee to hold is that the sketch-chosen top's TRUE count is
+    // within the eps*N additive bound of the true maximum
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val bound = (2 * math.E / width * n).toLong + 1
+    assert(truth(estTop) >= truth.values.max - bound,
+      s"$estTop true=${truth(estTop)} vs max=${truth.values.max}")
+  }
 }
