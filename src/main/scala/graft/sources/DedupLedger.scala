@@ -283,6 +283,51 @@ object DedupLedger {
     * accumulate. Crash-safe like absorb: data first, manifest rename
     * last; the superseded parts become unreferenced orphans. Returns
     * true if compaction ran (no-op on a single-part ledger). */
+  /** Right-to-erasure for the DERIVED state (the [[graft.sources
+    * .Writers.purgeKeys]] counterpart — deleting a document from the
+    * corpus is not enough if its fingerprint lives on in dedup
+    * state): drop the given key fingerprints from the ledger and
+    * REBUILD the bloom from the survivors — a bloom cannot unlearn a
+    * bit, so rebuild is the only sound delete, and the retained-key
+    * part being rewritten anyway (the compact shape) makes it one
+    * extra aggregate, not an extra pass. Geometry (k, m) is read from
+    * the persisted GBF1 header, never re-specified. Commits one new
+    * manifest version; crash-safe for the same reason absorb is (the
+    * manifest is the commit point). Returns the number of key
+    * fingerprints removed.
+    *
+    * Semantics after purge: a FUTURE occurrence of a purged text is
+    * new again and will be kept — exactly what erasure means for a
+    * dedup ledger. */
+  def purge(
+      spark: SparkSession, statePath: String,
+      purgeKeys: DataFrame): Long = {
+    import graft.functions.BloomFunctions._
+    import org.apache.spark.sql.functions.{broadcast, xxhash64}
+    val m = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    val doomed = purgeKeys
+      .select(col(purgeKeys.columns.head).as("__k")).distinct()
+    val current = keys(spark, statePath)
+    val retained = current.join(broadcast(doomed), Seq("__k"), "left_anti")
+    val removed = current.count() - retained.count()
+    if (removed == 0L) return 0L
+    val next = m.version + 1
+    retained.write.mode("overwrite")
+      .parquet(keysDir(statePath, partName(next)))
+    val persisted = spark.read.parquet(keysDir(statePath, partName(next)))
+    // geometry from the live header (the absorb discipline)
+    val payload = readBloom(spark, statePath, m.version)
+    val numHashes = (payload(0) & 0x7fffffffL).toInt
+    val mBits = (payload.length - 1) * 64
+    val rebuilt = persisted
+      .agg(bloom_agg(xxhash64(col("__k")), mBits, numHashes).as("p"))
+      .head().getSeq[Long](0).toArray
+    writeBloom(spark, statePath, next, rebuilt)
+    writeManifest(statePath, Manifest(next, Seq(partName(next))))
+    removed
+  }
+
   def compact(spark: SparkSession, statePath: String): Boolean = {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(s"no ledger at $statePath"))

@@ -215,4 +215,36 @@ class DedupLedgerSpec extends SparkSpec {
     // but results are EXACT regardless of geometry
     assert((r1 ++ r2) == oneShot)
   }
+
+  test("purge: an erased key is re-admitted on its next occurrence, " +
+    "other keys keep deduping, bloom is rebuilt from survivors") {
+    val (corpusDir, _, _, state) = fixture("purge")
+    val corpus = spark.read.parquet(corpusDir)
+    DedupLedger.init(spark, state, corpus)
+    val v1 = DedupLedger.readManifest(state).get.version
+    // pick one corpus doc; its exact text resent as a batch must DROP
+    val victim = corpus.orderBy("doc_id").limit(1)
+    val pre = DedupLedger.absorb(spark, state,
+      victim.withColumn("doc_id", $"doc_id" + 1000000L))
+    assert(pre.count() == 0L, "victim text should dedup pre-purge")
+    // erase the victim's fingerprint
+    val vKey = victim.select(DedupLedger.keyOf($"text", 5).as("k"))
+    val removed = DedupLedger.purge(spark, state, vKey)
+    assert(removed == 1L)
+    val m = DedupLedger.readManifest(state).get
+    assert(m.version > v1 && m.keyParts.length == 1)
+    // re-admittance: the same text is NEW again and is kept
+    val post = DedupLedger.absorb(spark, state,
+      victim.withColumn("doc_id", $"doc_id" + 2000000L))
+    assert(post.count() == 1L, "purged key must be re-admitted")
+    // unrelated keys still dedup: resend a different corpus doc
+    val other = corpus.orderBy($"doc_id".desc).limit(1)
+    assert(DedupLedger.absorb(spark, state,
+      other.withColumn("doc_id", $"doc_id" + 3000000L)).count() == 0L)
+    // idempotent: purging an absent key is a no-op, version unchanged
+    val mBefore = DedupLedger.readManifest(state).get.version
+    assert(DedupLedger.purge(spark, state,
+      Seq("no_such_key").toDF("k")) == 0L)
+    assert(DedupLedger.readManifest(state).get.version == mBefore)
+  }
 }
