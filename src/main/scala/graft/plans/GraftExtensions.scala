@@ -57,7 +57,37 @@ object GraftExtensions {
         "interleave_bits"),
       (args: Seq[Expression]) =>
         graft.functions.InterleaveBits(args(0), args(1),
-          args(2).eval().asInstanceOf[Number].intValue())))
+          args(2).eval().asInstanceOf[Number].intValue())),
+    // The corpus-hygiene suite as SQL scalar functions: each builder
+    // re-expresses the library's Column composition as the expression
+    // tree — SQL users get the exact operator the DataFrame API runs
+    // (one definition, two surfaces; the builders delegate, never
+    // duplicate the logic).
+    composed("html_strip", c => graft.operators.Scrub.htmlStrip(c)),
+    composed("pii_redact", c => {
+      import org.apache.spark.sql.functions.regexp_replace
+      import org.apache.spark.sql.functions.lit
+      graft.operators.Scrub.DefaultClasses.foldLeft(c) {
+        case (acc, (_, re, token)) => regexp_replace(acc, re, token)
+      }
+    }),
+    composed("canonical_url", c => graft.operators.Scrub.canonicalUrl(c)),
+    composed("normalize_text", c => graft.operators.Scrub.normalizeText(c)))
+
+  /** A 1-arg SQL function built from a Column-composition — the
+    * registration shape for operators that are expression TREES
+    * rather than single custom expressions. */
+  private def composed(
+      name: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument")
+        org.apache.spark.sql.GraftBridge.expressionTree(
+          f(org.apache.spark.sql.GraftBridge.column(args.head)))
+      })
 
   /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for
     * the bounded-heap top-k node. All four arguments are literals

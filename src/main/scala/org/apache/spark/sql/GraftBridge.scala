@@ -13,6 +13,14 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Convert a Column into a real (analyzable) expression TREE rather
+    * than the lazy `ColumnNodeExpression` wrapper `expression` gives:
+    * required when a Column COMPOSITION becomes the body of a
+    * registered SQL function — the analyzer resolves the converted
+    * `UnresolvedFunction` nodes, but never looks inside the wrapper. */
+  def expressionTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a (custom) logical plan as a DataFrame — the package-private
     * `Dataset.ofRows` factory every Spark connector/extension uses to
     * surface its own `LogicalPlan` nodes through the public API. */

@@ -302,6 +302,33 @@ class ScrubSpec extends SparkSpec {
     }
   }
 
+  test("the hygiene suite is SQL-callable and the SQL surface equals " +
+    "the Column API row-for-row") {
+    graft.plans.GraftExtensions.register(spark)
+    tables.documents.limit(50).createOrReplaceTempView("docs_sql")
+    // html_strip
+    val viaSql = spark.sql(
+      "SELECT doc_id, html_strip('<p>' || text || '</p>') AS s " +
+        "FROM docs_sql ORDER BY doc_id").collect()
+    val viaCol = tables.documents.limit(50)
+      .select($"doc_id", Scrub.htmlStrip(
+        concat(lit("<p>"), $"text", lit("</p>"))).as("s"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.getString(1)).toSeq ==
+      viaCol.map(_.getString(1)).toSeq)
+    // pii_redact
+    val red = spark.sql(
+      "SELECT pii_redact('mail a@b.com or 10.0.0.1') AS r").head()
+    assert(red.getString(0) == "mail <EMAIL> or <IP>")
+    // canonical_url + normalize_text
+    assert(spark.sql(
+      "SELECT canonical_url('https://WWW.Site.com/x/') AS u").head()
+      .getString(0) == "site.com/x")
+    assert(spark.sql(
+      "SELECT normalize_text('  a\tb  ') AS n").head()
+      .getString(0) == "a b")
+  }
+
   test("q157 on the fixture: planted chrome lines are scrubbed, the " +
     "per-doc ref line survives") {
     val r = Scrub.q157(tables.documents)
