@@ -170,6 +170,9 @@ object SparkEntry {
       q(t => TextAnalysis.attritionFunnel(t.documents)),
     "q164_script_mix" -> q(t => TextAnalysis.scriptMix(t.documents)),
     "q165_k_anonymity" -> q(Constraints.q165),
+    // rows-only (q83 precedent): seeded KMeans coarse quantizer has
+    // no DuckDB twin; recall asserted in SimilaritySpec
+    "q166_ivf_sq8_ann" -> q(t => Similarity.ivfSq8TopK(t.embeddings)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),

@@ -694,4 +694,80 @@ object Similarity {
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
+
+  /** The composed 100 TB ANN path the q83/q162 scaladocs promise —
+    * IVF coarse quantization bounds WHICH vectors are scored (nprobe
+    * cells instead of the corpus), SQ8 bounds WHAT the scoring reads
+    * (int8 codes, 4× less than floats), and the classic two-stage
+    * finish rescores the k·`oversample` quantized survivors with
+    * exact float cosine so the output scores carry no quantization
+    * error — only the CANDIDATE CHOICE is approximate (the FAISS
+    * IVF+SQ design). Seeded KMeans ⇒ rows-only gate (q83 precedent);
+    * SimilaritySpec measures recall vs brute force. */
+  def ivfSq8TopK(
+      embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, oversample: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorFunctions.vec_dot
+
+    val vecs = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("qc", sq8Codes(col("v")).cast("array<double>"))
+      .withColumn("d2", vec_dot(col("qc"), col("qc")))
+      .filter(col("d2") > 0.0)
+      .withColumn("features", array_to_vector(col("v")))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("v"), col("n"), col("qc"),
+        col("d2"), col("cell"))
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toIndexedSeq)
+      .toDF("cell", "cv")
+    val q = assigned.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n").as("qn"), col("qc").as("qqc"), col("d2").as("qd2"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qv"), col("qn"), col("qqc"),
+        col("qd2"), col("cell"),
+        dot(col("qv"), col("cv")).as("sim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qv", "qn", "qqc", "qd2", "cell")
+    // stage 1: quantized scoring over the probed cells only
+    val cand = assigned.as("c")
+      .join(broadcast(qCells),
+        col("c.cell") === qCells("cell") && col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("c.vec_id").as("cid"), col("c.v").as("cv2"),
+        col("c.n").as("cn"),
+        (vec_dot(col("qqc"), col("c.qc")) /
+          (sqrt(col("qd2")) * sqrt(col("c.d2")))).as("approx"))
+      .distinct()
+    val wApprox = Window.partitionBy("qid")
+      .orderBy(col("approx").desc, col("cid").asc)
+    val shortlist = cand.withColumn("ar", row_number().over(wApprox))
+      .filter(col("ar") <= k * oversample)
+    // stage 2: exact rescore of the shortlist, final top-k
+    val wExact = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    val result = shortlist
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+      .localCheckpoint(eager = true)
+    vecs.unpersist()
+    result
+  }
 }

@@ -275,6 +275,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("IVF+SQ8 two-stage ANN: recall vs brute force, and rescored " +
+    "scores are EXACT cosines (no quantization error in the output)") {
+    val exact = Similarity.cosineTopK(tables.embeddings).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactSet = exact.map(_._1).toSet
+    val exactScores = exact.toMap
+    val got = Similarity.ivfSq8TopK(tables.embeddings).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val recall = (exactSet & got.map(_._1).toSet).size.toDouble /
+      exactSet.size
+    info(s"IVF+SQ8 recall@5 = $recall")
+    // candidate choice is approximate (IVF cells + SQ8 ordering),
+    // the q83 IVF bar applies
+    assert(recall >= 0.4, s"IVF+SQ8 recall $recall")
+    // but scores carry NO quantization error: any returned pair that
+    // the brute-force top-k also has must match its exact cosine
+    got.filter { case (pair, _) => exactSet.contains(pair) }
+      .foreach { case (pair, cos) =>
+        assert(cos == exactScores(pair), s"$pair rescore mismatch")
+      }
+  }
+
   test("MomentMatrixAggregator: empty vectors skipped, merge never " +
     "drops a count") {
     import graft.functions.{MomentMatrix, MomentMatrixAggregator}
