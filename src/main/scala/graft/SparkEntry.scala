@@ -130,6 +130,10 @@ object SparkEntry {
     "q102_winsorized" -> q(Relational.q102),
     "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),
     "q104_hist_sketch_rollup" -> q(t => Sketches.q104(t)),
+    // rows-only (q78 precedent): KLL compaction and theta hash
+    // sampling are randomized; SketchSpec pins their error bounds
+    "q167_kll_quantiles" -> q(t => Sketches.q167(t)),
+    "q168_theta_overlap" -> q(t => Sketches.q168(t)),
     "q105_length_batching" ->
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
@@ -258,6 +262,10 @@ object SparkEntry {
     }),
     "ml_quality_scores" -> ((s, dir) =>
       graft.ml.QualityModel.ccnetScores(Tables(s, dir).documents)),
+    // rows-only (ml_ convention): the Jacobi eigensolve is iterative
+    // and the scores float; PcaSpec is the real gate (planted-subspace
+    // recovery, eigenpair residuals, projection-vs-driver equality)
+    "ml_pca_proj" -> q(t => Pca.mlPcaProj(t)),
   )
 
   /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */

@@ -99,4 +99,80 @@ object Sketches {
         count(lit(1)).as("bins_used"))
       .orderBy("event_type")
   }
+
+  // ---- KLL quantile sketches (q167) --------------------------------
+
+  /** The KLL sketch table: one ~2 KB quantile sketch of `value` per
+    * (event_type, day) — q104's histogram without the fence pre-pass
+    * or the bin-width resolution floor. k=200 → ±1.65% rank error. */
+  def dailyValueKllSketches(events: DataFrame, k: Int = 200): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.QuantileSketch
+        .kll_agg(col("value").cast("double"), k).as("sketch"),
+        count(lit(1)).as("n_values"))
+
+  /** q167 — quantile rollup OFF THE KLL SKETCH TABLE: merge the
+    * per-day sketches (never rescanning events) and read p50/p90/p99
+    * per event type. Randomized compaction → rows-only gate;
+    * SketchSpec pins rank error against the exact two-pass
+    * quantileCont and merged-vs-whole agreement. */
+  def q167(t: Tables, k: Int = 200): DataFrame = {
+    import graft.functions.QuantileSketch.{kllNUdf, kllQuantilesUdf, kll_merge_agg}
+    val merged = dailyValueKllSketches(t.events, k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_values").as("n_values"),
+        kll_merge_agg(col("sketch"), k).as("sk"))
+    val qs = kllQuantilesUdf(col("sk"),
+      typedlit(Seq(0.5, 0.9, 0.99))).as("qs")
+    merged
+      .select(col("event_type"), col("n_days"), col("n_values"),
+        kllNUdf(col("sk")).as("sketch_n"), qs)
+      .select(col("event_type"), col("n_days"), col("n_values"),
+        col("sketch_n"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+      .orderBy("event_type")
+  }
+
+  // ---- segment overlap off theta sketches (q168) -------------------
+
+  /** The theta sketch table: one compact theta sketch of user_id per
+    * event type — unlike the q78 HLLs these support INTERSECTION and
+    * A-NOT-B, so any segment-overlap expression is answerable from
+    * kilobyte state. */
+  def eventUserThetaSketches(
+      events: DataFrame, nomEntries: Int = 4096): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(graft.functions.ThetaSketch
+        .theta_agg(col("user_id").cast("long"), nomEntries).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** q168 — q79's exact audience-overlap matrix OFF THE SKETCH TABLE:
+    * pairwise intersection, A-not-B, and marginal estimates from
+    * per-type theta sketches — answered from kilobyte state with no
+    * fact-table rescan, where q79 pays a full scan + user_id shuffle
+    * per refresh. The pair join is over the |types|-row sketch frame
+    * (bounded, tiny — the 1-row-scalar-frame discipline). Randomized
+    * hash sampling → rows-only gate; SketchSpec pins the estimates
+    * against q79's exact counts (equality in exact mode, error bounds
+    * in sampling mode). */
+  def q168(t: Tables, nomEntries: Int = 4096): DataFrame = {
+    import graft.functions.ThetaSketch.{aNotBUdf, estimateUdf, intersectUdf}
+    val sk = eventUserThetaSketches(t.events, nomEntries)
+    val a = sk.select(col("event_type").as("type_a"),
+      col("sketch").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"),
+      col("sketch").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(estimateUdf(col("sk_a")), 1).as("est_a"),
+        round(estimateUdf(col("sk_b")), 1).as("est_b"),
+        round(intersectUdf(col("sk_a"), col("sk_b")), 1).as("est_both"),
+        round(aNotBUdf(col("sk_a"), col("sk_b")), 1).as("est_a_only"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -153,4 +153,127 @@ class SketchSpec extends SparkSpec {
     assert(truth(estTop) >= truth.values.max - bound,
       s"$estTop true=${truth(estTop)} vs max=${truth.values.max}")
   }
+
+  // ---- KLL quantile sketches (q167) --------------------------------
+
+  test("q167 KLL quantiles: empirical rank of each returned quantile " +
+    "is within the k=200 rank-error bound, and getN is exact") {
+    val out = Sketches.q167(tables).collect()
+    val exactN = events.filter(col("value").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val values = events.filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = r.getString(0)
+      // sketch_n is a deterministic exact count even though quantile
+      // positions are randomized
+      assert(r.getLong(3) == exactN(key), s"$key getN")
+      val vs = values(key)
+      Seq(0.5 -> r.getDouble(4), 0.9 -> r.getDouble(5),
+        0.99 -> r.getDouble(6)).foreach { case (p, est) =>
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        // ±1.65% single-sketch bound; doubled for the day-merge and
+        // the display rounding
+        assert(math.abs(rank - p) <= 0.033 + 1.0 / vs.length,
+          s"$key p$p: est=$est has empirical rank $rank")
+      }
+    }
+  }
+
+  test("KLL sketch blobs survive a parquet round-trip and re-merge " +
+    "without losing mass") {
+    import graft.functions.QuantileSketch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kll").toString
+    Sketches.dailyValueKllSketches(events).write
+      .mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(QuantileSketch.kll_merge_agg(col("sketch")).as("sk"))
+      .select(col("event_type"),
+        QuantileSketch.kllNUdf(col("sk")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.filter(col("value").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == exact)
+  }
+
+  // ---- theta sketches (q168/q169) ----------------------------------
+
+  test("q168 theta estimates equal q79's exact overlap counts in " +
+    "exact mode (distinct users below nominal entries => theta == 1), " +
+    "and the set algebra is consistent: a = both + a_only") {
+    val exactInter = graft.operators.Relational.q79(tables).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        r.getAs[Long]("inter")).toMap
+    val exactSizes = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.q168(tables).collect()
+    assert(est.nonEmpty && exactInter.nonEmpty)
+    assert(est.length == exactInter.size)
+    est.foreach { r =>
+      val key = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val na = exactSizes(key._1)
+      val nb = exactSizes(key._2)
+      val nboth = exactInter(key)
+      assert(r.getAs[Double]("est_a") == na.toDouble, s"$key est_a")
+      assert(r.getAs[Double]("est_b") == nb.toDouble, s"$key est_b")
+      assert(r.getAs[Double]("est_both") == nboth.toDouble,
+        s"$key est_both")
+      assert(r.getAs[Double]("est_a_only") == (na - nboth).toDouble,
+        s"$key est_a_only")
+    }
+  }
+
+  test("theta sketches in estimation mode (cardinality >> nominal " +
+    "entries) stay within 5% and intersections within 15%") {
+    import graft.functions.ThetaSketch
+    import spark.implicits._
+    // two overlapping 40k-key segments, nomEntries=4096 => sampling
+    // (theta hashing is seeded => the estimates are deterministic and
+    // these bounds, ~3σ at RSE 1.6%, are stable replay-to-replay)
+    val a = (0L until 40000L).map(("a", _))
+    val b = (20000L until 60000L).map(("b", _))
+    val df = (a ++ b).toDF("seg", "k")
+    val sk = df.groupBy("seg")
+      .agg(ThetaSketch.theta_agg(col("k"), 4096).as("s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("s"))
+      .toMap
+    val estA = ThetaSketch.estimate(sk("a"))
+    val estB = ThetaSketch.estimate(sk("b"))
+    val estBoth = ThetaSketch.intersectEstimate(sk("a"), sk("b"))
+    val estAOnly = ThetaSketch.aNotBEstimate(sk("a"), sk("b"))
+    assert(math.abs(estA - 40000) / 40000.0 < 0.05, s"estA=$estA")
+    assert(math.abs(estB - 40000) / 40000.0 < 0.05, s"estB=$estB")
+    assert(math.abs(estBoth - 20000) / 20000.0 < 0.15,
+      s"estBoth=$estBoth")
+    assert(math.abs(estAOnly - 20000) / 20000.0 < 0.15,
+      s"estAOnly=$estAOnly")
+  }
+
+  test("theta sketch blobs survive parquet and re-intersect " +
+    "identically (the persisted segment-sketch table)") {
+    import graft.functions.ThetaSketch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_theta").toString
+    Sketches.eventUserThetaSketches(events).write
+      .mode("overwrite").parquet(dir)
+    val direct = Sketches.q168(tables).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        r.getAs[Double]("est_both")).toMap
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Array[Byte]]("sketch")).toMap
+    direct.foreach { case ((ta, tb), want) =>
+      val got = math.rint(
+        ThetaSketch.intersectEstimate(back(ta), back(tb)) * 10) / 10
+      assert(got == want, s"($ta,$tb): $got vs $want")
+    }
+  }
 }
