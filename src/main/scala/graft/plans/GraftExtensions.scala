@@ -72,7 +72,27 @@ object GraftExtensions {
       }
     }),
     composed("canonical_url", c => graft.operators.Scrub.canonicalUrl(c)),
-    composed("normalize_text", c => graft.operators.Scrub.normalizeText(c)))
+    composed("normalize_text", c => graft.operators.Scrub.normalizeText(c)),
+    // The sketch suite in SQL: the udaf/udf Column surfaces re-wrapped
+    // as expression trees, so `SELECT kll_agg(value) ... GROUP BY` and
+    // sketch-table reads work from pure SQL (defaults: k=200,
+    // nomEntries=4096 — the library defaults).
+    composed("kll_agg",
+      c => graft.functions.QuantileSketch.kll_agg(c)),
+    composed("kll_merge_agg",
+      c => graft.functions.QuantileSketch.kll_merge_agg(c)),
+    composed2("kll_quantiles",
+      (a, b) => graft.functions.QuantileSketch.kllQuantilesUdf(a, b)),
+    composed("kll_n",
+      c => graft.functions.QuantileSketch.kllNUdf(c)),
+    composed("theta_agg",
+      c => graft.functions.ThetaSketch.theta_agg(c)),
+    composed("theta_estimate",
+      c => graft.functions.ThetaSketch.estimateUdf(c)),
+    composed2("theta_intersect_est",
+      (a, b) => graft.functions.ThetaSketch.intersectUdf(a, b)),
+    composed2("theta_anotb_est",
+      (a, b) => graft.functions.ThetaSketch.aNotBUdf(a, b)))
 
   /** A 1-arg SQL function built from a Column-composition — the
     * registration shape for operators that are expression TREES
@@ -87,6 +107,21 @@ object GraftExtensions {
         require(args.length == 1, s"$name expects 1 argument")
         org.apache.spark.sql.GraftBridge.expressionTree(
           f(org.apache.spark.sql.GraftBridge.column(args.head)))
+      })
+
+  /** 2-arg counterpart of [[composed]]. */
+  private def composed2(
+      name: String,
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments")
+        org.apache.spark.sql.GraftBridge.expressionTree(
+          f(org.apache.spark.sql.GraftBridge.column(args(0)),
+            org.apache.spark.sql.GraftBridge.column(args(1))))
       })
 
   /** `graft_topk(table, keys, orderSpec, k)` — FROM-clause surface for

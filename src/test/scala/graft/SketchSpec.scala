@@ -257,6 +257,60 @@ class SketchSpec extends SparkSpec {
       s"estAOnly=$estAOnly")
   }
 
+  test("the sketch suite is SQL-callable: a pure-SQL KLL build+merge+" +
+    "read pipeline keeps exact counts and bounded ranks, and a " +
+    "pure-SQL theta overlap equals the exact matrix in exact mode") {
+    graft.plans.GraftExtensions.register(spark)
+    events.createOrReplaceTempView("events_sql")
+    val exactN = events.filter(col("value").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kll = spark.sql(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         kll_agg(CAST(value AS DOUBLE)) AS sk
+        |  FROM events_sql WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, kll_merge_agg(sk) AS sk
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, kll_n(sk) AS n,
+        |       kll_quantiles(sk, array(0.5D))[0] AS p50
+        |FROM m ORDER BY event_type""".stripMargin).collect()
+    assert(kll.nonEmpty)
+    val values = events.filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    kll.foreach { r =>
+      val key = r.getString(0)
+      assert(r.getLong(1) == exactN(key), s"$key SQL kll_n")
+      val vs = values(key)
+      val rank = vs.count(_ <= r.getDouble(2)).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.033 + 1.0 / vs.length,
+        s"$key SQL p50 rank $rank")
+    }
+    val exactInter = graft.operators.Relational.q79(tables).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        r.getAs[Long]("inter")).toMap
+    val theta = spark.sql(
+      """WITH sk AS (
+        |  SELECT event_type, theta_agg(CAST(user_id AS BIGINT)) AS s
+        |  FROM events_sql GROUP BY 1)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |       theta_intersect_est(a.s, b.s) AS est,
+        |       theta_estimate(a.s) AS est_a,
+        |       theta_anotb_est(a.s, b.s) AS est_a_only
+        |FROM sk a JOIN sk b ON a.event_type < b.event_type
+        |ORDER BY ta, tb""".stripMargin).collect()
+    assert(theta.length == exactInter.size)
+    theta.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getDouble(2) == exactInter(key).toDouble,
+        s"$key SQL theta intersect")
+      assert(r.getDouble(3) == r.getDouble(2) + r.getDouble(4),
+        s"$key SQL a = both + a_only")
+    }
+  }
+
   test("theta sketch blobs survive parquet and re-intersect " +
     "identically (the persisted segment-sketch table)") {
     import graft.functions.ThetaSketch
