@@ -182,6 +182,13 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 >= 8))),
+    // q170: q153's increment shape lifted to MinHash near-dup — same
+    // corpus/batch split; pair-existence contract (see Dedup scaladoc)
+    "q170_incremental_neardup" -> q(t => Dedup.incrementalNearDup(
+      t.documents.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 10 < 8),
+      t.documents.filter(
+        org.apache.spark.sql.functions.col("doc_id") % 10 >= 8))),
     // q153b: the STATEFUL production form — init the persisted ledger
     // from the corpus once, then absorb two sequential increments; the
     // second increment sees the first's keys through the ledger, never
@@ -575,6 +582,23 @@ object SparkEntry {
          |   OR ROUND(CAST(shared AS DOUBLE)/sj.n_sh, 4) >= 0.8
          |ORDER BY doc_i, doc_j""".stripMargin,
     "q21_simhash" -> simhashOracle,
+    // q170: the q20 pair chain (SHARED CTE text — one-sided edits
+    // cannot desynchronize the gates) restricted to pairs touching the
+    // batch half, folded to per-batch-doc partner stats
+    "q170_incremental_neardup" ->
+      s"""WITH $minhashCtes,
+         |p AS (SELECT doc_i, doc_j, est_jac FROM est
+         |      WHERE est_jac >= 0.5),
+         |dirs AS (SELECT doc_i AS doc_id, doc_j AS partner, est_jac
+         |         FROM p
+         |         UNION ALL
+         |         SELECT doc_j AS doc_id, doc_i AS partner, est_jac
+         |         FROM p)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+         |       MIN(partner) AS first_partner,
+         |       ROUND(MAX(est_jac), 4) AS best_est
+         |FROM dirs WHERE doc_id % 10 >= 8
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q18_text_stats" ->
       """SELECT lang, COUNT(*) AS docs,
         |       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,

@@ -303,23 +303,9 @@ object Dedup {
   def minhashNearDups(
       documents: DataFrame, k: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignatures(documents, k)
-    // carry the full signature on each banded row (~500 B/doc·band):
-    // the estimate is then computable in-row on band collisions, so the
-    // signature aggregate runs ONCE (both self-join sides are the same
-    // subplan → reused Exchange) — no cache, nothing leaks, and no
-    // second join back to the signatures
-    val banded = sig.select(
-      col("doc_id") +:
-        (0 until k).map(i => col(s"mh$i")) :+
-        posexplode(array((0 until bands).map { b =>
-          md5(concat_ws("|",
-            (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
-        }: _*)).as(Seq("band", "bkey")): _*)
-    val eq = (0 until k).map(i =>
-      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val banded = bandedFromSignatures(
+      minhashSignatures(documents, k), k, bands)
+    val eq = sigEq(k)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -332,6 +318,89 @@ object Dedup {
       .distinct()
       .filter(col("est_jac") >= minEstJaccard)
       .orderBy("doc_i", "doc_j")
+  }
+
+  /** Band rows from an existing signature frame — carries the full
+    * signature on each banded row (~500 B/doc·band) so the Jaccard
+    * estimate is computable in-row on band collisions: the signature
+    * aggregate runs ONCE per source and no second join back to the
+    * signatures is needed. Shared by the self-join (q20), the
+    * incremental probe (q170), and the persisted signature ledger
+    * ([[graft.sources.MinhashLedger]], which feeds PERSISTED
+    * signatures here — the corpus text is never rescanned). */
+  private[graft] def bandedFromSignatures(
+      sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select(
+      col("doc_id") +:
+        (0 until k).map(i => col(s"mh$i")) :+
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("|",
+            (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+        }: _*)).as(Seq("band", "bkey")): _*)
+  }
+
+  /** Σ 1[mh_i^a = mh_i^b] over an a/b-aliased signature pair. */
+  private[graft] def sigEq(k: Int): Column =
+    (0 until k).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Flag core shared by the stateless (q170) and ledger-backed forms:
+    * every probe doc that band-collides with ANY other doc in `allSig`
+    * (itself excluded) at estimated Jaccard ≥ threshold, with its
+    * partner count, smallest partner id, and best estimate — all
+    * deterministic integers/rounded ratios, so the contract is
+    * hash-oracle-able. Candidate volume is collision-driven (the q20
+    * posture) and the probe side is only the batch. */
+  private[graft] def nearDupFlags(
+      probeSig: DataFrame, allSig: DataFrame, k: Int, bands: Int,
+      minEstJaccard: Double): DataFrame = {
+    val bandedAll = bandedFromSignatures(allSig, k, bands)
+    val bandedProbe = bandedFromSignatures(probeSig, k, bands)
+    val eq = sigEq(k)
+    bandedProbe.as("a")
+      .join(bandedAll.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("partner"),
+        round(eq.cast("double") / k, 4).as("est_jac"))
+      .distinct()
+      .filter(col("est_jac") >= minEstJaccard)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"),
+        min("partner").as("first_partner"),
+        round(max("est_jac"), 4).as("best_est"))
+      .orderBy("doc_id")
+  }
+
+  /** q170 — incremental batch-vs-corpus NEAR-dup detection: q153's
+    * production increment shape lifted from exact keys to MinHash+LSH
+    * (the real crawl pipeline runs BOTH: exact first, near-dup on the
+    * survivors). Each batch document is flagged if it band-collides at
+    * estimated Jaccard ≥ threshold with anything seen — the historical
+    * corpus or its own batch. Contract is PAIR-EXISTENCE (a batch doc
+    * lists every qualifying partner), which composes across increments
+    * without the transitivity hazard keep-first near-dup semantics
+    * have: dropped docs' signatures stay visible to later increments,
+    * so increment N vs (corpus ∪ batches < N ∪ own batch) equals the
+    * one-shot replay — proven in MinhashLedgerSpec.
+    *
+    * Scale shape: ONE signature pass over corpus ∪ batch (~500 B/doc
+    * regardless of text size), probe side restricted to the batch via
+    * a semi-join, candidates driven by band collisions. The
+    * [[graft.sources.MinhashLedger]] form persists corpus signatures
+    * so increments skip even the corpus signature pass. */
+  def incrementalNearDup(
+      corpus: DataFrame, batch: DataFrame, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val all = corpus.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val allSig = minhashSignatures(all, k)
+    val probeSig = allSig
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+    nearDupFlags(probeSig, allSig, k, bands, minEstJaccard)
   }
 
   /** q21 — 32-bit SimHash fingerprint from the hex digits of per-token

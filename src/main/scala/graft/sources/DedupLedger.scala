@@ -74,8 +74,10 @@ object DedupLedger {
   }
 
   /** Data is already durable when this runs; the rename is the commit
-    * point (same tmp+rename the [[Incremental]] ledger uses). */
-  private def writeManifest(statePath: String, m: Manifest): Unit = {
+    * point (same tmp+rename the [[Incremental]] ledger uses).
+    * Package-visible so [[MinhashLedger]] shares the exact same
+    * manifest format and commit discipline. */
+  private[sources] def writeManifest(statePath: String, m: Manifest): Unit = {
     val dir = new java.io.File(statePath)
     dir.mkdirs()
     val tmp = new java.io.File(dir, ".current_tmp")
@@ -90,7 +92,7 @@ object DedupLedger {
       s"CURRENT rename failed under $statePath")
   }
 
-  private def partName(version: Long) = f"part_$version%08d"
+  private[sources] def partName(version: Long) = f"part_$version%08d"
   private def keysDir(statePath: String, part: String) =
     s"$statePath/keys/$part"
   private def bloomDir(statePath: String, version: Long) =
