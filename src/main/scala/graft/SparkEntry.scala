@@ -177,6 +177,10 @@ object SparkEntry {
     // rows-only (q83 precedent): seeded KMeans coarse quantizer has
     // no DuckDB twin; recall asserted in SimilaritySpec
     "q166_ivf_sq8_ann" -> q(t => Similarity.ivfSq8TopK(t.embeddings)),
+    // rows-only: PCA rotation (iterative Jacobi) ahead of SQ8; PcaSpec
+    // measures recall on planted low-rank data
+    "q171_pca_sq8_ann" ->
+      q(t => Similarity.pcaSq8TopK(t.embeddings, dims = 16)),
     "q153_incremental_dedup" -> q(t => Dedup.incrementalDedup(
       t.documents.filter(
         org.apache.spark.sql.functions.col("doc_id") % 10 < 8),

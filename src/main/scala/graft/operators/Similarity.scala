@@ -770,4 +770,27 @@ object Similarity {
     vecs.unpersist()
     result
   }
+
+  /** q171 — PCA-rotated SQ8 ANN: the FAISS PCAR/OPQ-lite
+    * preprocessing [[Pca]]'s scaladoc promises, composed with q162's
+    * int8 scoring. Project every vector onto the top `dims` principal
+    * axes (ONE moment-matrix pass + a broadcast rotation riding the
+    * scan), then quantize and score the PROJECTED vectors — at 100 TB
+    * the candidate side shrinks another dims/d on top of SQ8's 4×,
+    * and on real embedding corpora (variance concentrated in few
+    * directions) the rotation loses almost nothing. Candidate choice
+    * is approximate (rotation truncation + quantization); PcaSpec
+    * measures recall against exact original-space cosine on planted
+    * low-rank data, where the truncation is provably near-lossless.
+    * Rows-only gate (iterative eigensolve + float scores). */
+  def pcaSq8TopK(
+      embeddings: DataFrame, dims: Int = 32, queryMaxId: Long = 10,
+      k: Int = 5): DataFrame = {
+    val m = Pca.fit(embeddings, dims)
+    val proj = Pca.project(embeddings, m)
+    val arr = array(
+      (0 until m.k).map(j => col(s"pc_$j").cast("float")): _*)
+    sq8CosineTopK(
+      proj.select(col("vec_id"), arr.as("embedding")), queryMaxId, k)
+  }
 }

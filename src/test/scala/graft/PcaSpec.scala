@@ -134,6 +134,31 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("pcaSq8TopK recall on planted low-rank data: projecting 16 -> " +
+    "4 dims before SQ8 keeps recall@5 vs exact original-space cosine") {
+    val df = plantedDf(300, 16)
+    val got = graft.operators.Similarity
+      .pcaSq8TopK(df, dims = 4, queryMaxId = 10, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val local = planted(300, 16).map(_.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var da = 0.0; var db = 0.0; var i = 0
+      while (i < a.length) {
+        num += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
+      }
+      num / math.sqrt(da * db)
+    }
+    val recalls = (0 until 10).map { q =>
+      val truth = local.indices.filter(_ != q)
+        .sortBy(i => (-cos(local(q), local(i)), i)).take(5).toSet
+      (truth intersect got(q.toLong).map(_.toInt)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean > 0.85, s"mean recall@5 = $mean per-query $recalls")
+  }
+
   test("fit is deterministic: two runs produce bitwise-equal models") {
     val df = plantedDf(150, 16).coalesce(1)
     val a = Pca.fit(df, k = 4)
