@@ -53,6 +53,19 @@ class MinhashLedgerSpec extends SparkSpec {
       "fixture produced no near-dup flags — the spec is vacuous")
   }
 
+  test("q170 flags are partitioning-invariant: 1-partition and " +
+    "13-partition inputs derive identical flag tables") {
+    val docs = tables.documents
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    val batch = docs.filter($"doc_id" % 10 >= 8)
+    val a = flagSet(Dedup.incrementalNearDup(
+      corpus.repartition(1), batch.repartition(1)).collect())
+    val b = flagSet(Dedup.incrementalNearDup(
+      corpus.repartition(13), batch.repartition(13)).collect())
+    assert(a == b)
+    assert(a.nonEmpty, "fixture produced no flags — vacuous")
+  }
+
   test("an increment never reads corpus text: its scan set is the " +
     "batch plus the persisted signature parts") {
     val (corpusDir, b1Dir, _, state) = fixture("scanset")

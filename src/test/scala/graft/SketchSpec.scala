@@ -184,6 +184,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("KLL getN and theta exact-mode estimates are partitioning-" +
+    "invariant (1 vs 13 partitions)") {
+    import graft.functions.{QuantileSketch, ThetaSketch}
+    def kllN(parts: Int): Map[String, Long] =
+      events.repartition(parts).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(QuantileSketch.kll_agg(col("value").cast("double"))
+          .as("sk"))
+        .select(col("event_type"),
+          QuantileSketch.kllNUdf(col("sk")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kllN(1) == kllN(13))
+    def thetaEst(parts: Int): Map[String, Double] =
+      events.repartition(parts)
+        .groupBy("event_type")
+        .agg(ThetaSketch.theta_agg(col("user_id").cast("long"))
+          .as("s"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ThetaSketch.estimate(r.getAs[Array[Byte]]("s"))).toMap
+    // exact mode (below nominal entries): the estimate is the exact
+    // distinct count, so it cannot depend on partitioning
+    assert(thetaEst(1) == thetaEst(13))
+  }
+
   test("KLL sketch blobs survive a parquet round-trip and re-merge " +
     "without losing mass") {
     import graft.functions.QuantileSketch
