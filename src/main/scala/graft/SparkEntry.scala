@@ -243,6 +243,9 @@ object SparkEntry {
     "q133_basket_lift" -> q(Relational.q133(_)),
     "q134_personalized_pagerank" ->
       q(t => Graph.personalizedPageRank(t.lineitem, seedSupplier = 7L)),
+    "q172_bfs_hops" -> q(t => Graph.bfsHops(t.lineitem)),
+    "q173_cusum_changepoint" -> q(Relational.q173),
+    "q174_theil_sen" -> q(Relational.q174),
     // the AllPairs prefix-filtered path, declared under its own gate:
     // same semantics as q19, different (real-corpus-preferred) algorithm
     "q135_allpairs_jaccard" ->
@@ -2720,6 +2723,68 @@ object SparkEntry {
         |SELECT part_i, part_j, CAST(c_ij AS BIGINT) AS c_ij, lift
         |FROM lifted ORDER BY lift DESC, part_i, part_j
         |LIMIT 30""".stripMargin,
+    // q172: min-hop BFS — recursive (node, hop) pair generation under
+    // UNION dedup (bounded |V|·maxHops rows), min per node = distance
+    "q172_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT l_suppkey AS src, 4294967296 + l_partkey AS dst
+        |  FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT 4294967296 + l_partkey AS src, l_suppkey AS dst
+        |  FROM lineitem),
+        |r(node, hop) AS (
+        |  SELECT CAST(7 AS BIGINT) AS node, 0 AS hop
+        |  UNION
+        |  SELECT e.dst, r.hop + 1
+        |  FROM r JOIN edges e ON e.src = r.node WHERE r.hop < 4)
+        |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM r GROUP BY node ORDER BY hop, node""".stripMargin,
+    // q173: the n-scaled CUSUM statistic is pure BIGINT arithmetic —
+    // no division, so the argmax day and statistic hash bit-for-bit
+    "q173_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS d,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM daily)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(total AS BIGINT) AS total_events, day AS cp_day,
+        |  CAST(n * cum - d * total AS BIGINT) AS cusum_stat,
+        |  CAST(ABS(n * cum - d * total) AS BIGINT) AS cusum_abs
+        |FROM s
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY ABS(n * cum - d * total) DESC, d ASC) = 1
+        |ORDER BY event_type""".stripMargin,
+    // q174: pairwise slopes over the daily aggregate; medians via
+    // quantile_cont (two-pass-equivalence proven by the q44/q49 gates)
+    "q174_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY day) AS d
+        |      FROM daily),
+        |p AS (SELECT a.event_type,
+        |        (b.c - a.c)::DOUBLE / (b.d - a.d) AS slope
+        |      FROM i a JOIN i b
+        |        ON a.event_type = b.event_type AND a.d < b.d),
+        |sm AS (SELECT event_type,
+        |         ROUND(quantile_cont(slope, 0.5), 4) AS slope_med
+        |       FROM p GROUP BY 1),
+        |lm AS (SELECT event_type, COUNT(*) AS n_days,
+        |         ROUND(quantile_cont(c, 0.5), 4) AS level_med
+        |       FROM daily GROUP BY 1)
+        |SELECT lm.event_type, CAST(lm.n_days AS BIGINT) AS n_days,
+        |  sm.slope_med, lm.level_med
+        |FROM lm JOIN sm USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q134_personalized_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_suppkey AS src, 4294967296 + l_partkey AS dst

@@ -248,4 +248,40 @@ object Graph {
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
       .orderBy("p_partkey")
   }
+
+  /** q172 — BFS hop distance from a seed supplier over the same
+    * undirected supplier–part incidence graph as q131/q134: "how far
+    * is every part/supplier from THIS supplier" — the supply-chain
+    * reachability question the rank family (pagerank = importance,
+    * PPR = affinity) doesn't answer. Classic distributed frontier BFS:
+    * per hop, one shuffle join of the (shrinking) frontier against the
+    * pre-partitioned edge list, an anti-join against the settled set
+    * (a node's FIRST discovery is its distance — exact min-hop by
+    * construction), per-round localCheckpoint (the q131 lineage
+    * discipline). Work per round is O(edges out of frontier), rounds
+    * bounded by `maxHops` — at 100 TB the frontier frame stays
+    * node-sized while the edge list never re-shuffles. Integer hops →
+    * full hash oracle (recursive-CTE min-hop replay, the q42
+    * discipline). */
+  def bfsHops(
+      lineitem: DataFrame, seedSupplier: Long = 7L,
+      maxHops: Int = 4): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val edges = incidenceEdges(lineitem)
+      .repartition(col("src")).checkpointAudited
+    var dist = Seq((seedSupplier, 0L)).toDF("node", "hop")
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .checkpointAudited
+      dist = dist.unionByName(next).checkpointAudited
+      frontier = next.select("node")
+    }
+    dist.orderBy("hop", "node")
+  }
 }

@@ -2126,6 +2126,99 @@ object Relational {
       .orderBy("source")
   }
 
+  /** q173 — CUSUM changepoint detection on each event type's daily
+    * volume: the classical mean-shift statistic S_d = Σ_{i≤d}(c_i −
+    * mean), maximized over days — the MONITORING question ("WHEN did
+    * the level shift") next to q144's PSI ("DID the distribution
+    * drift") and q62/q99's pointwise outliers ("WHICH points are
+    * odd"). Integer-exact formulation: scaling by n turns S_d into
+    * T_d = n·cum_d − d·total — pure BIGINT arithmetic, no division
+    * anywhere, so the argmax day and the statistic hash bit-for-bit
+    * (ties → earliest day via struct ordering). Shape: one hash-agg
+    * to |types|·|days| rows, two windows partitioned by type, one
+    * final hash-agg — nothing unpartitioned, nothing bigger than the
+    * daily-counts frame ever shuffles. */
+  def q173(t: Tables): DataFrame = cusumChangepoint(t.events)
+
+  /** q174 — Theil–Sen robust trend per event type: the median of all
+    * pairwise slopes of the daily-volume series (+ the median level)
+    * — the outlier-resistant counterpart to q51's OLS regression, the
+    * same robust-vs-moment relationship q99's MAD has to q62's
+    * z-scores (one anomalous day drags an OLS slope; it moves the
+    * pairwise-slope median not at all, breakdown point 29%). The
+    * quadratic pair join runs over the DAILY AGGREGATE (|types|·|days|
+    * rows — at 100 TB still tiny; the raw events collapse first), and
+    * the median rides the proven two-pass [[quantileCont]], so the
+    * whole statistic is engine-exact under 4-decimal rounding. */
+  def q174(t: Tables): DataFrame = theilSen(t.events)
+
+  /** q174 core over any (event_type, ts) frame — see [[q174]]. */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.withColumn("d",
+      row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+    // explicit renames (not .as aliases — self-joins of one window
+    // lineage can mis-resolve qualified columns), and the division
+    // guarded by when(): under ANSI mode codegen can evaluate the
+    // projection speculatively before the non-equi join condition
+    // prunes the da == db rows, which raises DIVIDE_BY_ZERO on rows
+    // that never reach the output — when() keeps the divide lazy
+    val aSide = idx.select(col("event_type"),
+      col("d").as("da"), col("c").as("ca"))
+    val bSide = idx.select(col("event_type").as("et_b"),
+      col("d").as("db"), col("c").as("cb"))
+    val pairs = aSide
+      .join(bSide,
+        col("event_type") === col("et_b") && col("da") < col("db"))
+      .select(col("event_type"),
+        when(col("db") > col("da"),
+          (col("cb") - col("ca")).cast("double")
+            / (col("db") - col("da"))).as("slope"))
+    val slopeMed = quantileCont(pairs, "event_type", "slope",
+      Seq("slope_med" -> 0.5))
+    val levelMed = quantileCont(daily, "event_type", "c",
+      Seq("level_med" -> 0.5))
+    val nDays = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    nDays
+      .join(slopeMed, "event_type")
+      .join(levelMed, "event_type")
+      .select(col("event_type"), col("n_days"),
+        round(col("slope_med"), 4).as("slope_med"),
+        round(col("level_med"), 4).as("level_med"))
+      .orderBy("event_type")
+  }
+
+  /** q173 core over any (event_type, ts) frame — see [[q173]]. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("d", row_number().over(byDay).cast("long"))
+      .withColumn("cum", sum("c").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum("c").over(whole))
+      .withColumn("t_stat", col("n") * col("cum") - col("d") * col("total"))
+    scored
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), max("total").as("total_events"),
+        max(struct(abs(col("t_stat")).as("a"), (-col("d")).as("nd"),
+          col("day").as("day"), col("t_stat").as("t")))
+          .as("best"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        col("best.day").as("cp_day"),
+        col("best.t").as("cusum_stat"),
+        col("best.a").as("cusum_abs"))
+      .orderBy("event_type")
+  }
+
   /** q145 — frequent event sequences (PrefixSpan-lite): contiguous
     * event-type trigrams per user timeline, supported by the number of
     * DISTINCT users exhibiting them — the order-2 sequential extension

@@ -195,4 +195,50 @@ class GraphSpec extends SparkSpec {
     assert(gotTriangles(pairOnly).isEmpty)
     assert(gotTriangles(Seq.empty[(Long, Long)]).isEmpty)
   }
+
+  // ---- q172 BFS hop distance ---------------------------------------
+
+  private def bruteBfs(
+      pairs: Seq[(Long, Long)], seed: Long,
+      maxHops: Int): Map[Long, Long] = {
+    val fwd = pairs.distinct.map { case (s, p) => (s, 4294967296L + p) }
+    val edges = (fwd ++ fwd.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(n => edges.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  private def gotBfs(
+      pairs: Seq[(Long, Long)], seed: Long,
+      maxHops: Int): Map[Long, Long] =
+    Graph.bfsHops(pairs.toDF("l_suppkey", "l_partkey"), seed, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: crafted chain — alternating supplier/part hops, " +
+    "unreachable component absent, seed at hop 0") {
+    // s1—p101—s2—p102 ; disconnected s9—p999
+    val pairs = Seq(1L -> 101L, 2L -> 101L, 2L -> 102L, 9L -> 999L)
+    val got = gotBfs(pairs, seed = 1L, maxHops = 4)
+    assert(got == Map(
+      1L -> 0L, (4294967296L + 101L) -> 1L, 2L -> 2L,
+      (4294967296L + 102L) -> 3L))
+  }
+
+  test("bfsHops equals a brute-force BFS on a random-ish graph and " +
+    "respects the hop cap") {
+    val pairs = (1L to 40L).flatMap { s =>
+      Seq(s -> (s % 7 + 1), s -> (s % 11 + 1), s -> ((s * 3) % 13 + 1))
+    }
+    val got = gotBfs(pairs, seed = 5L, maxHops = 3)
+    assert(got == bruteBfs(pairs, 5L, 3))
+    assert(got.values.max <= 3L)
+    assert(got(5L) == 0L)
+  }
 }

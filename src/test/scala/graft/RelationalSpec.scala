@@ -719,4 +719,52 @@ class RelationalSpec extends SparkSpec {
         "occurrences can't be below distinct-user support")
     }
   }
+
+  test("q173 cusumChangepoint: a planted level shift is detected at " +
+    "its boundary day with the exact integer statistic; a flat series " +
+    "scores 0 at the earliest day") {
+    import spark.implicits._
+    // 5 events/day for days 1-10, then 15/day for 11-20: the n-scaled
+    // CUSUM |T_d| peaks at d=10 with |20·50 − 10·200| = 1000
+    val shifted = for {
+      d <- 1 to 20
+      _ <- 1 to (if (d <= 10) 5 else 15)
+    } yield ("a", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"))
+    val flat = for {
+      d <- 1 to 10
+      _ <- 1 to 3
+    } yield ("b", java.sql.Timestamp.valueOf(f"2024-02-$d%02d 12:00:00"))
+    val r = Relational
+      .cusumChangepoint((shifted ++ flat).toDF("event_type", "ts"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[java.sql.Date]("cp_day").toString == "2024-01-10")
+    assert(a.getAs[Long]("cusum_abs") == 1000L)
+    assert(a.getAs[Long]("n_days") == 20L)
+    assert(a.getAs[Long]("total_events") == 200L)
+    // constant series: T_d = 0 everywhere → tie broken to the
+    // earliest day, statistic exactly 0
+    val b = r("b")
+    assert(b.getAs[Long]("cusum_abs") == 0L)
+    assert(b.getAs[java.sql.Date]("cp_day").toString == "2024-02-01")
+  }
+
+  test("q174 theilSen: an exact linear trend with one massive outlier " +
+    "day still yields the exact slope (robustness OLS lacks)") {
+    import spark.implicits._
+    // c = 2d + 10 for d = 1..15, except day 8 explodes to 500 events:
+    // only 14 of the 105 pairwise slopes touch the outlier, so the
+    // median slope is EXACTLY 2.0 and the median level the 8th order
+    // statistic (28)
+    val rows = for {
+      d <- 1 to 15
+      _ <- 1 to (if (d == 8) 500 else 2 * d + 10)
+    } yield ("a", java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"))
+    val r = Relational.theilSen(rows.toDF("event_type", "ts")).head()
+    assert(r.getAs[Long]("n_days") == 15L)
+    assert(r.getAs[Double]("slope_med") == 2.0,
+      s"slope ${r.getAs[Double]("slope_med")}")
+    assert(r.getAs[Double]("level_med") == 28.0,
+      s"level ${r.getAs[Double]("level_med")}")
+  }
 }
