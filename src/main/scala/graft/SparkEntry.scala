@@ -134,6 +134,7 @@ object SparkEntry {
     // sampling are randomized; SketchSpec pins their error bounds
     "q167_kll_quantiles" -> q(t => Sketches.q167(t)),
     "q168_theta_overlap" -> q(t => Sketches.q168(t)),
+    "q175_theta_retention" -> q(t => Sketches.q175(t)),
     "q105_length_batching" ->
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),

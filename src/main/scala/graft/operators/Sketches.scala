@@ -151,6 +151,48 @@ object Sketches {
         .theta_agg(col("user_id").cast("long"), nomEntries).as("sketch"),
         count(lit(1)).as("n_events"))
 
+  /** q175 — daily new-vs-returning users OFF THE THETA SKETCH TABLE:
+    * q88's growth-accounting question answered from per-day kilobyte
+    * sketches — active(d) = |S_d|, new(d) = |S_d \ ∪_{i<d} S_i|
+    * (A-not-B against the running union), returning = active − new.
+    * HLL sketch tables (q78) cannot answer this: union-only merges
+    * have no set difference. The fold runs DRIVER-SIDE over ≤|days|
+    * compact sketches (bounded kilobytes — the sketch-table scale,
+    * same discipline as the q83 centroid collect); the fact table is
+    * scanned once to build the sketch table and never again, which is
+    * the whole point at 100 TB: yesterday's sketches are immutable
+    * state, today's increment appends one row. Randomized sampling →
+    * rows-only gate; SketchSpec pins exact-mode equality against the
+    * exact first-seen computation. */
+  def q175(t: Tables, nomEntries: Int = 4096): DataFrame = {
+    import graft.functions.ThetaSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches => DsSketches}
+    val spark = t.events.sparkSession
+    val daily = t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(ThetaSketch.theta_agg(col("user_id").cast("long"),
+        nomEntries).as("sketch"))
+      .orderBy("day")
+      .collect()
+    val union = SetOperation.builder()
+      .setNominalEntries(nomEntries).buildUnion()
+    val rows = daily.map { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      val blob = r.getAs[Array[Byte]]("sketch")
+      val sk = DsSketches.wrapSketch(Memory.wrap(blob))
+      val active = math.rint(sk.getEstimate * 10) / 10
+      val fresh = math.rint(SetOperation.builder().buildANotB()
+        .aNotB(sk, union.getResult).getEstimate * 10) / 10
+      union.union(sk)
+      (day, active, fresh, math.rint((active - fresh) * 10) / 10)
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("day", "est_active", "est_new", "est_returning")
+      .orderBy("day")
+  }
+
   /** q168 — q79's exact audience-overlap matrix OFF THE SKETCH TABLE:
     * pairwise intersection, A-not-B, and marginal estimates from
     * per-type theta sketches — answered from kilobyte state with no

@@ -256,6 +256,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q175 theta retention equals the exact first-seen accounting " +
+    "in exact mode, and new + returning == active every day") {
+    val got = Sketches.q175(tables).collect()
+    assert(got.nonEmpty)
+    val du = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val activeExact = du.groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val newExact = du.groupBy("user_id")
+      .agg(min("day").as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val day = r.getDate(0).toString
+      assert(r.getDouble(1) == activeExact(day).toDouble,
+        s"$day active")
+      assert(r.getDouble(2) == newExact.getOrElse(day, 0L).toDouble,
+        s"$day new")
+      assert(r.getDouble(3) == r.getDouble(1) - r.getDouble(2),
+        s"$day returning")
+    }
+    // the fixture must exercise both classes
+    assert(got.map(_.getDouble(2)).sum > 0, "no new users — vacuous")
+    assert(got.map(_.getDouble(3)).sum > 0, "no returning users — vacuous")
+  }
+
   test("theta sketches in estimation mode (cardinality >> nominal " +
     "entries) stay within 5% and intersections within 15%") {
     import graft.functions.ThetaSketch
