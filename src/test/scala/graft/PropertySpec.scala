@@ -416,4 +416,65 @@ class PropertySpec extends SparkSpec {
         s, java.text.Normalizer.Form.NFC)))
     }
   }
+
+  test("Jacobi eigensolver on random symmetric matrices: eigenpair " +
+    "residuals, orthonormal rows, trace conservation, descending " +
+    "order") {
+    val matGen = for {
+      d <- Gen.choose(2, 12)
+      cells <- Gen.listOfN(d * d, Gen.choose(-50, 50))
+    } yield {
+      val raw = cells.map(_.toDouble / 7.0).toArray
+      // symmetrize: A = (M + Mᵀ) / 2
+      Array.tabulate(d, d)((i, j) => (raw(i * d + j) + raw(j * d + i)) / 2)
+    }
+    forSamples(matGen, n = 8) { a =>
+      val d = a.length
+      val (evals, evecs) = graft.operators.Pca.jacobiEigSym(a)
+      val scale = math.max(1.0, a.flatten.map(math.abs).max)
+      for (k <- 0 until d) {
+        val v = evecs(k)
+        val resid = math.sqrt((0 until d).map { i =>
+          val cv = (0 until d).map(j => a(i)(j) * v(j)).sum
+          math.pow(cv - evals(k) * v(i), 2)
+        }.sum)
+        assert(resid < 1e-9 * scale, s"eigenpair $k resid $resid")
+      }
+      for (i <- 0 until d; j <- i until d) {
+        val dot = (0 until d).map(x => evecs(i)(x) * evecs(j)(x)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10)
+      }
+      val trace = (0 until d).map(i => a(i)(i)).sum
+      assert(math.abs(evals.sum - trace) < 1e-9 * math.max(1.0,
+        math.abs(trace)))
+      assert(evals.sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1) - 1e-12))
+    }
+  }
+
+  test("KLL rank bound holds on adversarial orderings: sorted, " +
+    "reversed, and interleaved streams of the same multiset") {
+    import graft.functions.QuantileSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val base = (1 to 20000).map(_.toDouble)
+    val orders = Seq(
+      base,
+      base.reverse,
+      base.grouped(2).toSeq.sortBy(g => g.head % 97).flatten)
+    orders.foreach { xs =>
+      val agg = new QuantileSketch.BuildAggregator(200)
+      val st = xs.foldLeft(agg.zero)(agg.reduce)
+      val sk = KllDoublesSketch.heapify(Memory.wrap(agg.finish(st)))
+      assert(sk.getN == base.length)
+      Seq(0.1, 0.5, 0.9, 0.99).foreach { p =>
+        val est = sk.getQuantile(p,
+          org.apache.datasketches.quantilescommon
+            .QuantileSearchCriteria.INCLUSIVE)
+        val rank = base.count(_ <= est).toDouble / base.length
+        assert(math.abs(rank - p) <= 0.0165 * 2,
+          s"order=${xs.head} p$p rank $rank")
+      }
+    }
+  }
 }
