@@ -883,7 +883,7 @@ object SparkEntry {
       """WITH keyed AS (
         |  SELECT doc_id, lang, n_chars,
         |         ROUND(ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 1)
-        |               / 4294967296.0) / n_chars, 6) AS skey
+        |               / 4294967296.0) / n_chars, 6) + 0.0 AS skey
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, skey
         |FROM keyed
@@ -1500,7 +1500,7 @@ object SparkEntry {
         |          ln(CAST(cr + 1 AS DOUBLE) / (nr + 256)) AS llr
         |        FROM model CROSS JOIN tot),
         |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |             ROUND(SUM(llr), 4) AS logw
+        |             ROUND(SUM(llr), 4) + 0.0 AS logw
         |           FROM tok JOIN llr USING (b) GROUP BY doc_id),
         |rk AS (SELECT *, row_number() OVER (ORDER BY logw DESC, doc_id)
         |         AS rn FROM perdoc)
@@ -2938,7 +2938,8 @@ object SparkEntry {
          |  FROM events GROUP BY 1, 2),
          |ranked AS (
          |  SELECT id, site, pageviews,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY site ORDER BY pageviews, id) AS DOUBLE)
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY site
+         |           ORDER BY ROUND(pageviews, 2), id) AS DOUBLE)
          |           / COUNT(*) OVER (PARTITION BY site) AS rank
          |  FROM parsed)
          |SELECT id,

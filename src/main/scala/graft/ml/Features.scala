@@ -45,7 +45,14 @@ object Features {
     * over the site partition, ascending pageviews, id tiebreak. */
   def ranked(parsed: DataFrame): DataFrame = {
     val part = Window.partitionBy("site")
-    val w = part.orderBy("pageviews", "id")
+    // sort key = the 2-decimal-ROUNDED pageviews: when pageviews is a
+    // float AGGREGATE (q27's per-day SUM(value)), 1-ulp summation-
+    // order differences between engines flip near-ties and swap
+    // adjacent ranks (surfaced at sf1, where replicated values create
+    // such ties); rounding recovers the exact decimal on both sides,
+    // and remaining ties fall to the deterministic id tiebreak. A
+    // no-op for integer pageview counts (the reference domain).
+    val w = part.orderBy(round(col("pageviews"), 2), col("id"))
     parsed.withColumn("rank",
       row_number().over(w).cast("double") / count(lit(1)).over(part))
   }
@@ -70,17 +77,23 @@ object Features {
     * FeaturesPropSpec.
     */
   def rankedScalable(parsed: DataFrame, buckets: Int = 32): DataFrame = {
-    val stats = parsed.groupBy("site").agg(
-      min("pageviews").as("pv_min"), max("pageviews").as("pv_max"),
+    // the SAME stabilized sort key as [[ranked]] (rounded pageviews),
+    // and the bucket must be a function of that key — bucketing on the
+    // raw value would let two equal-rounded rows land in different
+    // buckets and order by bucket instead of the id tiebreak
+    val pvr = round(col("pageviews"), 2)
+    val withKey = parsed.withColumn("__pvr", pvr)
+    val stats = withKey.groupBy("site").agg(
+      min("__pvr").as("pv_min"), max("__pvr").as("pv_max"),
       count(lit(1)).as("site_n"))
-    val bucketed = parsed
+    val bucketed = withKey
       .join(broadcast(stats), "site")
       .withColumn("bucket",
         when(col("pv_max") === col("pv_min"), lit(1)).otherwise(
-          width_bucket(col("pageviews"), col("pv_min"), col("pv_max"),
+          width_bucket(col("__pvr"), col("pv_min"), col("pv_max"),
             lit(buckets))))
     val localW = Window.partitionBy("site", "bucket")
-      .orderBy("pageviews", "id")
+      .orderBy("__pvr", "id")
     val withLocal = bucketed.withColumn("local_rn",
       row_number().over(localW))
     val histW = Window.partitionBy("site").orderBy("bucket")

@@ -370,7 +370,9 @@ object TextAnalysis {
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("double")
     val u = (h + lit(1.0)) / lit(4294967296.0) // (0,1]: h ∈ [0, 2³²−1]
-    val skey = round(log(u) / col(weightCol), 6)
+    // + 0.0: same negative-zero fold as q141/q148 (u ≈ 1 makes the
+    // ratio round to -0.0 at sf1), mirrored in the oracle
+    val skey = round(log(u) / col(weightCol), 6) + lit(0.0)
     documents.filter(col(weightCol) > 0)
       .select(col("doc_id"), col("lang"),
         col(weightCol).cast("long").as(weightCol), skey.as("skey"))
@@ -974,7 +976,10 @@ object TextAnalysis {
         .as("llr"))
     val perDoc = tok.join(broadcast(llr), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), round(sum("llr"), 4).as("logw"))
+      // + 0.0 folds IEEE negative zero (a tiny negative sum that
+      // rounds to -0.0 — surfaces at sf1) into +0.0; oracle mirrored
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum("llr"), 4) + lit(0.0)).as("logw"))
     // the k-th row of (logw desc, doc_id asc): bounded heaps, no sort
     val kth = perDoc
       .orderBy(col("logw").desc, col("doc_id")).limit(k)
