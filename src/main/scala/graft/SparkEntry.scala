@@ -247,6 +247,7 @@ object SparkEntry {
     "q172_bfs_hops" -> q(t => Graph.bfsHops(t.lineitem)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
+    "q176_mann_kendall" -> q(Relational.q176),
     // the AllPairs prefix-filtered path, declared under its own gate:
     // same semantics as q19, different (real-corpus-preferred) algorithm
     "q135_allpairs_jaccard" ->
@@ -2762,6 +2763,25 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |  ORDER BY ABS(n * cum - d * total) DESC, d ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    // q176: integer sign sums over the q174 pair frame; + 0.0 folds
+    // a −0.0 tau (all-decreasing τ = −0 cannot occur, but a tiny
+    // negative rounded ratio can)
+    "q176_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY day) AS d
+        |      FROM daily),
+        |p AS (SELECT a.event_type,
+        |        CAST(SIGN(b.c - a.c) AS BIGINT) AS s
+        |      FROM i a JOIN i b
+        |        ON a.event_type = b.event_type AND a.d < b.d)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(s) AS BIGINT) AS s_stat,
+        |  ROUND(SUM(s)::DOUBLE / COUNT(*), 4) + 0.0 AS tau
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q174: pairwise slopes over the daily aggregate; medians via
     // quantile_cont (two-pass-equivalence proven by the q44/q49 gates)
     "q174_theil_sen" ->

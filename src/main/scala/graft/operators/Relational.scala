@@ -2152,6 +2152,43 @@ object Relational {
     * whole statistic is engine-exact under 4-decimal rounding. */
   def q174(t: Tables): DataFrame = theilSen(t.events)
 
+  /** q176 — Mann–Kendall trend test per event type: S = Σ_{i<j}
+    * sign(c_j − c_i) over the daily-volume series and Kendall's
+    * τ = S / C(n,2) — the NONPARAMETRIC trend TEST next to q174's
+    * robust trend ESTIMATE (the standard pairing in environmental /
+    * monitoring statistics: τ says whether a monotone trend exists,
+    * Theil–Sen says how steep). S is a pure integer sum of signs over
+    * the same daily-aggregate pair frame q174 uses (constant in event
+    * volume), so S and n_pairs hash exactly and τ is one rounded
+    * division. */
+  def q176(t: Tables): DataFrame = mannKendall(t.events)
+
+  /** q176 core over any (event_type, ts) frame — see [[q176]]. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.withColumn("d",
+      row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+    val aSide = idx.select(col("event_type"),
+      col("d").as("da"), col("c").as("ca"))
+    val bSide = idx.select(col("event_type").as("et_b"),
+      col("d").as("db"), col("c").as("cb"))
+    val pairs = aSide
+      .join(bSide,
+        col("event_type") === col("et_b") && col("da") < col("db"))
+      .select(col("event_type"),
+        signum((col("cb") - col("ca")).cast("double")).cast("long")
+          .as("s"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("s").as("s_stat"))
+      .select(col("event_type"), col("n_pairs"), col("s_stat"),
+        (round(col("s_stat").cast("double") / col("n_pairs"), 4)
+          + lit(0.0)).as("tau"))
+      .orderBy("event_type")
+  }
+
   /** q174 core over any (event_type, ts) frame — see [[q174]]. */
   def theilSen(events: DataFrame): DataFrame = {
     val daily = events

@@ -749,6 +749,27 @@ class RelationalSpec extends SparkSpec {
     assert(b.getAs[java.sql.Date]("cp_day").toString == "2024-02-01")
   }
 
+  test("q176 mannKendall: strictly rising, strictly falling, and flat " +
+    "series give tau exactly +1, -1, and 0") {
+    import spark.implicits._
+    def series(tag: String, month: Int, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((tag, java.sql.Timestamp.valueOf(
+          f"2024-$month%02d-${i + 1}%02d 12:00:00")))
+      }
+    val df = (series("up", 4, Seq(1, 2, 3, 4, 5)) ++
+      series("down", 5, Seq(5, 4, 3, 2, 1)) ++
+      series("flat", 6, Seq(3, 3, 3, 3))).toDF("event_type", "ts")
+    val r = Relational.mannKendall(df).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("up").getAs[Double]("tau") == 1.0)
+    assert(r("up").getAs[Long]("s_stat") == 10L)   // C(5,2)
+    assert(r("down").getAs[Double]("tau") == -1.0)
+    assert(r("flat").getAs[Double]("tau") == 0.0)
+    assert(r("flat").getAs[Long]("s_stat") == 0L)
+    assert(r("flat").getAs[Long]("n_pairs") == 6L) // C(4,2)
+  }
+
   test("q174 theilSen: an exact linear trend with one massive outlier " +
     "day still yields the exact slope (robustness OLS lacks)") {
     import spark.implicits._
