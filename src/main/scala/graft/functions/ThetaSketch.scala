@@ -29,7 +29,14 @@ object ThetaSketch {
   class State extends Serializable {
     @transient var sketch: UpdateSketch = _
     @transient var union: Union = _
+    // Configured nominal entries, carried ACROSS the Java-serialization
+    // boundary between partial and final aggregation: rehydrating the
+    // union with the library default (4096) would silently cap any
+    // theta_agg(..., nomEntries > 4096) after the shuffle, breaking
+    // exact-mode equality and making results partitioning-dependent.
+    private var nom: Int = 0
     def ensure(nomEntries: Int): UpdateSketch = {
+      nom = nomEntries
       if (sketch == null)
         sketch = UpdateSketch.builder()
           .setNominalEntries(nomEntries).build()
@@ -37,6 +44,7 @@ object ThetaSketch {
     }
     /** Union accumulator for merge-side state (blob inputs). */
     def ensureUnion(nomEntries: Int): Union = {
+      nom = nomEntries
       if (union == null)
         union = SetOperation.builder()
           .setNominalEntries(nomEntries).buildUnion()
@@ -55,16 +63,21 @@ object ThetaSketch {
           union.getResult.toByteArray
         } else if (sketch != null) sketch.compact().toByteArray
         else Array.empty[Byte]
+      out.writeInt(nom)
       out.writeInt(b.length)
       out.write(b)
     }
     private def readObject(in: ObjectInputStream): Unit = {
+      nom = in.readInt()
       val n = in.readInt()
       val b = new Array[Byte](n)
       in.readFully(b)
       if (n > 0) {
-        // rehydrate into a union so further merges keep accumulating
-        union = SetOperation.builder().buildUnion()
+        // rehydrate into a union at the CONFIGURED nominal entries so
+        // further merges keep accumulating at full resolution
+        val builder = SetOperation.builder()
+        if (nom > 0) builder.setNominalEntries(nom)
+        union = builder.buildUnion()
         union.union(Sketches.wrapSketch(Memory.wrap(b)))
       }
     }

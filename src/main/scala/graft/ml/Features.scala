@@ -42,7 +42,17 @@ object Features {
       .agg(sum("value").as("pageviews"))
 
   /** Normalized per-site popularity rank ∈ (0,1]: row_number / count
-    * over the site partition, ascending pageviews, id tiebreak. */
+    * over the site partition, ascending pageviews, id tiebreak.
+    *
+    * DOCUMENTED DEVIATION from the reference (FeatureExtractor orders
+    * by the raw Double): the sort key is round(pageviews, 2), so two
+    * values that genuinely differ only beyond 2 decimals tie and fall
+    * to the id tiebreak. Intentional and oracle-mirrored — pageviews
+    * here is a float AGGREGATE, where raw ordering is engine-
+    * summation-order-dependent; for an exact-integer pageview domain
+    * (the reference's) the rounding is a no-op. Callers with a
+    * genuine >2-decimal exact-input domain should order by the raw
+    * column instead. */
   def ranked(parsed: DataFrame): DataFrame = {
     val part = Window.partitionBy("site")
     // sort key = the 2-decimal-ROUNDED pageviews: when pageviews is a

@@ -44,8 +44,12 @@ object Pca {
     def d: Int = mean.length
     def k: Int = components.length
     def explainedVariance: Array[Double] = {
-      val tot = eigenvalues.sum
-      eigenvalues.take(k).map(v => if (tot == 0.0) 0.0 else v / tot)
+      // The one-pass E[x²] − mean² covariance can cancel catastrophically
+      // when ‖mean‖ ≫ spread and emit slightly NEGATIVE eigenvalues;
+      // clamp at 0 (as whiten already does) so the ratios stay in [0,1].
+      val clamped = eigenvalues.map(math.max(_, 0.0))
+      val tot = clamped.sum
+      clamped.take(k).map(v => if (tot == 0.0) 0.0 else v / tot)
     }
   }
 

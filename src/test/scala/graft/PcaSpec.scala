@@ -159,6 +159,20 @@ class PcaSpec extends SparkSpec {
     assert(mean > 0.85, s"mean recall@5 = $mean per-query $recalls")
   }
 
+  test("explainedVariance clamps cancellation-noise negative " +
+    "eigenvalues at 0 so ratios stay in [0,1]") {
+    // the one-pass E[x²] − mean² covariance can emit slightly negative
+    // trailing eigenvalues when ‖mean‖ ≫ spread; the ratios must not
+    // go negative or push the top-k share above 1
+    val m = Pca.Model(n = 10, mean = Array(0.0, 0.0, 0.0),
+      eigenvalues = Array(2.0, 1.0, -1e-12),
+      components = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+        Array(0.0, 0.0, 1.0)))
+    val evr = m.explainedVariance
+    assert(evr.forall(v => v >= 0.0 && v <= 1.0), evr.toSeq.toString)
+    assert(math.abs(evr.sum - 1.0) < 1e-12, evr.toSeq.toString)
+  }
+
   test("fit is deterministic: two runs produce bitwise-equal models") {
     val df = plantedDf(150, 16).coalesce(1)
     val a = Pca.fit(df, k = 4)

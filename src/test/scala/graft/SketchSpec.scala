@@ -308,6 +308,23 @@ class SketchSpec extends SparkSpec {
       s"estAOnly=$estAOnly")
   }
 
+  test("theta_agg with nomEntries > 4096 keeps the configured " +
+    "resolution across the partial/final serialization boundary " +
+    "(exact mode at 10k distinct keys under nomEntries=16384)") {
+    import graft.functions.ThetaSketch
+    import spark.implicits._
+    // 10k distinct keys > the 4096 library default but < the
+    // configured 16384: if the shuffle-boundary rehydration dropped
+    // nomEntries (the pre-fix bug), the merged union would cap at
+    // 4096 and fall into estimation mode — the estimate would no
+    // longer be the exact 10000 and would vary with partitioning.
+    val df = (0L until 10000L).toDF("k").repartition(13)
+    val blob = df.agg(ThetaSketch.theta_agg(col("k"), 16384).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(ThetaSketch.estimate(blob) == 10000.0,
+      s"expected exact 10000, got ${ThetaSketch.estimate(blob)}")
+  }
+
   test("the sketch suite is SQL-callable: a pure-SQL KLL build+merge+" +
     "read pipeline keeps exact counts and bounded ranks, and a " +
     "pure-SQL theta overlap equals the exact matrix in exact mode") {

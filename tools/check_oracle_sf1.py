@@ -9,7 +9,7 @@ replay is what ran out of time). Resumable: pass a done-file of
 names to skip. Usage:
   check_oracle_sf1.py <sfDir> <verifyOutDir> [timeoutSec] [doneFile]
 """
-import json, multiprocessing as mp, sys
+import json, multiprocessing as mp, queue as queue_mod, sys
 
 
 def one(sf_dir, out_dir, name, sql, q):
@@ -82,7 +82,13 @@ def main():
                   flush=True)
             counts["TIME"] += 1
         else:
-            line = q.get()
+            # The child can die without putting a result (native DuckDB
+            # crash / OOM kill) — a bare q.get() would block forever.
+            try:
+                line = q.get(timeout=10)
+            except queue_mod.Empty:
+                line = f"FAIL {name}: child exited without result " \
+                       f"(exitcode {p.exitcode})"
             print(line, flush=True)
             counts["OK" if line.startswith("OK") else "FAIL"] += 1
     print(f"\n{counts['OK']} ok, {counts['FAIL']} failed, "
