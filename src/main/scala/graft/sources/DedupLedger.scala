@@ -59,34 +59,96 @@ object DedupLedger {
 
   private val BatchMarker = "lastBatch="
 
+  private def snapshotFile(statePath: String, version: Long) =
+    new java.io.File(new java.io.File(statePath, "manifests"),
+      f"v_$version%08d")
+
+  private def parseManifest(f: java.io.File): Manifest = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try {
+      val lines = src.getLines().filter(_.nonEmpty).toList
+      val (markers, parts) = lines.tail.partition(_.startsWith(BatchMarker))
+      Manifest(lines.head.toLong, parts,
+        markers.headOption.map(_.stripPrefix(BatchMarker).toLong))
+    } finally src.close()
+  }
+
   def readManifest(statePath: String): Option[Manifest] = {
     val f = currentFile(statePath)
-    if (!f.exists()) None
+    if (!f.exists()) None else Some(parseManifest(f))
+  }
+
+  /** The manifest as committed at `version` — the TIME-TRAVEL surface
+    * every ledger here inherits. Snapshots are written by every
+    * [[writeManifest]] commit; an as-of read resolves the snapshot and
+    * unions exactly the parts committed then (superseded parts are
+    * never deleted by absorb/compact, so they remain readable).
+    * Refuses versions the state cannot honestly serve:
+    *  - beyond CURRENT (an orphan snapshot from a crashed commit is
+    *    not committed state);
+    *  - before the latest [[purge]] (purge truncates older snapshots —
+    *    resurrecting purged fingerprints via time travel would defeat
+    *    erasure; this is the explicit refusal, not a silent miss);
+    *  - before this as-of facility existed for the ledger (no
+    *    snapshot on disk). */
+  private[sources] def readManifestAt(
+      statePath: String, version: Long): Manifest = {
+    val cur = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    require(version <= cur.version,
+      s"as-of version $version is beyond the committed ${cur.version} " +
+        s"at $statePath")
+    if (version == cur.version) cur
     else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try {
-        val lines = src.getLines().filter(_.nonEmpty).toList
-        val (markers, parts) = lines.tail.partition(_.startsWith(BatchMarker))
-        Some(Manifest(lines.head.toLong, parts,
-          markers.headOption.map(_.stripPrefix(BatchMarker).toLong)))
-      } finally src.close()
+      val f = snapshotFile(statePath, version)
+      require(f.exists(),
+        s"no manifest snapshot for version $version at $statePath — " +
+          "either the version predates a purge (older snapshots are " +
+          "truncated so erased fingerprints cannot resurface) or it " +
+          "predates versioned-manifest support for this ledger")
+      parseManifest(f)
+    }
+  }
+
+  /** Drop manifest snapshots older than `before` — the [[purge]]
+    * commit's history truncation (erasure must close the time-travel
+    * door too). The physical bytes of superseded part dirs remain on
+    * disk (crash-safety orphans); full physical erasure additionally
+    * requires removing those, which is a filesystem GC concern outside
+    * the manifest contract. */
+  private[sources] def truncateSnapshots(
+      statePath: String, before: Long): Unit = {
+    val dir = new java.io.File(statePath, "manifests")
+    if (dir.exists()) dir.listFiles().foreach { f =>
+      if (f.getName.startsWith("v_") &&
+        f.getName.stripPrefix("v_").toLong < before) f.delete()
     }
   }
 
   /** Data is already durable when this runs; the rename is the commit
-    * point (same tmp+rename the [[Incremental]] ledger uses).
-    * Package-visible so [[MinhashLedger]] shares the exact same
-    * manifest format and commit discipline. */
+    * point (same tmp+rename the [[Incremental]] ledger uses). Also
+    * records an immutable per-version snapshot under `manifests/`
+    * BEFORE the CURRENT rename (an orphan snapshot from a crash here
+    * is overwritten by the idempotent replay, and as-of reads refuse
+    * versions beyond CURRENT). Package-visible so [[MinhashLedger]]
+    * and [[SketchLedger]] share the exact same manifest format and
+    * commit discipline. */
   private[sources] def writeManifest(statePath: String, m: Manifest): Unit = {
     val dir = new java.io.File(statePath)
     dir.mkdirs()
+    def writeTo(f: java.io.File): Unit = {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try {
+        w.println(m.version)
+        m.lastBatchId.foreach(id => w.println(s"$BatchMarker$id"))
+        m.keyParts.foreach(w.println)
+      } finally w.close()
+    }
+    val snap = snapshotFile(statePath, m.version)
+    snap.getParentFile.mkdirs()
+    writeTo(snap)
     val tmp = new java.io.File(dir, ".current_tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try {
-      w.println(m.version)
-      m.lastBatchId.foreach(id => w.println(s"$BatchMarker$id"))
-      m.keyParts.foreach(w.println)
-    } finally w.close()
+    writeTo(tmp)
     if (currentFile(statePath).exists()) currentFile(statePath).delete()
     require(tmp.renameTo(currentFile(statePath)),
       s"CURRENT rename failed under $statePath")
@@ -140,6 +202,19 @@ object DedupLedger {
   def keys(spark: SparkSession, statePath: String): DataFrame = {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(s"no ledger at $statePath"))
+    spark.read.parquet(m.keyParts.map(keysDir(statePath, _)): _*)
+  }
+
+  /** Time-travel read: the key set exactly as committed at
+    * `asOfVersion` — the audit/debug surface the versioned manifests
+    * pay for ("which keys did increment 7 dedup against?"). Absorb
+    * and compact never delete superseded parts, so every pre-purge
+    * version stays readable; versions older than the latest purge are
+    * refused (see [[readManifestAt]]). */
+  def keys(
+      spark: SparkSession, statePath: String,
+      asOfVersion: Long): DataFrame = {
+    val m = readManifestAt(statePath, asOfVersion)
     spark.read.parquet(m.keyParts.map(keysDir(statePath, _)): _*)
   }
 
@@ -327,6 +402,9 @@ object DedupLedger {
       .head().getSeq[Long](0).toArray
     writeBloom(spark, statePath, next, rebuilt)
     writeManifest(statePath, Manifest(next, Seq(partName(next))))
+    // erasure closes the time-travel door: as-of reads before this
+    // purge would resurface the doomed fingerprints
+    truncateSnapshots(statePath, next)
     removed
   }
 

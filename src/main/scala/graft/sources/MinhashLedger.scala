@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object MinhashLedger {
 
-  import DedupLedger.{Manifest, partName, readManifest, writeManifest}
+  import DedupLedger.{Manifest, partName, readManifest, readManifestAt,
+    truncateSnapshots, writeManifest}
 
   private def sigsDir(statePath: String, part: String) =
     s"$statePath/sigs/$part"
@@ -56,6 +57,20 @@ object MinhashLedger {
     spark.read.parquet(m.keyParts.map(sigsDir(statePath, _)): _*)
   }
 
+  /** Time-travel read: the signature set exactly as committed at
+    * `asOfVersion` ([[DedupLedger.keys]]'s as-of twin — "what did
+    * increment 7's near-dup probe actually see?"). Superseded parts
+    * are never deleted by absorb/compact, so pre-purge versions stay
+    * readable; versions older than the latest [[purge]] are refused
+    * (purge truncates their snapshots — erased signatures must not
+    * resurface via time travel). */
+  def signatures(
+      spark: SparkSession, statePath: String,
+      asOfVersion: Long): DataFrame = {
+    val m = readManifestAt(statePath, asOfVersion)
+    spark.read.parquet(m.keyParts.map(sigsDir(statePath, _)): _*)
+  }
+
   /** Flag `batch`'s near-duplicates against everything seen (ledger ∪
     * own batch), absorb the batch's signatures, and return the flag
     * frame — (doc_id, n_partners, first_partner, best_est), the q170
@@ -69,27 +84,87 @@ object MinhashLedger {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(
         s"no ledger at $statePath — call init(corpus) first"))
-    val next = m.version + 1
-    // batch signatures land on disk FIRST (they are both the state
-    // advance and the flag input — reading them back keeps the flag
-    // computation on the exact persisted bytes), manifest rename last
-    Dedup.minhashSignatures(batch, k)
-      .write.mode("overwrite")
-      .parquet(sigsDir(statePath, partName(next)))
-    val batchSig = spark.read.parquet(sigsDir(statePath, partName(next)))
-    val ledgerSig = signatures(spark, statePath)
-    // lazy: the frame is pinned to explicit part PATHS (resolved
-    // above), so consuming it after the manifest advances — or after a
-    // compact, whose superseded parts become orphans but are never
-    // deleted — still reads exactly this increment's state, and
-    // lineage survives for the no-corpus-scan inputFiles assertion
-    val flags = Dedup.nearDupFlags(
-      batchSig, ledgerSig.unionByName(batchSig), k, bands,
-      minEstJaccard)
+    val (flags, next) =
+      deriveFlags(spark, statePath, m, batch, k, bands, minEstJaccard)
     writeManifest(statePath,
       Manifest(next, m.keyParts :+ partName(next)))
     flags
   }
+
+  /** Shared derivation step of [[absorb]] and [[absorbSink]]: write
+    * the batch's signature part for version m.version+1 and build the
+    * (lazy) flag frame against ledger ∪ batch. The caller commits the
+    * manifest. Batch signatures land on disk FIRST (they are both the
+    * state advance and the flag input — reading them back keeps the
+    * flag computation on the exact persisted bytes); both frames are
+    * pinned to explicit part PATHS, so consuming the flags after the
+    * manifest advances — or after a compact, whose superseded parts
+    * become orphans but are never deleted — still reads exactly this
+    * increment's state, and lineage survives for the no-corpus-scan
+    * inputFiles assertion. */
+  private def deriveFlags(
+      spark: SparkSession, statePath: String, m: Manifest,
+      batch: DataFrame, k: Int, bands: Int,
+      minEstJaccard: Double): (DataFrame, Long) = {
+    val next = m.version + 1
+    Dedup.minhashSignatures(batch, k)
+      .write.mode("overwrite")
+      .parquet(sigsDir(statePath, partName(next)))
+    val batchSig = spark.read.parquet(sigsDir(statePath, partName(next)))
+    val ledgerSig =
+      spark.read.parquet(m.keyParts.map(sigsDir(statePath, _)): _*)
+    val flags = Dedup.nearDupFlags(
+      batchSig, ledgerSig.unionByName(batchSig), k, bands,
+      minEstJaccard)
+    (flags, next)
+  }
+
+  /** Streaming ingest — [[DedupLedger.absorbSink]]'s discipline for
+    * the signature ledger, completing the ledger trio's surface
+    * parity: a `foreachBatch` function that flags each micro-batch's
+    * near-duplicates against everything seen, writes the flag frame
+    * under `outDir/batch_<id>`, and absorbs the batch's signatures —
+    * EXACTLY-ONCE despite foreachBatch's at-least-once replay:
+    *
+    *  1. the signature part and the flag output land FIRST, both
+    *     mode=overwrite: a replay of an uncommitted batch (manifest
+    *     never advanced) re-derives the identical signatures and flags
+    *     and redoes the same deterministic dirs;
+    *  2. the manifest records the batchId LAST — a replay of a
+    *     committed batch sees its own id and no-ops instead of
+    *     re-absorbing against the advanced ledger (which would flag
+    *     the whole batch as duplicate-of-itself and clobber the real
+    *     flag output).
+    *
+    * Same checkpoint/state drift guard as the other two sinks: ids may
+    * only be last (replay → no-op) or last+1 (progress). One stream
+    * per ledger (single-writer, as everywhere here). Usage:
+    * `docs.writeStream.foreachBatch(
+    *   MinhashLedger.absorbSink(spark, state, out)).start()`. */
+  def absorbSink(
+      spark: SparkSession, statePath: String, outDir: String,
+      k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val m = readManifest(statePath).getOrElse(
+        throw new IllegalStateException(
+          s"no ledger at $statePath — call init(corpus) first"))
+      m.lastBatchId.foreach { last =>
+        require(batchId == last || batchId == last + 1,
+          s"stream/ledger mismatch at $statePath: ledger committed " +
+            s"micro-batch $last but foreachBatch delivered $batchId; " +
+            "the checkpoint, the ledger state, and the output dir " +
+            "form one unit — restarting a stream with a fresh " +
+            "checkpoint over existing state is not recoverable here")
+      }
+      if (!m.lastBatchId.contains(batchId)) {
+        val (flags, next) =
+          deriveFlags(spark, statePath, m, batch, k, bands, minEstJaccard)
+        flags.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        writeManifest(statePath,
+          Manifest(next, m.keyParts :+ partName(next), Some(batchId)))
+      }
+    }
 
   /** Compact signature parts into one (the [[DedupLedger.compact]]
     * maintenance step — identical rationale and commit shape). */
@@ -128,6 +203,9 @@ object MinhashLedger {
     retained.write.mode("overwrite")
       .parquet(sigsDir(statePath, partName(next)))
     writeManifest(statePath, Manifest(next, Seq(partName(next))))
+    // close the time-travel door on the purged signatures (the
+    // DedupLedger.purge discipline)
+    truncateSnapshots(statePath, next)
     removed
   }
 }

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{BinaryType, DateType, LongType,
   */
 object SketchLedger {
 
-  import DedupLedger.{Manifest, partName, readManifest, writeManifest}
+  import DedupLedger.{Manifest, partName, readManifest, readManifestAt,
+    writeManifest}
 
   private def tableDir(statePath: String, part: String) =
     s"$statePath/table/$part"
@@ -52,6 +53,20 @@ object SketchLedger {
   def table(spark: SparkSession, statePath: String): DataFrame = {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(s"no ledger at $statePath"))
+    spark.read.schema(schema)
+      .parquet(tableDir(statePath, m.keyParts.last))
+  }
+
+  /** Time-travel read: the sketch table exactly as committed at
+    * `asOfVersion` — every version is a FULL table and superseded
+    * versions are never deleted, so "what did the p99 look like before
+    * yesterday's batch?" is a one-line audit read. Refuses versions
+    * beyond CURRENT or without a committed snapshot (see
+    * [[DedupLedger.readManifestAt]]). */
+  def table(
+      spark: SparkSession, statePath: String,
+      asOfVersion: Long): DataFrame = {
+    val m = readManifestAt(statePath, asOfVersion)
     spark.read.schema(schema)
       .parquet(tableDir(statePath, m.keyParts.last))
   }

@@ -247,4 +247,42 @@ class DedupLedgerSpec extends SparkSpec {
       Seq("no_such_key").toDF("k")) == 0L)
     assert(DedupLedger.readManifest(state).get.version == mBefore)
   }
+
+  test("as-of reads: keys(asOfVersion) equal the state committed " +
+    "before the next absorb; compact RESOLVES pre-compaction " +
+    "versions; purge REFUSES pre-purge versions") {
+    val (corpusDir, b1Dir, b2Dir, state) = fixture("asof")
+    val corpus = spark.read.parquet(corpusDir)
+    DedupLedger.init(spark, state, corpus)
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.getString(0)).toSet
+    val v1 = keySet(DedupLedger.keys(spark, state))
+    DedupLedger.absorb(spark, state, spark.read.parquet(b1Dir)).collect()
+    val v2 = keySet(DedupLedger.keys(spark, state))
+    DedupLedger.absorb(spark, state, spark.read.parquet(b2Dir)).collect()
+    val v3 = keySet(DedupLedger.keys(spark, state))
+    // read at version v equals the state recorded before absorb v+1
+    assert(keySet(DedupLedger.keys(spark, state, 1L)) == v1)
+    assert(keySet(DedupLedger.keys(spark, state, 2L)) == v2)
+    assert(keySet(DedupLedger.keys(spark, state, 3L)) == v3)
+    assert(v1.size < v2.size && v2.size < v3.size)
+    // beyond CURRENT refused (an orphan snapshot is not committed state)
+    intercept[IllegalArgumentException] {
+      DedupLedger.keys(spark, state, 4L)
+    }
+    // compact (v4): superseded parts stay readable — as-of RESOLVES
+    // pre-compaction versions
+    assert(DedupLedger.compact(spark, state))
+    assert(keySet(DedupLedger.keys(spark, state, 2L)) == v2)
+    assert(keySet(DedupLedger.keys(spark, state, 4L)) == v3)
+    // purge (v5): pre-purge versions are refused — erasure closes the
+    // time-travel door
+    val victim = v1.head
+    assert(DedupLedger.purge(spark, state, Seq(victim).toDF("k")) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      DedupLedger.keys(spark, state, 3L)
+    }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+    assert(!keySet(DedupLedger.keys(spark, state, 5L)).contains(victim))
+  }
 }

@@ -109,6 +109,107 @@ class MinhashLedgerSpec extends SparkSpec {
     assert(graft.sources.DedupLedger.readManifest(state).get.version == 2)
   }
 
+  test("streaming ingest via absorbSink: two micro-batches over a file " +
+    "stream equal the batch two-absorb replay per batch; a committed-" +
+    "batch replay is a no-op, not a clobber") {
+    val (corpusDir, b1Dir, b2Dir, state) = fixture("stream")
+    val corpus = spark.read.parquet(corpusDir)
+    MinhashLedger.init(spark, state, corpus)
+    // twin state, batch mode — the expected per-increment flag frames
+    val twin = java.nio.file.Files
+      .createTempDirectory("mhledger_twin").toString
+    MinhashLedger.init(spark, twin, corpus)
+    val exp1 = flagSet(MinhashLedger.absorb(spark, twin,
+      spark.read.parquet(b1Dir)).collect())
+    val exp2 = flagSet(MinhashLedger.absorb(spark, twin,
+      spark.read.parquet(b2Dir)).collect())
+    assert(exp1.nonEmpty || exp2.nonEmpty, "vacuous fixture")
+
+    val root = java.nio.file.Files
+      .createTempDirectory("mhledger_streamio").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def feed(srcDir: String, tag: String): Unit =
+      new java.io.File(srcDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(inDir, s"${tag}_$i.parquet"))
+        }
+    val q = spark.readStream.schema(corpus.schema).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(MinhashLedger.absorbSink(spark, state, outDir))
+      .start()
+    try {
+      feed(b1Dir, "b1"); q.processAllAvailable()
+      feed(b2Dir, "b2"); q.processAllAvailable()
+    } finally q.stop()
+    val got1 = flagSet(spark.read.parquet(s"$outDir/batch_0").collect())
+    val got2 = flagSet(spark.read.parquet(s"$outDir/batch_1").collect())
+    assert(got1 == exp1, s"batch 0 flags diverge: $got1 vs $exp1")
+    assert(got2 == exp2, s"batch 1 flags diverge: $got2 vs $exp2")
+    // ledger state advanced identically to the batch twin
+    assert(MinhashLedger.signatures(spark, state).count() ==
+      MinhashLedger.signatures(spark, twin).count())
+
+    // exactly-once: replaying the last COMMITTED micro-batch must
+    // no-op (re-absorbing would flag the batch as dup-of-itself and
+    // clobber the real flag output)
+    val m = graft.sources.DedupLedger.readManifest(state).get
+    MinhashLedger.absorbSink(spark, state, outDir)(
+      spark.read.parquet(b2Dir), m.lastBatchId.get)
+    assert(graft.sources.DedupLedger.readManifest(state).get.version ==
+      m.version)
+    assert(flagSet(spark.read.parquet(s"$outDir/batch_1").collect())
+      == exp2)
+
+    // drift guard: a fresh checkpoint restarting at batch 0 over this
+    // advanced ledger fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MinhashLedger.absorbSink(spark, state, outDir)(
+        spark.read.parquet(b1Dir), 0L)
+    }
+    assert(e.getMessage.contains("stream/ledger mismatch"), e.getMessage)
+  }
+
+  test("as-of reads: signatures(asOfVersion) equal the state committed " +
+    "before the next absorb; compact RESOLVES pre-compaction versions; " +
+    "purge REFUSES pre-purge versions") {
+    val (corpusDir, b1Dir, b2Dir, state) = fixture("asof")
+    MinhashLedger.init(spark, state, spark.read.parquet(corpusDir))
+    def sigSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val v1 = sigSet(MinhashLedger.signatures(spark, state))
+    MinhashLedger.absorb(spark, state,
+      spark.read.parquet(b1Dir)).collect()
+    val v2 = sigSet(MinhashLedger.signatures(spark, state))
+    // read at version v equals the state recorded before absorb v+1
+    assert(sigSet(MinhashLedger.signatures(spark, state, 1L)) == v1)
+    assert(sigSet(MinhashLedger.signatures(spark, state, 2L)) == v2)
+    assert(v1 != v2)
+    // beyond CURRENT refused
+    intercept[IllegalArgumentException] {
+      MinhashLedger.signatures(spark, state, 3L)
+    }
+    // compact (v3): superseded parts stay readable — as-of RESOLVES
+    assert(MinhashLedger.compact(spark, state))
+    assert(sigSet(MinhashLedger.signatures(spark, state, 1L)) == v1)
+    assert(sigSet(MinhashLedger.signatures(spark, state, 2L)) == v2)
+    assert(sigSet(MinhashLedger.signatures(spark, state, 3L)) == v2)
+    // purge (v4): pre-purge versions are refused — erasure closes the
+    // time-travel door
+    val victim = v1.min
+    assert(MinhashLedger.purge(spark, state,
+      Seq(victim).toDF("doc_id")) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      MinhashLedger.signatures(spark, state, 2L)
+    }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+    assert(!sigSet(MinhashLedger.signatures(spark, state, 4L))
+      .contains(victim))
+    assert(b2Dir.nonEmpty) // fixture wiring
+  }
+
   test("compact folds parts into one and changes no flags for the " +
     "next increment; purge removes signatures so a purged doc's twin " +
     "is new again") {

@@ -73,5 +73,21 @@ class SketchLedgerSpec extends SparkSpec {
         spark.read.parquet(s"$root/h1"), 0L)
     }
     assert(err.getMessage.contains("mismatch"))
+
+    // as-of reads: every version is a full table — v1 empty (init),
+    // v2 = after batch 0 (half the mass), v3 = current; beyond
+    // CURRENT refused
+    def totalN(df: org.apache.spark.sql.DataFrame): Long =
+      Option(df.agg(sum("n_values")).head().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
+    assert(totalN(SketchLedger.table(spark, state, 1L)) == 0L)
+    val n2 = totalN(SketchLedger.table(spark, state, 2L))
+    val n3 = totalN(SketchLedger.table(spark, state, 3L))
+    assert(n2 > 0L && n2 < n3, s"v2=$n2 v3=$n3")
+    assert(n3 == exactN.values.sum)
+    assert(totalN(SketchLedger.table(spark, state)) == n3)
+    intercept[IllegalArgumentException] {
+      SketchLedger.table(spark, state, 4L)
+    }
   }
 }
