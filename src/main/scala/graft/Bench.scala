@@ -33,11 +33,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional substring filter for focused iteration runs
+    // optional substring filter for focused iteration runs; the
+    // default sweep is the q* set, but an EXPLICIT filter can also
+    // name ml_* entries (for their BASELINE.md shape rows)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-    val benched = SparkEntry.queries.filter(_._1.startsWith("q"))
-      .filter { case (n, _) =>
-        filter.forall(f => f.split(',').exists(n.contains)) }
+    val benched = SparkEntry.queries
+      .filter { case (n, _) => filter match {
+        case Some(f) => f.split(',').exists(n.contains)
+        case None => n.startsWith("q")
+      } }
       .toSeq.sortBy(_._1)
 
     def run1(name: String): Either[String, Double] = {

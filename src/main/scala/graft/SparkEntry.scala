@@ -171,6 +171,10 @@ object SparkEntry {
     // rows-only (ml_ convention): iterative BPE training is outside
     // single-statement SQL; BpeSpec pins it to a reference impl
     "ml_bpe_merges" -> q(t => Bpe.mlBpeMerges(t.documents)),
+    // ml_bpe_encode: the train→apply loop closed — corpus-wide encode
+    // under the trained merges with per-doc lossless verification
+    // (rows-only by the ml_ convention; BpeSpec is the real gate)
+    "ml_bpe_encode" -> q(t => Bpe.mlBpeEncode(t.documents)),
     "q163_attrition" ->
       q(t => TextAnalysis.attritionFunnel(t.documents)),
     "q164_script_mix" -> q(t => TextAnalysis.scriptMix(t.documents)),
@@ -245,6 +249,12 @@ object SparkEntry {
     "q134_personalized_pagerank" ->
       q(t => Graph.personalizedPageRank(t.lineitem, seedSupplier = 7L)),
     "q172_bfs_hops" -> q(t => Graph.bfsHops(t.lineitem)),
+    // q177: the composed incremental corpus refresh — scrub →
+    // DedupLedger → MinhashLedger → fixed quality gate, two real
+    // increments over persisted state, one hash gate over the final
+    // kept ledger (fresh temp state per call; Bench re-runs it)
+    "q177_corpus_increment" ->
+      q(t => graft.sources.CorpusIncrement.q177(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -292,7 +302,11 @@ object SparkEntry {
     * oracle and the q42 connected-components oracle. Mirrors the
     * engine's Kirsch–Mitzenmacher form: one md5 per shingle split into
     * two 32-bit halves, permutation i = (h1 + i·h2) mod 2³². */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesOver("documents")
+
+  /** The same chain over an arbitrary (doc_id, text) CTE/table — q177
+    * runs it over the scrubbed corpus ∪ exact-survivors pool. */
+  private def minhashCtesOver(src: String): String = {
     val mhDefs = (0 until 16)
       .map(i => s"min((h1 + $i*h2) % 4294967296) AS mh$i").mkString(", ")
     val bandRows = (0 until 4).map { b =>
@@ -303,7 +317,7 @@ object SparkEntry {
     val eqSum = (0 until 16)
       .map(i => s"(CASE WHEN x.mh$i=y.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM $src),
        |sh AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
        |hs AS (SELECT doc_id,
        |         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
@@ -2741,6 +2755,84 @@ object SparkEntry {
         |  FROM r JOIN edges e ON e.src = r.node WHERE r.hop < 4)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM r GROUP BY node ORDER BY hop, node""".stripMargin,
+    // q177: the composed refresh replay — the q150 enrichment + scrub,
+    // the q153-style keep-first exact dedup (id-cut increments arrive
+    // in id order, so one keep-min-id pass == the sequential ledger),
+    // the q170 minhash chain over corpus ∪ exact survivors with
+    // pair-existence drops (doc_j of any est>=0.5 pair — ledger and
+    // smaller-id-batch partners alike precede doc_j for id-ordered
+    // increments), then the fixed stopword gate on the 4-dp ratio.
+    "q177_corpus_increment" ->
+      ("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |enriched AS (
+        |  SELECT doc_id, lang, source,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+        |      '@example' || (doc_id % 7) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') ||
+        |      '-' ||
+        |      lpad(CAST((doc_id * 104729) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)
+        |      || '.0.' || ((doc_id * 31) % 256) ELSE '' END AS raw
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b'))
+        |      AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b'))
+        |      AS BIGINT) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b',
+        |      '<PHONE>', 'g'),
+        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b',
+        |      '<IP>', 'g') AS st
+        |  FROM enriched),
+        |cuts AS (SELECT n*6//10 AS c1 FROM nn),
+        |corpus_keys AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
+        |  FROM scrubbed, cuts WHERE doc_id < c1),
+        |batch AS (
+        |  SELECT s.*,
+        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
+        |  FROM scrubbed s, cuts WHERE doc_id >= c1),
+        |newdocs AS (
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus_keys c WHERE c.k = b.k)),
+        |exact_kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY doc_id) AS rn
+        |    FROM newdocs) WHERE rn = 1),
+        |pool AS (
+        |  SELECT doc_id, st AS text FROM scrubbed, cuts WHERE doc_id < c1
+        |  UNION ALL SELECT doc_id, st AS text FROM exact_kept),
+        |""".stripMargin + minhashCtesOver("pool") + """,
+        |dropped AS (
+        |  SELECT DISTINCT doc_j AS doc_id FROM est WHERE est_jac >= 0.5),
+        |near_kept AS (
+        |  SELECT e.* FROM exact_kept e
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropped d
+        |                    WHERE d.doc_id = e.doc_id))
+        |SELECT doc_id, lang, source,
+        |  ROUND(CAST(len(list_filter(string_split(st, ' '),
+        |      x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |    / len(string_split(st, ' ')), 4) AS sw_ratio,
+        |  n_email, n_phone, n_ip
+        |FROM near_kept
+        |WHERE ROUND(CAST(len(list_filter(string_split(st, ' '),
+        |      x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |    / len(string_split(st, ' ')), 4) >= 0.05
+        |ORDER BY doc_id""".stripMargin),
     // q173: the n-scaled CUSUM statistic is pure BIGINT arithmetic —
     // no division, so the argmax day and statistic hash bit-for-bit
     "q173_cusum_changepoint" ->

