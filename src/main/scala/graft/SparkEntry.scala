@@ -2824,14 +2824,13 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM dropped d
         |                    WHERE d.doc_id = e.doc_id))
         |SELECT doc_id, lang, source,
+        |  CAST(len(string_split(st, ' ')) AS BIGINT) AS n_tokens,
         |  ROUND(CAST(len(list_filter(string_split(st, ' '),
         |      x -> x IN ('the','a','of','and'))) AS DOUBLE)
         |    / len(string_split(st, ' ')), 4) AS sw_ratio,
         |  n_email, n_phone, n_ip
         |FROM near_kept
-        |WHERE ROUND(CAST(len(list_filter(string_split(st, ' '),
-        |      x -> x IN ('the','a','of','and'))) AS DOUBLE)
-        |    / len(string_split(st, ' ')), 4) >= 0.05
+        |WHERE len(string_split(st, ' ')) >= 40
         |ORDER BY doc_id""".stripMargin),
     // q173: the n-scaled CUSUM statistic is pure BIGINT arithmetic —
     // no division, so the argmax day and statistic hash bit-for-bit

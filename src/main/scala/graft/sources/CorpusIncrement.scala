@@ -113,7 +113,7 @@ object CorpusIncrement {
       incrementId: Long, prefixTokens: Int = 5, k: Int = 16,
       bands: Int = 4, minEstJaccard: Double = 0.5,
       stopwords: Seq[String] = DefaultStopwords,
-      minSwRatio: Double = 0.05): DataFrame = {
+      minSwRatio: Double = 0.05, minTokens: Int = 0): DataFrame = {
     val m = readManifest(root).getOrElse(
       throw new IllegalStateException(
         s"no corpus-increment root at $root — call init(corpus) first"))
@@ -151,15 +151,20 @@ object CorpusIncrement {
     val nearKept = survivors.join(dropped, Seq("doc_id"), "left_anti")
 
     // stage 4 — FIXED-threshold quality gate (a per-increment
-    // statistic would break two-increments == one-shot; see scaladoc)
+    // statistic would break two-increments == one-shot; see scaladoc).
+    // Two arms: the stopword-ratio signal (vocabulary-dependent) and
+    // a token-count floor (vocabulary-free); both fixed configs.
     val toks = split(col("text"), " ")
     val stopArr = array(stopwords.map(lit): _*)
     val gated = nearKept
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("sw_ratio",
         round(size(filter(toks, t => array_contains(stopArr, t)))
           .cast("double") / size(toks), 4))
-      .filter(col("sw_ratio") >= minSwRatio)
-      .select(col("doc_id"), col("lang"), col("source"), col("sw_ratio"),
+      .filter(col("sw_ratio") >= minSwRatio &&
+        col("n_tokens") >= minTokens)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("sw_ratio"),
         col("n_email").cast("long").as("n_email"),
         col("n_phone").cast("long").as("n_phone"),
         col("n_ip").cast("long").as("n_ip"))
@@ -208,9 +213,15 @@ object CorpusIncrement {
     val n = documents.count()
     val (c1, c2) = (n * 6 / 10, n * 8 / 10)
     init(spark, root, planted.filter(col("doc_id") < c1))
-    increment(spark, root,
-      planted.filter(col("doc_id") >= c1 && col("doc_id") < c2), 0L)
-    increment(spark, root, planted.filter(col("doc_id") >= c2), 1L)
+    // gate on the token-count arm (>= 40 keeps ~60% of the 10–100
+    // uniform fixture lengths at EVERY sf): the stopword arm is
+    // vocabulary-dependent and the sf1 fixture's vocab carries no
+    // stopwords at all — a sw gate would be hash-green but VACUOUS
+    // (0 rows) at 10×
+    def inc(b: DataFrame, id: Long) =
+      increment(spark, root, b, id, minSwRatio = 0.0, minTokens = 40)
+    inc(planted.filter(col("doc_id") >= c1 && col("doc_id") < c2), 0L)
+    inc(planted.filter(col("doc_id") >= c2), 1L)
     kept(spark, root).orderBy("doc_id")
   }
 
