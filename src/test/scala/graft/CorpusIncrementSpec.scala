@@ -105,6 +105,46 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("streaming: absorbSink over a real file stream equals the " +
+    "batch increments per micro-batch, and a committed replay no-ops") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("stream")
+    val corpus = spark.read.parquet(corpusDir)
+    val (rootS, rootB) = (s"$base/rootS", s"$base/rootB")
+    CorpusIncrement.init(spark, rootS, corpus)
+    CorpusIncrement.init(spark, rootB, corpus)
+    val exp0 = rowSet(CorpusIncrement.increment(
+      spark, rootB, spark.read.parquet(b1Dir), 0L))
+    val exp1 = rowSet(CorpusIncrement.increment(
+      spark, rootB, spark.read.parquet(b2Dir), 1L))
+
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def feed(srcDir: String, tag: String): Unit =
+      new java.io.File(srcDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(inDir, s"${tag}_$i.parquet"))
+        }
+    val q = spark.readStream.schema(corpus.schema).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(CorpusIncrement.absorbSink(spark, rootS))
+      .start()
+    try {
+      feed(b1Dir, "b1"); q.processAllAvailable()
+      feed(b2Dir, "b2"); q.processAllAvailable()
+    } finally q.stop()
+    assert(rowSet(spark.read.parquet(s"$rootS/kept/batch_0")) == exp0)
+    assert(rowSet(spark.read.parquet(s"$rootS/kept/batch_1")) == exp1)
+    assert(rowSet(CorpusIncrement.kept(spark, rootS)) ==
+      rowSet(CorpusIncrement.kept(spark, rootB)))
+    // committed replay short-circuits at the root manifest
+    val v = DedupLedger.readManifest(rootS).get.version
+    CorpusIncrement.absorbSink(spark, rootS)(
+      spark.read.parquet(b2Dir), 1L)
+    assert(DedupLedger.readManifest(rootS).get.version == v)
+  }
+
   test("crash replay: rolling the root manifest back re-derives the " +
     "identical kept part through no-op ledger sinks; a committed " +
     "replay short-circuits; non-consecutive ids fail loudly") {
