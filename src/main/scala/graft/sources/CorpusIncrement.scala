@@ -65,7 +65,8 @@ import org.apache.spark.sql.functions._
   */
 object CorpusIncrement {
 
-  import DedupLedger.{Manifest, readManifest, writeManifest}
+  import DedupLedger.{Manifest, readManifest, readManifestAt,
+    writeManifest}
 
   /** Sub-ledger roots (public: the audit surface — e.g.
     * `DedupLedger.keys(spark, dedupState(root), asOfVersion)`). */
@@ -184,6 +185,20 @@ object CorpusIncrement {
         s"no corpus-increment root at $root"))
     require(m.keyParts.nonEmpty,
       s"no increments committed yet at $root")
+    spark.read.parquet(m.keyParts.map(keptDir(root, _)): _*)
+  }
+
+  /** Time-travel read of the kept ledger: the training set exactly as
+    * committed at root-manifest `asOfVersion` (version 1 = init, one
+    * version per increment) — "what did the mixture see before
+    * yesterday's increment?" answered off manifest snapshots, the
+    * same as-of surface the three inner ledgers expose. */
+  def kept(
+      spark: SparkSession, root: String,
+      asOfVersion: Long): DataFrame = {
+    val m = readManifestAt(root, asOfVersion)
+    require(m.keyParts.nonEmpty,
+      s"no increments committed at version $asOfVersion of $root")
     spark.read.parquet(m.keyParts.map(keptDir(root, _)): _*)
   }
 

@@ -179,5 +179,17 @@ class CorpusIncrementSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("increment/root mismatch"),
       e.getMessage)
+    // as-of kept reads: version 2 = after increment 0; adding
+    // increment 1 leaves the version-2 view identical
+    val atV2 = rowSet(CorpusIncrement.kept(spark, root, 2L))
+    assert(atV2 == first)
+    CorpusIncrement.increment(spark, root,
+      spark.read.parquet(b2Dir), 1L)
+    assert(rowSet(CorpusIncrement.kept(spark, root, 2L)) == first)
+    assert(rowSet(CorpusIncrement.kept(spark, root)).size >=
+      first.size)
+    intercept[IllegalArgumentException] {
+      CorpusIncrement.kept(spark, root, 1L) // init: no increments yet
+    }
   }
 }
