@@ -175,6 +175,11 @@ object SparkEntry {
     // under the trained merges with per-doc lossless verification
     // (rows-only by the ml_ convention; BpeSpec is the real gate)
     "ml_bpe_encode" -> q(t => Bpe.mlBpeEncode(t.documents)),
+    // ml_pca_stream: PCA off the stream-maintained moment ledger —
+    // two increments absorbed, model read without a vector rescan
+    // (rows-only; MomentLedgerSpec pins state==one-shot equality)
+    "ml_pca_stream" ->
+      q(t => graft.sources.MomentLedger.mlPcaStream(t.embeddings)),
     "q163_attrition" ->
       q(t => TextAnalysis.attritionFunnel(t.documents)),
     "q164_script_mix" -> q(t => TextAnalysis.scriptMix(t.documents)),

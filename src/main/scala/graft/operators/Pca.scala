@@ -65,10 +65,22 @@ object Pca {
       .select(col("m.n"), col("m.sums"), col("m.diag"),
         col("m.pairs"))
       .head()
-    val n = r.getLong(0)
+    modelFromMoments(
+      r.getLong(0), r.getSeq[Double](1).toArray,
+      r.getSeq[Double](2).toArray,
+      r.getSeq[org.apache.spark.sql.Row](3)
+        .map(p => (p.getInt(0), p.getInt(1), p.getDouble(2))), k)
+  }
+
+  /** Driver-side eigensolve from accumulated raw moments — shared by
+    * [[fit]] (one-shot aggregate) and the stream-maintained
+    * [[graft.sources.MomentLedger]] (persisted running sums): the
+    * moment sums are ASSOCIATIVE state, so a model built off ledger
+    * state is the model of the whole history. */
+  private[graft] def modelFromMoments(
+      n: Long, sums: Array[Double], diag: Array[Double],
+      pairs: Seq[(Int, Int, Double)], k: Int): Model = {
     require(n > 1, s"PCA needs >1 vectors, got $n")
-    val sums = r.getSeq[Double](1).toArray
-    val diag = r.getSeq[Double](2).toArray
     val d = sums.length
     val cov = Array.ofDim[Double](d, d)
     val mean = sums.map(_ / n)
@@ -77,9 +89,8 @@ object Pca {
       cov(i)(i) = diag(i) / n - mean(i) * mean(i)
       i += 1
     }
-    r.getSeq[org.apache.spark.sql.Row](3).foreach { p =>
-      val pi = p.getInt(0); val pj = p.getInt(1)
-      val c = p.getDouble(2) / n - mean(pi) * mean(pj)
+    pairs.foreach { case (pi, pj, sxy) =>
+      val c = sxy / n - mean(pi) * mean(pj)
       cov(pi)(pj) = c; cov(pj)(pi) = c
     }
     val (evals, evecs) = jacobiEigSym(cov)
