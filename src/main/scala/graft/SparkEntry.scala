@@ -263,6 +263,11 @@ object SparkEntry {
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
+    "q178_ks_drift" -> q(Relational.q178),
+    // q179: the same KS statistic off the KLL sketch table (no event
+    // rescan) — randomized sketch → rows-only; SketchSpec pins the
+    // 2ε bound against q178's exact integers
+    "q179_ks_drift_sketch" -> q(t => Sketches.q179(t)),
     // the AllPairs prefix-filtered path, declared under its own gate:
     // same semantics as q19, different (real-corpus-preferred) algorithm
     "q135_allpairs_jaccard" ->
@@ -2837,6 +2842,37 @@ object SparkEntry {
         |FROM near_kept
         |WHERE len(string_split(st, ' ')) >= 40
         |ORDER BY doc_id""".stripMargin),
+    // q178: exact two-period KS — the argmax runs on the INTEGER
+    // cross-product form |cum1·n2 − cum2·n1| (division only in the
+    // one final rounded ratio), so the statistic hashes exactly
+    "q178_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |g AS (
+        |  SELECT event_type, value,
+        |    SUM(CASE WHEN (day - d0) * 2 <= (d1 - d0)
+        |        THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN (day - d0) * 2 <= (d1 - d0)
+        |        THEN 0 ELSE 1 END) AS c2
+        |  FROM e, b GROUP BY event_type, value),
+        |c AS (
+        |  SELECT event_type, value,
+        |    SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value)),
+        |t AS (SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2
+        |      FROM g GROUP BY event_type)
+        |SELECT c.event_type,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        |  CASE WHEN n1 * n2 = 0 THEN NULL
+        |       ELSE ROUND(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |                  / (n1 * n2), 6) END AS ks
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type, n1, n2
+        |ORDER BY c.event_type""".stripMargin,
     // q173: the n-scaled CUSUM statistic is pure BIGINT arithmetic —
     // no division, so the argmax day and statistic hash bit-for-bit
     "q173_cusum_changepoint" ->

@@ -122,4 +122,31 @@ object QuantileSketch {
       if (blob == null || blob.isEmpty) 0L
       else KllDoublesSketch.heapify(Memory.wrap(blob)).getN
     }
+
+  /** Two-sample Kolmogorov–Smirnov distance from two KLL sketches:
+    * D̂ = max over a candidate grid of |F_a(x) − F_b(x)|, the grid
+    * being both sketches' quantiles at `grid` evenly spaced ranks
+    * (the retained-item resolution — KLL's rank error ε bounds
+    * |D̂ − D| ≤ 2ε). Sketch-table-side (two kilobyte blobs), never
+    * the fact table. */
+  def ksDistance(a: Array[Byte], b: Array[Byte],
+      grid: Int = 512): Double = {
+    import org.apache.datasketches.quantilescommon
+      .QuantileSearchCriteria.INCLUSIVE
+    if (a == null || a.isEmpty || b == null || b.isEmpty) return Double.NaN
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+    val sb = KllDoublesSketch.heapify(Memory.wrap(b))
+    if (sa.isEmpty || sb.isEmpty) return Double.NaN
+    val points = (0 to grid).flatMap { i =>
+      val p = i.toDouble / grid
+      Seq(sa.getQuantile(p, INCLUSIVE), sb.getQuantile(p, INCLUSIVE))
+    }.distinct
+    points.map(x => math.abs(
+      sa.getRank(x, INCLUSIVE) - sb.getRank(x, INCLUSIVE))).max
+  }
+
+  def ksDistanceUdf: org.apache.spark.sql.expressions
+      .UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (a: Array[Byte], b: Array[Byte]) => ksDistance(a, b))
 }

@@ -2290,4 +2290,55 @@ object Relational {
         col("e1"), col("e2"), col("e3"))
       .limit(topK)
   }
+
+  /** q178 — exact two-sample Kolmogorov–Smirnov drift test per event
+    * type: split the date range in half (integer day arithmetic —
+    * deterministic on both engines) and compute D = max_x |F₁(x) −
+    * F₂(x)| between the two periods' value distributions — the
+    * distribution-drift alarm that completes the monitoring suite
+    * (q173 CUSUM = mean shift in counts, q174/q176 = trend, q144 PSI
+    * = binned divergence; KS is the BINNING-FREE location test).
+    *
+    * Exactness discipline: D's argmax is found on the INTEGER
+    * cross-product form |cum₁·n₂ − cum₂·n₁| (no division until the
+    * one final rounded ratio), so the statistic hashes bit-for-bit.
+    *
+    * Shape: one (event_type, value) hash-agg with pivoted period
+    * counts, one cumulative window PER EVENT TYPE over the distinct-
+    * value frame (bounded by |distinct values per type|, the q57
+    * histogram discipline — never the raw events), two tiny broadcast
+    * joins. The [[graft.operators.Sketches.q179]] twin reads the same
+    * statistic off the KLL sketch table without touching events at
+    * all. */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val e = events.filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+    val bounds = e.agg(min("day").as("d0"), max("day").as("d1"))
+    val g = e.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(datediff(col("day"), col("d0")) * 2 <=
+          datediff(col("d1"), col("d0")), 1).otherwise(2))
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val cum = g
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+    val tot = g.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.join(broadcast(tot), "event_type")
+      .withColumn("dnum",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy("event_type", "n1", "n2")
+      .agg(max("dnum").as("ks_num"))
+      .select(col("event_type"), col("n1"), col("n2"), col("ks_num"),
+        when(col("n1") * col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("ks_num").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6)).as("ks"))
+      .orderBy("event_type")
+  }
+
+  def q178(t: Tables): DataFrame = ksDrift(t.events)
 }

@@ -217,4 +217,36 @@ object Sketches {
         round(aNotBUdf(col("sk_a"), col("sk_b")), 1).as("est_a_only"))
       .orderBy("type_a", "type_b")
   }
+
+  /** q179 — the q178 KS drift statistic read OFF THE KLL SKETCH
+    * TABLE: the same half-range period split, but the two period
+    * distributions come from merging the per-day sketches (kilobytes)
+    * — the fact table is never rescanned, so the drift alarm runs
+    * after every increment at sketch-table cost. |D̂ − D| ≤ 2ε (KLL
+    * rank error, ~3.3% at k=200) — SketchSpec pins the bound against
+    * [[Relational.ksDrift]]'s exact integers. Randomized compaction →
+    * rows-only gate. */
+  def q179(t: Tables, k: Int = 200): DataFrame = {
+    import graft.functions.QuantileSketch.{kll_merge_agg, ksDistanceUdf}
+    val table = dailyValueKllSketches(t.events, k)
+    // day bounds off the |days|-row sketch table (bounded read)
+    val b0 = table.agg(min("day").as("d0"), max("day").as("d1")).head()
+    val (d0, d1) = (b0.getDate(0), b0.getDate(1))
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      d0.toLocalDate, d1.toLocalDate)
+    val merged = table
+      .withColumn("period",
+        when(datediff(col("day"), lit(d0)) * 2 <= span, 1).otherwise(2))
+      .groupBy("event_type", "period")
+      .agg(kll_merge_agg(col("sketch"), k).as("sk"),
+        sum("n_values").as("n"))
+    val p1 = merged.filter(col("period") === 1)
+      .select(col("event_type"), col("sk").as("sk1"), col("n").as("n1"))
+    val p2 = merged.filter(col("period") === 2)
+      .select(col("event_type"), col("sk").as("sk2"), col("n").as("n2"))
+    p1.join(p2, "event_type")
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(ksDistanceUdf(col("sk1"), col("sk2")), 4).as("ks_est"))
+      .orderBy("event_type")
+  }
 }

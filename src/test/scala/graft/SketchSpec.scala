@@ -308,6 +308,26 @@ class SketchSpec extends SparkSpec {
       s"estAOnly=$estAOnly")
   }
 
+  test("q179 sketch-table KS stays within the 2-epsilon rank-error " +
+    "bound of q178's exact statistic, with exact period counts") {
+    val exact = graft.operators.Relational.q178(tables).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("ks"))).toMap
+    val est = Sketches.q179(tables).collect()
+    assert(est.nonEmpty && est.length == exact.size)
+    est.foreach { r =>
+      val key = r.getString(0)
+      val (n1, n2, ks) = exact(key)
+      // period masses are EXACT through sketch getN accounting
+      assert(r.getLong(1) == n1, s"$key n1")
+      assert(r.getLong(2) == n2, s"$key n2")
+      val e = r.getAs[Double]("ks_est")
+      assert(!e.isNaN, s"$key NaN estimate")
+      // k=200 => ~1.65% rank error per sketch; two sketches + grid
+      assert(math.abs(e - ks) <= 0.05, s"$key est=$e exact=$ks")
+    }
+  }
+
   test("theta_agg with nomEntries > 4096 keeps the configured " +
     "resolution across the partial/final serialization boundary " +
     "(exact mode at 10k distinct keys under nomEntries=16384)") {
