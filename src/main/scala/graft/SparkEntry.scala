@@ -130,9 +130,14 @@ object SparkEntry {
     "q102_winsorized" -> q(Relational.q102),
     "q103_boilerplate" -> q(t => TextAnalysis.boilerplate(t.documents)),
     "q104_hist_sketch_rollup" -> q(t => Sketches.q104(t)),
-    // rows-only (q78 precedent): KLL compaction and theta hash
-    // sampling are randomized; SketchSpec pins their error bounds
+    // rows-only (q78 precedent): KLL compaction is randomized;
+    // SketchSpec pins its error bounds
     "q167_kll_quantiles" -> q(t => Sketches.q167(t)),
+    // q168/q175: theta sketches run in EXACT mode on the fixture
+    // (|users|=150 < nomEntries=4096 ⇒ θ=1, estimates are exact
+    // integers), so both carry full hash oracles — the q79/q88
+    // bodies re-expressed on the estimate columns. SketchSpec keeps
+    // the sampling-mode error-bound gates for the >nomEntries regime.
     "q168_theta_overlap" -> q(t => Sketches.q168(t)),
     "q175_theta_retention" -> q(t => Sketches.q175(t)),
     "q105_length_batching" ->
@@ -2842,6 +2847,37 @@ object SparkEntry {
         |FROM near_kept
         |WHERE len(string_split(st, ' ')) >= 40
         |ORDER BY doc_id""".stripMargin),
+    // q168/q175: theta sketches in EXACT mode on the fixture
+    // (|users| < nomEntries ⇒ θ=1): the estimates ARE the exact
+    // distinct counts, so the q79/q88 relational bodies serve as
+    // full hash oracles on the rounded-estimate columns
+    "q168_theta_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS inter
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+        |  ROUND(CAST(sa.n AS DOUBLE), 1) AS est_a,
+        |  ROUND(CAST(sb.n AS DOUBLE), 1) AS est_b,
+        |  ROUND(CAST(COALESCE(inter, 0) AS DOUBLE), 1) AS est_both,
+        |  ROUND(CAST(sa.n - COALESCE(inter, 0) AS DOUBLE), 1) AS est_a_only
+        |FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+        |LEFT JOIN p ON p.ta = sa.event_type AND p.tb = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q175_theta_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+        |SELECT day,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE), 1) AS est_active,
+        |  ROUND(CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |        AS DOUBLE), 1) AS est_new,
+        |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |        AS DOUBLE), 1) AS est_returning
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
     // q178: exact two-period KS — the argmax runs on the INTEGER
     // cross-product form |cum1·n2 − cum2·n1| (division only in the
     // one final rounded ratio), so the statistic hashes exactly

@@ -99,6 +99,83 @@ object GlobalRank {
       .select(cols.map(col) :+ col(out): _*)
   }
 
+  /** Grouped twin of [[cumSum]]: for each group keyed by `part`,
+    * `out_i` = Σ `value_i` over the group's rows at-or-before the
+    * current row in (`key` asc, `tie` asc) order — the scale-safe
+    * replacement for `Window.partitionBy(part).orderBy(key)` when
+    * `part` is LOW-CARDINALITY (an enum/dimension column) while the
+    * frame grows with the corpus. With ~5 partition values a plain
+    * window sorts ~n/5 rows in ONE task; here each (group, bucket)
+    * cell sorts ~n/(|groups|·buckets) rows and the per-group bucket
+    * offsets ride a broadcast join of the |groups|·buckets-row
+    * histogram. This is the hazard class
+    * [[graft.plans.PlanAudit.lowCardPartitionWindowHazards]] audits —
+    * q178's KS drift cumulative sums are the founding caller.
+    *
+    * Deltas from [[cumSum]]: fences are per-group min/max (a
+    * |groups|-row broadcast), the in-bucket window partitions by
+    * (group, bucket), and offsets accumulate only over earlier
+    * buckets OF THE SAME GROUP. Several value columns share one
+    * bucketing/window pass (q178 needs cum1 and cum2). Null/NaN key
+    * routing and the min==max degenerate bucket follow cumSum. */
+  def cumSumBy(
+      df: DataFrame,
+      part: Seq[String],
+      key: Column,
+      tie: Column,
+      values: Seq[(Column, String)],
+      buckets: Int = 256): DataFrame = {
+    require(part.nonEmpty, "cumSumBy: use cumSum for a global order")
+    require(values.nonEmpty, "cumSumBy: at least one value column")
+    val cols = df.columns.toIndexedSeq
+    val keyed = df.withColumn("__gr_k", key.cast("double"))
+      .localCheckpoint(true)
+    val finite = when(!isnan(col("__gr_k")), col("__gr_k"))
+    val fences = keyed.groupBy(part.map(col): _*).agg(
+      min(finite).as("__gr_min"), max(finite).as("__gr_max"))
+    val bucketed = keyed
+      .join(broadcast(fences), part)
+      .withColumn("__gr_b",
+        when(col("__gr_k").isNull, lit(0L))
+          .when(isnan(col("__gr_k")), lit(buckets.toLong + 2L))
+          .when(col("__gr_max") === col("__gr_min"), lit(1L))
+          .otherwise(width_bucket(
+            col("__gr_k"), col("__gr_min"), col("__gr_max"),
+            lit(buckets))))
+      .drop("__gr_min", "__gr_max")
+    val hist = bucketed.groupBy((part :+ "__gr_b").map(col): _*)
+      .agg(sum(values.head._1.cast("long")).as("__gr_t0"),
+        values.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(v.cast("long")).as(s"__gr_t${i + 1}") }: _*)
+    val prev = hist.select(
+      part.map(c => col(c).as(s"__gr_p_$c")) ++
+        (col("__gr_b").as("__gr_pb") +:
+          values.indices.map(i => col(s"__gr_t$i").as(s"__gr_pt$i"))): _*)
+    val sameGroup = part.map(c => col(s"__gr_p_$c") === col(c))
+      .reduce(_ && _)
+    val offsets = hist
+      .join(broadcast(prev), sameGroup && col("__gr_pb") < col("__gr_b"),
+        "left")
+      .groupBy((part :+ "__gr_b").map(col): _*)
+      .agg(coalesce(sum("__gr_pt0"), lit(0L)).as("__gr_off0"),
+        values.indices.tail.map(i =>
+          coalesce(sum(s"__gr_pt$i"), lit(0L)).as(s"__gr_off$i")): _*)
+    val localW = Window
+      .partitionBy((part :+ "__gr_b").map(col): _*)
+      .orderBy(key, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLoc = values.zipWithIndex.foldLeft(bucketed) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__gr_loc$i", sum(v.cast("long")).over(localW))
+    }
+    val outCols = values.zipWithIndex.map { case ((_, o), i) =>
+      (col(s"__gr_off$i") + col(s"__gr_loc$i")).as(o)
+    }
+    withLoc
+      .join(broadcast(offsets), part :+ "__gr_b")
+      .select(cols.map(col) ++ outCols: _*)
+  }
+
   /** `out` = 1-based global row number in (`key` asc, `tie` asc)
     * order — running count of 1s. */
   def rowNumber(

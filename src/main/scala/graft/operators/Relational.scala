@@ -2304,39 +2304,76 @@ object Relational {
     * one final rounded ratio), so the statistic hashes bit-for-bit.
     *
     * Shape: one (event_type, value) hash-agg with pivoted period
-    * counts, one cumulative window PER EVENT TYPE over the distinct-
-    * value frame (bounded by |distinct values per type|, the q57
-    * histogram discipline — never the raw events), two tiny broadcast
-    * joins. The [[graft.operators.Sketches.q179]] twin reads the same
-    * statistic off the KLL sketch table without touching events at
-    * all. */
-  def ksDrift(events: DataFrame): DataFrame = {
+    * counts, then the per-type cumulative sums via
+    * [[GlobalRank.cumSumBy]] — event_type has cardinality ~5, so a
+    * plain `Window.partitionBy(event_type)` would sort ~n/5 distinct
+    * values in ONE task once the corpus grows (the low-cardinality-
+    * partition hazard PlanAudit's fourth class now catches; the
+    * original single-level form survives as
+    * [[ksDriftSingleLevel]], the audit's planted positive). cumSumBy
+    * buckets each type's value range 256 ways, windows per (type,
+    * bucket), and broadcasts the per-type bucket offsets — zero hot
+    * tasks at any corpus size. Two tiny broadcast joins finish. The
+    * [[graft.operators.Sketches.q179]] twin reads the same statistic
+    * off the KLL sketch table without touching events at all.
+    *
+    * Overflow: |cum·n| products are computed in decimal(38,0) — Long
+    * arithmetic would overflow (ANSI raise, or a silent wrap with
+    * ANSI off) once a type exceeds ~3e9 events per period, exactly
+    * where the oracle's DuckDB promotes to HUGEINT (round-9 advisor).
+    * The final BIGINT cast of the max still bounds the REPRESENTABLE
+    * output, matching the oracle's own CAST(... AS BIGINT). */
+  def ksDrift(events: DataFrame): DataFrame =
+    ksDriftFinish(ksDriftCounts(events), twoLevel = true)
+
+  /** The original q178 plan: per-type cumulative window straight over
+    * the distinct-value frame. CORRECT at any scale that fits one
+    * task per type, but the partition key has ~5 values while the
+    * frame grows with the corpus — kept (unreferenced by queries) as
+    * the planted positive for
+    * [[graft.plans.PlanAudit.lowCardPartitionWindowHazards]]. */
+  private[graft] def ksDriftSingleLevel(events: DataFrame): DataFrame =
+    ksDriftFinish(ksDriftCounts(events), twoLevel = false)
+
+  /** The (event_type, value) period-count frame shared by both forms. */
+  private def ksDriftCounts(events: DataFrame): DataFrame = {
     val e = events.filter(col("value").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         col("value"))
     val bounds = e.agg(min("day").as("d0"), max("day").as("d1"))
-    val g = e.crossJoin(broadcast(bounds))
+    e.crossJoin(broadcast(bounds))
       .withColumn("period",
         when(datediff(col("day"), col("d0")) * 2 <=
           datediff(col("d1"), col("d0")), 1).otherwise(2))
       .groupBy("event_type", "value")
       .agg(sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("period") === 2, 1L).otherwise(0L)).as("c2"))
-    val w = Window.partitionBy("event_type").orderBy("value")
-    val cum = g
-      .withColumn("cum1", sum("c1").over(w))
-      .withColumn("cum2", sum("c2").over(w))
+  }
+
+  private def ksDriftFinish(g: DataFrame, twoLevel: Boolean): DataFrame = {
+    val cum =
+      if (twoLevel)
+        GlobalRank.cumSumBy(g, Seq("event_type"),
+          col("value"), col("value"),
+          Seq((col("c1"), "cum1"), (col("c2"), "cum2")))
+      else {
+        val w = Window.partitionBy("event_type").orderBy("value")
+        g.withColumn("cum1", sum("c1").over(w))
+          .withColumn("cum2", sum("c2").over(w))
+      }
     val tot = g.groupBy("event_type")
       .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val dec = (c: String) => col(c).cast("decimal(38,0)")
     cum.join(broadcast(tot), "event_type")
       .withColumn("dnum",
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        abs(dec("cum1") * dec("n2") - dec("cum2") * dec("n1")))
       .groupBy("event_type", "n1", "n2")
-      .agg(max("dnum").as("ks_num"))
-      .select(col("event_type"), col("n1"), col("n2"), col("ks_num"),
+      .agg(max("dnum").as("ks_dec"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("ks_dec").cast("long").as("ks_num"),
         when(col("n1") * col("n2") === 0L, lit(null).cast("double"))
-          .otherwise(round(col("ks_num").cast("double") /
-            (col("n1") * col("n2")).cast("double"), 6)).as("ks"))
+          .otherwise(round(col("ks_dec").cast("double") /
+            (dec("n1") * dec("n2")).cast("double"), 6)).as("ks"))
       .orderBy("event_type")
   }
 

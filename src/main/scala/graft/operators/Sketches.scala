@@ -244,9 +244,18 @@ object Sketches {
       .select(col("event_type"), col("sk").as("sk1"), col("n").as("n1"))
     val p2 = merged.filter(col("period") === 2)
       .select(col("event_type"), col("sk").as("sk2"), col("n").as("n2"))
-    p1.join(p2, "event_type")
-      .select(col("event_type"), col("n1"), col("n2"),
-        round(ksDistanceUdf(col("sk1"), col("sk2")), 4).as("ks_est"))
+    // FULL outer on event_type: a type whose mass falls entirely in
+    // one period must still appear (n defaulted to 0, ks_est null) —
+    // mirroring q178's n1*n2=0 → null contract, so the twins' row
+    // sets stay comparable row-for-row (round-9 advisor finding).
+    p1.join(p2, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        when(col("sk1").isNull || col("sk2").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(ksDistanceUdf(col("sk1"), col("sk2")), 4))
+          .as("ks_est"))
       .orderBy("event_type")
   }
 }

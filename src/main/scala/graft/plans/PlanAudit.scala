@@ -107,6 +107,15 @@ object PlanAudit {
     Set("documents", "events", "lineitem", "orders", "embeddings",
       "sigs", "keys")
 
+  /** Column names that KEY a corpus-growing table: an aggregate
+    * grouped by one of these has |corpus| groups, so it does not
+    * bound a frame (and must never be broadcast by promise).
+    * Name-based, like [[DefaultCorpusGrowing]] — an alias can evade
+    * it, which is why unknown leaves stay conservative. */
+  val DefaultCorpusKeyCols: Set[String] =
+    Set("doc_id", "vec_id", "user_id", "o_orderkey", "l_orderkey",
+      "orderkey")
+
   /** Every `broadcast()`-hinted join side that is NOT bounded by
     * construction. A side is bounded when every row path into it
     * passes through a grouped aggregate (|strata|/|centroids|/
@@ -149,7 +158,15 @@ object PlanAudit {
       case _ => true // unknown leaf (LogicalRDD, ...): assume growing
     }
     def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true // |groups| rows — the strata shape
+      // |groups| rows — the strata shape. But ONLY when the grouping
+      // keys exclude known corpus keys: groupBy(doc_id) has |corpus|
+      // rows and is exactly the OOM class this audit targets (round-9
+      // advisor). A corpus-keyed aggregate can still be bounded by
+      // what it aggregates OVER (children all bounded).
+      case a: Aggregate =>
+        !a.groupingExpressions.exists(_.references.exists(r =>
+          DefaultCorpusKeyCols.contains(r.name.toLowerCase))) ||
+          a.children.forall(bounded)
       case _: GlobalLimit => true
       case l: LeafNode => !leafGrowing(l)
       case other =>
@@ -165,6 +182,147 @@ object PlanAudit {
               side.nodeName + ": " + side.simpleString(60))
         }
     }.flatten
+  }
+
+  // ---- low-cardinality-partition windows (the fourth class) --------
+
+  /** Columns that are low-cardinality BY CONSTRUCTION — enum-like
+    * dimension attributes whose distinct count does not grow with the
+    * corpus (the events fixture's event_type has ~5 values; period is
+    * a 2-way split; split/relation are declared label sets). A window
+    * partitioned ONLY by these keys runs each partition's whole frame
+    * through one task — fine when the frame itself is bounded, a
+    * scale-up death when it grows with the corpus (q178's original
+    * plan: ~n/5 distinct values sorted in one task at 100×).
+    *
+    * Deliberately ABSENT: range-bucket columns (`__gr_b` and friends)
+    * — a bucketing key in the partition spec is exactly the remedy,
+    * multiplying parallelism by the bucket count
+    * ([[graft.operators.GlobalRank.cumSumBy]]). */
+  val DefaultLowCardCols: Set[String] =
+    Set("event_type", "period", "split", "relation", "e1", "e2", "e3",
+      "type_a", "type_b")
+
+  /** Columns whose distinct count is structurally bounded (calendar
+    * grain, histogram bins, deciles): an aggregate grouped by
+    * low-card ∪ these keys yields a bounded frame, so a per-enum
+    * window OVER such an aggregate is fine (q173's per-type window
+    * over |days| rows; q57's over histogram buckets). `value`-like
+    * continuous measures are deliberately absent — their distinct
+    * count tracks the corpus, which is exactly what separates q178's
+    * original plan from q173. */
+  val DefaultBoundedFrameCols: Set[String] =
+    Set("day", "date", "week", "month", "hour", "hr", "bin", "bucket",
+      "decile", "period",
+      // histogram-bin edges: functionally dependent on `bin` in every
+      // rollup in this codebase (Sketches.dailyValueHistograms)
+      "lo", "hi",
+      // the two-level machinery's range-bucket column (cumHistogram):
+      // an aggregate grouped by (group, __b) has ≤ |groups|·buckets
+      // rows — the bounded frame its prefix window then rides
+      "__b")
+
+  /** The FOURTH hazard class: a `Window` whose partition keys are ALL
+    * low-cardinality-by-construction while its child frame grows with
+    * the corpus. [[singleTaskHazards]] cannot see this — the window IS
+    * partitioned, just by a ~5-value key, so the plan looks parallel
+    * while every partition's frame lands in one task.
+    *
+    * A child frame counts as bounded when every row path passes
+    * through an aggregate whose grouping keys are all bounded-
+    * cardinality columns (`lowCard ∪ boundedCols` — the q173/q57
+    * shape), a global limit, or reads only non-growing leaves. An
+    * aggregate grouped by a continuous corpus measure (q178's
+    * `value`) does NOT bound — its distinct count tracks the corpus.
+    *
+    * Audits the ANALYZED logical plan: the optimizer may collapse
+    * aliases, but grouping/partition attribute NAMES are what the
+    * heuristic keys on, and they survive analysis untouched. */
+  def lowCardPartitionWindowHazards(
+      df: DataFrame,
+      lowCard: Set[String] = DefaultLowCardCols,
+      boundedCols: Set[String] = DefaultBoundedFrameCols,
+      corpusGrowing: Set[String] = DefaultCorpusGrowing): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val frameBounding = lowCard ++ boundedCols
+    def leafGrowing(p: LogicalPlan): Boolean = p match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.exists { rp =>
+              val segs = rp.toString.toLowerCase.split("[/\\\\]").toSeq
+              segs.exists(s => corpusGrowing.exists(g =>
+                s == g || s.startsWith(g + ".")))
+            }
+          case _ => true
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation =>
+        corpusGrowing.exists(g => r.table.name().toLowerCase.contains(g))
+      case _: LocalRelation | _: OneRowRelation => false
+      case _: Range => false
+      case _ => true
+    }
+    // A grouping expression is bounded-cardinality when its OUTPUT
+    // name (alias or attribute — `groupBy(to_date(ts).as("day"))`
+    // keeps the Alias in the analyzed Aggregate, and the underlying
+    // `ts` reference must not defeat the day-grain) is a declared
+    // bounded column, or when it is DATE-typed outright (calendar
+    // grain regardless of name).
+    def groupBounded(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+        Literal, TruncDate, TruncTimestamp}
+      val named = e match {
+        case a: Alias => Some(a.name)
+        case a: Attribute => Some(a.name)
+        case _ => None
+      }
+      // date_trunc at hour grain or coarser: the analyzer strips the
+      // `.as("hr")` alias from grouping expressions, so the calendar
+      // truncation itself must be recognized (≤ |hours in the corpus
+      // span| distinct values — time-bounded like `day`)
+      val coarseTrunc = e match {
+        case t: TruncTimestamp => t.format match {
+          case Literal(s, _) if s != null =>
+            Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm",
+              "week", "day", "dd", "hour").contains(
+              s.toString.toLowerCase)
+          case _ => false
+        }
+        case _: TruncDate => true // date-grain by type
+        case _ => false
+      }
+      named.exists(n => frameBounding.contains(n.toLowerCase)) ||
+        e.dataType == org.apache.spark.sql.types.DateType ||
+        coarseTrunc
+    }
+    def frameBounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.forall(groupBounded) ||
+          a.children.forall(frameBounded)
+      // `.distinct()` is a Deduplicate node in the ANALYZED plan (the
+      // optimizer later rewrites it to an Aggregate): |distinct keys|
+      // rows, bounded exactly when the keys are
+      case d: Deduplicate =>
+        d.keys.forall(groupBounded) || d.children.forall(frameBounded)
+      case _: GlobalLimit => true
+      case l: LeafNode => !leafGrowing(l)
+      case other =>
+        other.children.nonEmpty && other.children.forall(frameBounded)
+    }
+    df.queryExecution.analyzed.collect {
+      case w: Window
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(r =>
+              lowCard.contains(r.name.toLowerCase))) &&
+            !frameBounded(w.child) =>
+        Finding("low-card-partition-window",
+          w.partitionSpec.flatMap(_.references.map(_.name))
+            .distinct.mkString("partitionBy(", ",", ")") +
+            " over a corpus-growing frame")
+    }
   }
 
   /** Throws IllegalStateException listing every unbounded broadcast

@@ -47,6 +47,37 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("cumSumBy matches per-group running sums over a partitioned " +
+    "window, two value columns in one pass") {
+    val g = df.withColumn("grp", pmod(col("id"), lit(3)))
+      .withColumn("v2", col("v") * 2 + 1)
+    val w = Window.partitionBy("grp").orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = g
+      .withColumn("s1", sum(col("v")).over(w))
+      .withColumn("s2", sum(col("v2")).over(w))
+    val got = GlobalRank.cumSumBy(g, Seq("grp"), col("k"), col("id"),
+      Seq((col("v"), "s1"), (col("v2"), "s2")), 16)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("cumSumBy: per-group fences isolate groups with disjoint key " +
+    "ranges (bucketing is per group, not global)") {
+    // group 0 keys in [0,10), group 1 keys in [1000,1010): a GLOBAL
+    // bucketing would crowd each group into one bucket; per-group
+    // fences must still produce exact per-group running sums
+    val g = spark.range(0, 200)
+      .select(col("id"), (col("id") % 2).as("grp"),
+        (col("id") % 10 + (col("id") % 2) * 1000).as("k"),
+        lit(1L).as("v"))
+    val w = Window.partitionBy("grp").orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = g.withColumn("s", sum(col("v")).over(w))
+    val got = GlobalRank.cumSumBy(g, Seq("grp"), col("k"), col("id"),
+      Seq((col("v"), "s")), 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("null and NaN keys are kept in Spark's asc order, no row loss") {
     val mixed = df.withColumn("kd",
       when(col("id") % 7 === 0, lit(Double.NaN))

@@ -78,6 +78,34 @@ class PlanAuditSpec extends SparkSpec {
       byDim.queryExecution.optimizedPlan.toString)
   }
 
+  test("positive: the planted low-cardinality-partition window " +
+    "(q178's original single-level plan) is caught") {
+    val df = graft.operators.Relational.ksDriftSingleLevel(tables.events)
+    val hz = PlanAudit.lowCardPartitionWindowHazards(df)
+    assert(hz.exists(_.kind == "low-card-partition-window"), hz.toString)
+  }
+
+  test("negative: the bucketed q178 rewrite and the bounded-frame " +
+    "per-type windows (q173 |days|, q57 histogram buckets) are clean") {
+    for (name <- Seq("q178_ks_drift", "q173_cusum_changepoint",
+        "q57_quantile_disc_mode")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(PlanAudit.lowCardPartitionWindowHazards(df).isEmpty,
+        name + ": " +
+          PlanAudit.lowCardPartitionWindowHazards(df).toString)
+    }
+  }
+
+  test("negative (broadcast audit, round-10 tightening): a broadcast " +
+    "over a corpus-keyed aggregate is flagged; a strata aggregate is not") {
+    val perDoc = tables.documents.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val df = tables.documents.join(broadcast(perDoc), "doc_id")
+    assert(PlanAudit.unboundedBroadcastHints(df)
+      .exists(_.kind.startsWith("unbounded-broadcast")),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   // Audited exemptions, each justified by a RUNTIME bound the static
   // plan cannot show. Adding a query here requires naming the guard.
   private val allowlisted = Map(
@@ -108,6 +136,17 @@ class PlanAuditSpec extends SparkSpec {
     "q162_sq8_ann" -> "query batch (same serving-batch bound as q26)",
     "q171_pca_sq8_ann" -> "query batch (same serving-batch bound as q26)")
 
+  // Low-card-window exemptions: SQL window-SURFACE parity demos
+  // (rank/dense_rank/ntile/lag/lead, rows-frames) that deliberately
+  // window raw events partitioned by event_type, bounded at runtime
+  // by a literal user-key filter (user_id < k). Their scale path is
+  // GlobalRank.cumSumBy — q178 is the worked example.
+  private val lowCardWindowAllowlisted = Map(
+    "q07_window_rank" -> "literal user_id<50 filter; reference W1 demo",
+    "q45_window_suite" -> "literal user_id<20 filter; surface demo",
+    "q48_range_frame" -> "literal user-key filter; surface demo",
+    "q66_rows_frame" -> "literal user_id<10 filter; surface demo")
+
   test("every declared query plans without single-task scale hazards " +
     "or unbounded broadcast hints") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -118,6 +157,8 @@ class PlanAuditSpec extends SparkSpec {
         .flatMap { case (name, fn) =>
           val df = fn(spark, sfDir)
           val hz = PlanAudit.singleTaskHazards(df) ++
+            (if (lowCardWindowAllowlisted.contains(name)) Seq.empty
+             else PlanAudit.lowCardPartitionWindowHazards(df)) ++
             (if (broadcastAllowlisted.contains(name)) Seq.empty
              else PlanAudit.unboundedBroadcastHints(df))
           if (hz.isEmpty) None

@@ -89,8 +89,14 @@ def main(sf_dir, out_dir):
             iu, ju = np.triu_indices(len(members), k=1)
             hit = r[iu, ju] >= 0.4
             # float-boundary audit: a DuckDB divergence needs the raw
-            # cosine within 1e-9 of a 6-dp half boundary
-            frac = np.abs((cos[iu, ju] * 1e6 + 0.5) % 1.0 - 0.5)
+            # cosine within ~1e-12 of a 6-dp HALF boundary (k + 0.5 in
+            # units of 1e-6, where round-half-away flips) — i.e. the
+            # fractional part of cos*1e6 sits at 0.5, so flag
+            # |frac(cos*1e6) - 0.5| small. (The earlier form added 0.5
+            # before taking the fraction, which flagged cosines exactly
+            # AT a 6-dp value — the safest points — and never the true
+            # boundary; fixed per the round-9 advisor.)
+            frac = np.abs((cos[iu, ju] * 1e6) % 1.0 - 0.5)
             boundary_risk += int(((frac < 1e-6) & (np.abs(
                 r[iu, ju] - 0.4) < 1e-5)).sum())
             for a_, b_ in zip(members[iu[hit]], members[ju[hit]]):
