@@ -225,6 +225,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 9))
       r1.unionByName(r2).orderBy("doc_id")
     }),
+    // q180: the persisted incremental ANN index (fifth ledger) — init
+    // on 80% of the embeddings, absorb the rest as an increment (no
+    // corpus rescan), serve quantized top-k from committed state only.
+    // Rows-only (seeded KMeans, q83/q166 precedent); IndexLedgerSpec
+    // gates recall ≥ the q166 bar, increment-composition parity,
+    // exactly-once replay, and the no-corpus-rescan scan set.
+    "q180_index_ledger_ann" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(spark, dir).embeddings
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_ixledger_").toString + "/state"
+      graft.sources.IndexLedger.init(spark, state,
+        emb.filter(col("vec_id") % 10 < 8))
+      graft.sources.IndexLedger.absorb(spark, state,
+        emb.filter(col("vec_id") % 10 >= 8)).count()
+      graft.sources.IndexLedger.topK(spark, state,
+        emb.filter(col("vec_id") < 10), excludeSelf = true)
+    }),
     "q108_shipping_priority" -> q(Relational.q108),
     "q109_supplier_hhi" -> q(Relational.q109),
     "q110_string_suite" -> q(Relational.q110),
