@@ -82,7 +82,8 @@ object DedupLedger {
     * every ledger here inherits. Snapshots are written by every
     * [[writeManifest]] commit; an as-of read resolves the snapshot and
     * unions exactly the parts committed then (superseded parts are
-    * never deleted by absorb/compact, so they remain readable).
+    * never deleted by absorb/compact, so they remain readable until an
+    * explicit [[vacuum]] ages them out).
     * Refuses versions the state cannot honestly serve:
     *  - beyond CURRENT (an orphan snapshot from a crashed commit is
     *    not committed state);
@@ -407,6 +408,72 @@ object DedupLedger {
     truncateSnapshots(statePath, next)
     removed
   }
+
+  // ---- age-based retention (vacuum) --------------------------------
+
+  /** Generic ledger vacuum: reclaim state referenced ONLY by manifest
+    * versions older than CURRENT − keepVersions, and truncate those
+    * snapshots so the reclaimed versions are REFUSED (the purge
+    * refusal semantics generalized to age) rather than half-served.
+    * Without this, as-of support keeps every superseded part forever
+    * and state dirs grow without bound at production cadence.
+    *
+    * Order of operations is the crash-safety argument:
+    *  1. snapshot truncation FIRST — once a version's snapshot is
+    *     gone, [[readManifestAt]] refuses it loudly, so no as-of read
+    *     can observe a half-vacuumed version;
+    *  2. then delete data dirs not referenced by ANY surviving
+    *     version (CURRENT + snapshots above the horizon). A crash
+    *     between 1 and 2 leaves unreferenced orphans — the same class
+    *     absorb crashes leave — and re-running vacuum reclaims them.
+    * CURRENT and every surviving as-of version are untouched (their
+    * referenced dirs are the live set). Also reclaims commit orphans
+    * (dirs written by a crashed absorb whose manifest never landed).
+    *
+    * `referenced` maps a manifest to the state-relative dirs it
+    * needs; `dataRoots` are the dirs vacuum may sweep. Each ledger
+    * wraps this with its own layout. Returns reclaimed dir count. */
+  private[sources] def vacuumState(
+      statePath: String,
+      keepVersions: Int,
+      referenced: Manifest => Seq[String],
+      dataRoots: Seq[String]): Long = {
+    require(keepVersions >= 1, "vacuum: keepVersions must be >= 1")
+    val cur = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    val horizon = cur.version - keepVersions
+    val snapsDir = new java.io.File(statePath, "manifests")
+    val snapped: Seq[Manifest] =
+      if (!snapsDir.exists()) Seq.empty
+      else snapsDir.listFiles().toSeq
+        .filter(_.getName.startsWith("v_"))
+        .map(parseManifest)
+        .filter(m => m.version > horizon && m.version <= cur.version)
+    val live = (snapped :+ cur).flatMap(referenced).toSet
+    if (horizon >= 1) truncateSnapshots(statePath, horizon + 1)
+    var reclaimed = 0L
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
+    for (root <- dataRoots) {
+      val dir = new java.io.File(statePath, root)
+      if (dir.exists()) Option(dir.listFiles()).foreach(_.foreach { d =>
+        if (!live.contains(s"$root/${d.getName}")) {
+          deleteRecursively(d); reclaimed += 1
+        }
+      })
+    }
+    reclaimed
+  }
+
+  /** Age-based retention for this ledger's keys + per-version bloom
+    * payloads. See [[vacuumState]]. */
+  def vacuum(statePath: String, keepVersions: Int): Long =
+    vacuumState(statePath, keepVersions,
+      m => m.keyParts.map("keys/" + _) :+ s"bloom/v_${m.version}",
+      Seq("keys", "bloom"))
 
   def compact(spark: SparkSession, statePath: String): Boolean = {
     val m = readManifest(statePath).getOrElse(

@@ -368,6 +368,18 @@ object IndexLedger {
       ix.lastBatchId)))
   }
 
+  /** Age-based retention for code parts + centroid versions — see
+    * [[DedupLedger.vacuumState]]. A centroid version survives while
+    * ANY surviving manifest points at it. */
+  def vacuum(statePath: String, keepVersions: Int): Long =
+    DedupLedger.vacuumState(statePath, keepVersions,
+      m => {
+        val ix = parse(m)
+        ix.codeParts.map("codes/" + _) :+
+          f"centroids/v_${ix.centroidVersion}%08d"
+      },
+      Seq("codes", "centroids"))
+
   /** Fold the code parts into one (absorb appends a part per
     * increment); centroids and version semantics follow the
     * [[DedupLedger.compact]] discipline — superseded parts stay on

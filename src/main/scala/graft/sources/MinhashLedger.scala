@@ -60,7 +60,7 @@ object MinhashLedger {
   /** Time-travel read: the signature set exactly as committed at
     * `asOfVersion` ([[DedupLedger.keys]]'s as-of twin — "what did
     * increment 7's near-dup probe actually see?"). Superseded parts
-    * are never deleted by absorb/compact, so pre-purge versions stay
+    * are deleted only by an explicit [[vacuum]], so pre-purge versions stay
     * readable; versions older than the latest [[purge]] are refused
     * (purge truncates their snapshots — erased signatures must not
     * resurface via time travel). */
@@ -208,4 +208,11 @@ object MinhashLedger {
     truncateSnapshots(statePath, next)
     removed
   }
+
+  /** Age-based retention for the signature parts — see
+    * [[DedupLedger.vacuumState]] for the contract and crash-safety
+    * argument. */
+  def vacuum(statePath: String, keepVersions: Int): Long =
+    DedupLedger.vacuumState(statePath, keepVersions,
+      m => m.keyParts.map("sigs/" + _), Seq("sigs"))
 }

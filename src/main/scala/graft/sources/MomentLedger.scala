@@ -99,7 +99,8 @@ object MomentLedger {
   /** Time-travel read: the moment state exactly as committed at
     * `asOfVersion` — "what did the rotation look like before
     * yesterday's crawl?" (same snapshot semantics as the other three
-    * ledgers; every version is a full state, nothing is deleted). */
+    * ledgers; every version is a full state, deleted only by an
+    * explicit [[vacuum]]). */
   def moments(
       spark: SparkSession, statePath: String,
       asOfVersion: Long): Moments = {
@@ -217,4 +218,10 @@ object MomentLedger {
       .toDF("component", "eigenvalue", "evr", "n_vectors")
       .orderBy("component")
   }
+
+  /** Age-based retention for the per-version moment tables — see
+    * [[DedupLedger.vacuumState]]. */
+  def vacuum(statePath: String, keepVersions: Int): Long =
+    DedupLedger.vacuumState(statePath, keepVersions,
+      m => m.keyParts.map("table/" + _), Seq("table"))
 }

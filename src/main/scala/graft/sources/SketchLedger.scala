@@ -59,7 +59,7 @@ object SketchLedger {
 
   /** Time-travel read: the sketch table exactly as committed at
     * `asOfVersion` — every version is a FULL table and superseded
-    * versions are never deleted, so "what did the p99 look like before
+    * versions survive until an explicit [[vacuum]], so "what did the p99 look like before
     * yesterday's batch?" is a one-line audit read. Refuses versions
     * beyond CURRENT or without a committed snapshot (see
     * [[DedupLedger.readManifestAt]]). */
@@ -123,4 +123,10 @@ object SketchLedger {
           Manifest(next, Seq(partName(next)), Some(batchId)))
       }
     }
+
+  /** Age-based retention for the per-version sketch tables — see
+    * [[DedupLedger.vacuumState]]. */
+  def vacuum(statePath: String, keepVersions: Int): Long =
+    DedupLedger.vacuumState(statePath, keepVersions,
+      m => m.keyParts.map("table/" + _), Seq("table"))
 }
