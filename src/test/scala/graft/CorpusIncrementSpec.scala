@@ -192,4 +192,80 @@ class CorpusIncrementSpec extends SparkSpec {
       CorpusIncrement.kept(spark, root, 1L) // init: no increments yet
     }
   }
+
+  test("monitoring: every increment commits an alarm row from ledger " +
+    "state only — a token-length-drifted, source-skewed batch raises " +
+    "KS and PSI alarms; an in-distribution batch raises neither") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("monitor")
+    val corpus = spark.read.parquet(corpusDir)
+    val b1 = spark.read.parquet(b1Dir)
+    val b2 = spark.read.parquet(b2Dir)
+    def inc(root: String, b: org.apache.spark.sql.DataFrame, id: Long) =
+      CorpusIncrement.increment(spark, root, b, id, minSwRatio = 0.0)
+
+    // control root: in-distribution increments — no alarms
+    val rootC = s"$base/rootC"
+    CorpusIncrement.init(spark, rootC, corpus)
+    inc(rootC, b1, 0L); inc(rootC, b2, 1L)
+    val ctl = CorpusIncrement.monitorLog(spark, rootC).collect()
+    assert(ctl.length == 2)
+    val c0 = ctl.head
+    assert(c0.isNullAt(c0.fieldIndex("ks_tokens")),
+      "increment 0 has no prior period — ks must be null")
+    assert(!c0.getBoolean(c0.fieldIndex("alarm_ks")))
+    val c1 = ctl(1)
+    assert(!c1.getBoolean(c1.fieldIndex("alarm_ks")),
+      s"in-distribution ks=${c1.get(c1.fieldIndex("ks_tokens"))}")
+    assert(!c1.getBoolean(c1.fieldIndex("alarm_psi")),
+      s"in-distribution psi=${c1.get(c1.fieldIndex("psi_source"))}")
+    assert(c1.getLong(c1.fieldIndex("kept_n")) > 0)
+
+    // drift root: increment 1 truncates every text to 10 tokens
+    // (token-count distribution collapses — KS fires) and rebrands
+    // every source (composition diverges from the init reference —
+    // PSI fires)
+    val rootD = s"$base/rootD"
+    CorpusIncrement.init(spark, rootD, corpus)
+    inc(rootD, b1, 0L)
+    val drifted = b2
+      .withColumn("text",
+        concat_ws(" ", slice(split($"text", " "), 1, 10)))
+      .withColumn("source", lit("src_drifted"))
+    inc(rootD, drifted, 1L)
+    val d1 = CorpusIncrement.monitorLog(spark, rootD).collect()(1)
+    assert(d1.getBoolean(d1.fieldIndex("alarm_ks")),
+      s"planted length drift not alarmed: " +
+        s"ks=${d1.get(d1.fieldIndex("ks_tokens"))}")
+    assert(d1.getBoolean(d1.fieldIndex("alarm_psi")),
+      s"planted source skew not alarmed: " +
+        s"psi=${d1.get(d1.fieldIndex("psi_source"))}")
+    // the volume statistic is the q173 integer form over increments
+    assert(d1.getLong(d1.fieldIndex("cusum_stat")) >= 0)
+  }
+
+  test("monitor output is exactly-once under crash replay: rolling " +
+    "the root manifest back re-derives the identical monitor row " +
+    "through a no-op sketch-ledger sink") {
+    val (corpusDir, b1Dir, _, base) = fixture("moncrash")
+    val root = s"$base/root"
+    CorpusIncrement.init(spark, root, spark.read.parquet(corpusDir))
+    val preBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "CURRENT"))
+    CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L)
+    def monRow = spark.read.parquet(s"$root/monitor/batch_0")
+      .collect().head.toString
+    val first = monRow
+    val sketchV = DedupLedger.readManifest(
+      CorpusIncrement.sketchState(root)).get.version
+    // crash before the root manifest rename; replay the increment
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "CURRENT"), preBytes)
+    CorpusIncrement.increment(
+      spark, root, spark.read.parquet(b1Dir), 0L)
+    assert(monRow == first)
+    // the sketch sink saw its own marker and no-opped
+    assert(DedupLedger.readManifest(
+      CorpusIncrement.sketchState(root)).get.version == sketchV)
+  }
 }
