@@ -283,6 +283,12 @@ object SparkEntry {
     // kept ledger (fresh temp state per call; Bench re-runs it)
     "q177_corpus_increment" ->
       q(t => graft.sources.CorpusIncrement.q177(t.documents)),
+    // q180: the training-ready last mile — mixture quotas over the
+    // kept ledger, token-balanced shard spans, BPE encode accounting
+    // under the version's committed merges, one committed artifact
+    // (n_bpe_tokens is merge-dependent → dropped here, spec-gated)
+    "q180_training_shards" ->
+      q(t => graft.sources.CorpusIncrement.q180(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -477,6 +483,74 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+
+  /** Shared CTE chain of the q177/q180 oracles: the FULL composed
+    * refresh replay — q150 enrichment + scrub, keep-first exact
+    * dedup, the q170 minhash chain over corpus ∪ exact survivors
+    * with pair-existence drops, ending at `near_kept` (see the
+    * q177 entry for the stage-by-stage rationale). One text, two
+    * gates — a one-sided edit cannot desynchronize q177 and q180. */
+  private def refreshKeptCtes: String =
+    ("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |enriched AS (
+        |  SELECT doc_id, lang, source,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+        |      '@example' || (doc_id % 7) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') ||
+        |      '-' ||
+        |      lpad(CAST((doc_id * 104729) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)
+        |      || '.0.' || ((doc_id * 31) % 256) ELSE '' END AS raw
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b'))
+        |      AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b'))
+        |      AS BIGINT) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b',
+        |      '<PHONE>', 'g'),
+        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b',
+        |      '<IP>', 'g') AS st
+        |  FROM enriched),
+        |cuts AS (SELECT n*6//10 AS c1 FROM nn),
+        |corpus_keys AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
+        |  FROM scrubbed, cuts WHERE doc_id < c1),
+        |batch AS (
+        |  SELECT s.*,
+        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
+        |  FROM scrubbed s, cuts WHERE doc_id >= c1),
+        |newdocs AS (
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus_keys c WHERE c.k = b.k)),
+        |exact_kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY doc_id) AS rn
+        |    FROM newdocs) WHERE rn = 1),
+        |pool AS (
+        |  SELECT doc_id, st AS text FROM scrubbed, cuts WHERE doc_id < c1
+        |  UNION ALL SELECT doc_id, st AS text FROM exact_kept),
+        |""".stripMargin + minhashCtesOver("pool") + """,
+        |dropped AS (
+        |  SELECT DISTINCT doc_j AS doc_id FROM est WHERE est_jac >= 0.5),
+        |near_kept AS (
+        |  SELECT e.* FROM exact_kept e
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropped d
+        |                    WHERE d.doc_id = e.doc_id))""".stripMargin)
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice, 2) AS price
@@ -2796,66 +2870,7 @@ object SparkEntry {
     // smaller-id-batch partners alike precede doc_j for id-ordered
     // increments), then the fixed stopword gate on the 4-dp ratio.
     "q177_corpus_increment" ->
-      ("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-        |enriched AS (
-        |  SELECT doc_id, lang, source,
-        |    text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
-        |      '@example' || (doc_id % 7) || '.com' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
-        |      lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') ||
-        |      '-' ||
-        |      lpad(CAST((doc_id * 104729) % 10000 AS VARCHAR), 4, '0')
-        |      ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)
-        |      || '.0.' || ((doc_id * 31) % 256) ELSE '' END AS raw
-        |  FROM documents),
-        |scrubbed AS (
-        |  SELECT doc_id, lang, source,
-        |    CAST(len(regexp_extract_all(raw,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |      AS BIGINT) AS n_email,
-        |    CAST(len(regexp_extract_all(raw,
-        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b'))
-        |      AS BIGINT) AS n_phone,
-        |    CAST(len(regexp_extract_all(raw,
-        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b'))
-        |      AS BIGINT) AS n_ip,
-        |    regexp_replace(regexp_replace(regexp_replace(raw,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |      '<EMAIL>', 'g'),
-        |      '(\+[0-9]{1,2} )?(\([0-9]{3}\) |\b[0-9]{3}[.-])[0-9]{3}[.-][0-9]{4}\b',
-        |      '<PHONE>', 'g'),
-        |      '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\b',
-        |      '<IP>', 'g') AS st
-        |  FROM enriched),
-        |cuts AS (SELECT n*6//10 AS c1 FROM nn),
-        |corpus_keys AS (
-        |  SELECT DISTINCT
-        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
-        |  FROM scrubbed, cuts WHERE doc_id < c1),
-        |batch AS (
-        |  SELECT s.*,
-        |    md5(array_to_string(string_split(st, ' ')[1:5], ' ')) AS k
-        |  FROM scrubbed s, cuts WHERE doc_id >= c1),
-        |newdocs AS (
-        |  SELECT b.* FROM batch b
-        |  WHERE NOT EXISTS (SELECT 1 FROM corpus_keys c WHERE c.k = b.k)),
-        |exact_kept AS (
-        |  SELECT * FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
-        |      ORDER BY doc_id) AS rn
-        |    FROM newdocs) WHERE rn = 1),
-        |pool AS (
-        |  SELECT doc_id, st AS text FROM scrubbed, cuts WHERE doc_id < c1
-        |  UNION ALL SELECT doc_id, st AS text FROM exact_kept),
-        |""".stripMargin + minhashCtesOver("pool") + """,
-        |dropped AS (
-        |  SELECT DISTINCT doc_j AS doc_id FROM est WHERE est_jac >= 0.5),
-        |near_kept AS (
-        |  SELECT e.* FROM exact_kept e
-        |  WHERE NOT EXISTS (SELECT 1 FROM dropped d
-        |                    WHERE d.doc_id = e.doc_id))
+      (refreshKeptCtes + """
         |SELECT doc_id, lang, source,
         |  CAST(len(string_split(st, ' ')) AS BIGINT) AS n_tokens,
         |  ROUND(CAST(len(list_filter(string_split(st, ' '),
@@ -2865,6 +2880,68 @@ object SparkEntry {
         |FROM near_kept
         |WHERE len(string_split(st, ' ')) >= 40
         |ORDER BY doc_id""".stripMargin),
+    // q180: the training-shard replay — q177's kept chain, then the
+    // q149 quota/md5-rank selection at budget 60 over the kept rows,
+    // then the q156 token-balanced shard spans at N=4 over the
+    // selected docs' scrubbed text. n_words/n_chars are the TRUTH side
+    // of the BPE losslessness identity and lossless is literal TRUE:
+    // the hash gate thereby verifies the engine's distributed encode
+    // reconstructed every selected document exactly.
+    "q180_training_shards" ->
+      (refreshKeptCtes + """,
+        |kept AS (
+        |  SELECT doc_id, lang, source, st FROM near_kept
+        |  WHERE len(string_split(st, ' ')) >= 40),
+        |s AS (
+        |  SELECT lang, source,
+        |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM kept GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |b AS (SELECT s.*, t.tw,
+        |             CAST((60 * w) // tw AS BIGINT) AS base,
+        |             CAST((60 * w) % tw AS BIGINT) AS rem
+        |      FROM s, t),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM b),
+        |g AS (SELECT CAST(60 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |qd AS (SELECT lang, source,
+        |         base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |       FROM r, g),
+        |rankedsel AS (
+        |  SELECT k2.*, ROW_NUMBER() OVER (PARTITION BY k2.lang, k2.source
+        |    ORDER BY md5(CAST(k2.doc_id AS VARCHAR)), k2.doc_id) AS rn2
+        |  FROM kept k2),
+        |sel AS (
+        |  SELECT rankedsel.doc_id, rankedsel.lang, rankedsel.source,
+        |         rankedsel.st
+        |  FROM rankedsel JOIN qd
+        |    ON qd.lang = rankedsel.lang AND qd.source = rankedsel.source
+        |  WHERE rn2 <= quota),
+        |shbase AS (
+        |  SELECT doc_id, lang, source, st,
+        |    CAST(len(string_split(st, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+        |      AS hkey
+        |  FROM sel),
+        |shcum AS (
+        |  SELECT *,
+        |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_tokens) OVER () AS tot
+        |  FROM shbase),
+        |sharded AS (
+        |  SELECT *, LEAST(CAST(FLOOR((cum - n_tokens) * 4.0 / tot)
+        |    AS BIGINT), 3) AS shard
+        |  FROM shcum)
+        |SELECT doc_id, lang, source, CAST(shard AS INT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY hkey, doc_id) AS pos,
+        |  n_tokens,
+        |  CAST(len(string_split(st, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(replace(st, ' ', '')) AS BIGINT) AS n_chars,
+        |  TRUE AS lossless
+        |FROM sharded ORDER BY doc_id""".stripMargin),
     // q168/q175: theta sketches in EXACT mode on the fixture
     // (|users| < nomEntries ⇒ θ=1): the estimates ARE the exact
     // distinct counts, so the q79/q88 relational bodies serve as

@@ -154,8 +154,17 @@ object Bpe {
     * shape: the trained merge table broadcasts (KBs), the encode is
     * one embarrassingly-parallel pass, the fold one hash-agg. */
   def mlBpeEncode(
-      documents: DataFrame, numMerges: Int = 40): DataFrame = {
-    val merges = train(documents, numMerges)
+      documents: DataFrame, numMerges: Int = 40): DataFrame =
+    encodeAccounting(documents, train(documents, numMerges))
+
+  /** The encode+verify half of [[mlBpeEncode]] under an EXISTING merge
+    * list — the production split: merges are a committed artifact
+    * trained once per corpus version ([[graft.sources.CorpusIncrement
+    * .trainingShards]]), while the encode is re-runnable against any
+    * document selection. Same per-doc accounting and distributed
+    * losslessness identity as [[mlBpeEncode]]. */
+  def encodeAccounting(
+      documents: DataFrame, merges: Seq[Merge]): DataFrame = {
     val perDoc = encodeTokens(documents, merges)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bpe_tokens"),

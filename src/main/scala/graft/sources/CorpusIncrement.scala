@@ -354,6 +354,131 @@ object CorpusIncrement {
       budget: Long = 300L): DataFrame =
     TextAnalysis.mixtureSample(kept(spark, root), budget)
 
+  private def bpeDir(root: String, version: Long) =
+    s"$root/bpe/v_$version"
+  private def shardsDir(root: String, version: Long) =
+    s"$root/shards/v_$version"
+  private def committed(dir: String) =
+    new java.io.File(dir, "_SUCCESS").exists()
+
+  /** BPE merges for root-manifest version `v` — trained ONCE per
+    * corpus version on `trainText` and committed under `bpe/v_<v>`
+    * (parquet write's _SUCCESS is the commit marker; a crash mid-write
+    * leaves no marker and the replay retrains byte-identically from
+    * the same committed selection). Later calls at the same version
+    * read the committed table and never touch text. */
+  def committedMerges(
+      spark: SparkSession, root: String, trainText: => DataFrame,
+      version: Long, numMerges: Int = 40): Seq[graft.operators.Bpe.Merge] = {
+    val dir = bpeDir(root, version)
+    if (!committed(dir)) {
+      val m = graft.operators.Bpe.train(trainText, numMerges)
+      import spark.implicits._
+      m.toDF.write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).collect()
+      .map(r => graft.operators.Bpe.Merge(
+        r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("support")))
+      .sortBy(_.rank).toSeq
+  }
+
+  /** The training-ready LAST MILE as one committed read-side artifact
+    * (round-9 Next #6): mixture() quotas over the kept ledger →
+    * [[TextAnalysis.shuffleShards]] token-balanced contiguous shards
+    * over the md5 shuffle order → [[graft.operators.Bpe]] encode
+    * accounting under the version's COMMITTED merges — emitted as
+    * `shards/v_<version>` with the parquet _SUCCESS commit marker, so
+    * a re-call at the same corpus version is a pure read-back (no
+    * corpus text touched; CorpusIncrementSpec deletes the text source
+    * and re-reads). One artifact per kept-ledger version keeps the
+    * time-travel story: the shards a trainer consumed are exactly
+    * reproducible from the version that produced them.
+    *
+    * Output: (doc_id, lang, source, shard, pos, n_tokens,
+    * n_bpe_tokens, n_words, n_chars, lossless). Scale: selection is
+    * |budget| metadata rows joined left-semi into the text source
+    * (the one text read, paid once per version); shard ranks ride
+    * [[graft.operators.GlobalRank.cumSum]] (no unpartitioned window);
+    * the merge table broadcasts (KBs) and the encode is one
+    * embarrassingly-parallel pass. */
+  def trainingShards(
+      spark: SparkSession, root: String, text: DataFrame,
+      nShards: Int = 4, budget: Long = 300L, numMerges: Int = 40,
+      salt: String = "shard"): DataFrame = {
+    val m = readManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no corpus-increment root at $root"))
+    require(m.keyParts.nonEmpty,
+      s"no increments committed yet at $root")
+    val out = shardsDir(root, m.version)
+    if (committed(out))
+      return spark.read.parquet(out).orderBy("doc_id")
+
+    // mixture selection: |budget| rows of kept-ledger metadata
+    val sel = mixture(spark, root, budget)
+      .select("doc_id", "lang", "source")
+    // the one corpus-text read this artifact pays — scrubbed with the
+    // SAME stage-1 transform the kept pipeline saw, so token counts
+    // and encode input are commensurable with the ledger's accounting
+    val selText = scrub(text)
+      .join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "text")
+    val merges = committedMerges(spark, root, selText, m.version,
+      numMerges)
+    val sh = TextAnalysis.shuffleShards(selText, nShards, salt)
+    val acct = graft.operators.Bpe.encodeAccounting(selText, merges)
+    sh.join(acct, "doc_id")
+      .join(sel, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+        col("pos"), col("n_tokens"), col("n_bpe_tokens"),
+        col("n_words"), col("n_chars"), col("lossless"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).orderBy("doc_id")
+  }
+
+  /** Time-travel read of a committed training-shard artifact: the
+    * shards exactly as version `asOfVersion` of the kept ledger
+    * produced them — refuses (loudly) if that version never committed
+    * an artifact, mirroring the ledgers' as-of contract. */
+  def trainingShards(
+      spark: SparkSession, root: String, asOfVersion: Long): DataFrame = {
+    val dir = shardsDir(root, asOfVersion)
+    require(committed(dir),
+      s"no committed training-shard artifact at version $asOfVersion " +
+        s"of $root")
+    spark.read.parquet(dir).orderBy("doc_id")
+  }
+
+  /** q180 — the last mile as a declared, hash-gated query: the q177
+    * scenario (planted PII, init on the first 60% by id cut) with ONE
+    * increment over the remainder (the composition contract makes one
+    * increment == q177's two), then [[trainingShards]] at budget 60 /
+    * 4 shards. Budget 60 < |kept| forces REAL quota truncation at
+    * sf0.01 (q149's keep-all arm is exercised by its own oracle). The
+    * oracle replays kept → quotas → md5-ranked selection → token-
+    * balanced shard spans exactly; `n_words`/`n_chars` replay as the
+    * TRUTH side of the losslessness identity and `lossless` as
+    * literal TRUE — so the hash gate verifies the distributed encode
+    * reconstructs every selected document, corpus-wide. n_bpe_tokens
+    * (merge-table-dependent, not SQL-expressible) is spec-gated in
+    * CorpusIncrementSpec instead. Fresh temp state per call. */
+  def q180(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q180_").toString
+    val planted = Scrub.piiEnriched(documents)
+    val n = documents.count()
+    val c1 = n * 6 / 10
+    init(spark, root, planted.filter(col("doc_id") < c1))
+    increment(spark, root, planted.filter(col("doc_id") >= c1), 0L,
+      minSwRatio = 0.0, minTokens = 40)
+    trainingShards(spark, root, planted, nShards = 4, budget = 60L)
+      .drop("n_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
   /** q177 — the composed refresh as a declared, hash-gated query:
     * plant the q150 PII mess from doc_id residues, init from the
     * first 60% of documents (by id cut — both engines derive the same

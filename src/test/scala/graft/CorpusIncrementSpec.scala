@@ -268,4 +268,54 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(DedupLedger.readManifest(
       CorpusIncrement.sketchState(root)).get.version == sketchV)
   }
+
+  test("training shards: two increments then trainingShards == one-shot, " +
+    "losslessness holds corpus-wide, the committed artifact is a pure " +
+    "read-back, and as-of versions refuse when uncommitted") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("shards")
+    val corpus = spark.read.parquet(corpusDir)
+    val (b1, b2) = (spark.read.parquet(b1Dir), spark.read.parquet(b2Dir))
+    val (rootA, rootB) = (s"$base/shA", s"$base/shB")
+    CorpusIncrement.init(spark, rootA, corpus)
+    CorpusIncrement.increment(spark, rootA, b1, 0L)
+    CorpusIncrement.increment(spark, rootA, b2, 1L)
+    CorpusIncrement.init(spark, rootB, corpus)
+    CorpusIncrement.increment(spark, rootB, b1.unionByName(b2), 0L)
+
+    val textAll = corpus.unionByName(b1).unionByName(b2)
+    val shA = CorpusIncrement.trainingShards(
+      spark, rootA, textAll, nShards = 4, budget = 60L)
+    val shB = CorpusIncrement.trainingShards(
+      spark, rootB, textAll, nShards = 4, budget = 60L)
+    // composition: the FULL artifact (incl. the merge-table-dependent
+    // n_bpe_tokens) is increment-path-invariant
+    assert(rowSet(shA) == rowSet(shB))
+    assert(shA.count() > 0)
+
+    // the distributed losslessness identity, corpus-wide; and the
+    // encode is non-vacuous (some merge fired: an unmerged doc costs
+    // exactly n_chars + n_words tokens, a merged one strictly fewer)
+    val rows = shA.collect()
+    assert(rows.forall(_.getAs[Boolean]("lossless")))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words")))
+    assert(rows.exists(r => r.getAs[Long]("n_bpe_tokens") <
+      r.getAs[Long]("n_chars") + r.getAs[Long]("n_words")),
+      "no merge ever applied — the committed-merge encode is vacuous")
+
+    // committed artifact: a re-call at the same version never touches
+    // text — an EMPTY text frame returns identical rows
+    assert(rowSet(CorpusIncrement.trainingShards(
+      spark, rootA, textAll.limit(0), nShards = 4, budget = 60L))
+      == rowSet(shA))
+
+    // as-of read of the producing version; an uncommitted version
+    // refuses loudly
+    val v = DedupLedger.readManifest(rootA).get.version
+    assert(rowSet(CorpusIncrement.trainingShards(spark, rootA, v))
+      == rowSet(shA))
+    intercept[IllegalArgumentException] {
+      CorpusIncrement.trainingShards(spark, rootA, v - 1)
+    }
+  }
 }
