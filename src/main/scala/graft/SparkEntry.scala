@@ -301,6 +301,16 @@ object SparkEntry {
     // same semantics as q19, different (real-corpus-preferred) algorithm
     "q135_allpairs_jaccard" ->
       q(t => Dedup.ngramJaccardPairsPrefix(t.documents)),
+    // q181/q182: the SAME two algorithms on the realistic-vocabulary
+    // slice, where prefixes can actually prune — the crossover pair
+    // that keeps the AllPairs path's value (and regressions) visible
+    // in the bench instead of drowned in the known-bad 30-word vocab
+    "q181_allpairs_realvocab" ->
+      q(t => Dedup.ngramJaccardPairsPrefix(
+        Dedup.realVocabDocs(t.documents))),
+    "q182_jaccard_naive_realvocab" ->
+      q(t => Dedup.ngramJaccardPairs(
+        Dedup.realVocabDocs(t.documents))),
     "q71_lang_centroids" -> q { t =>
       import org.apache.spark.sql.functions.col
       Similarity.groupCentroids(
@@ -375,22 +385,45 @@ object SparkEntry {
 
   /** Shared by q19 (naive inverted index) and q135 (AllPairs prefix
     * filter): the two paths declare IDENTICAL semantics, so they share
-    * ONE oracle text — a one-sided edit cannot desynchronize the gates. */
-  private val jaccardOracle: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
-         |           FROM idx a JOIN idx b
-         |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT doc_i, doc_j,
-         |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
-         |FROM shared
-         |JOIN sizes si ON si.doc_id = doc_i
-         |JOIN sizes sj ON sj.doc_id = doc_j
-         |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
-         |ORDER BY doc_i, doc_j""".stripMargin
+    * ONE oracle text — a one-sided edit cannot desynchronize the gates.
+    * [[jaccardTail]] is the same chain over an arbitrary (doc_id, text)
+    * source, shared again by the q181/q182 realistic-vocabulary pair. */
+  private def jaccardTail(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM $src),
+       |idx AS (SELECT doc_id, unnest($duckShingles) AS shingle FROM toks),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS shared
+       |           FROM idx a JOIN idx b
+       |             ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_i, doc_j,
+       |       ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) AS jac
+       |FROM shared
+       |JOIN sizes si ON si.doc_id = doc_i
+       |JOIN sizes sj ON sj.doc_id = doc_j
+       |WHERE ROUND(CAST(shared AS DOUBLE)/(si.n_sh + sj.n_sh - shared), 4) >= 0.5
+       |ORDER BY doc_i, doc_j""".stripMargin
+
+  private def jaccardOracle: String = "WITH " + jaccardTail("documents")
+
+  /** ONE oracle for the q181 (prefix) / q182 (naive) realistic-vocab
+    * pair: the [[graft.operators.Dedup.realVocabDocs]] slice rebuilt
+    * in SQL (same md5 namespaces, same COUNT(*)-modular clique/group
+    * keys), then the identical Jaccard chain. */
+  private def realVocabJaccardOracle: String =
+    """WITH mm AS (SELECT GREATEST(COUNT(*)//2, 1) AS m1,
+      |             GREATEST(COUNT(*)//16, 1) AS m2 FROM documents),
+      |rv AS (
+      |  SELECT doc_id, array_to_string(
+      |    [substr(md5('g:' || CAST(doc_id % m2 AS VARCHAR) || ':' ||
+      |       CAST(j AS VARCHAR)), 1, 10) for j in range(0, 3)] ||
+      |    [substr(md5('c:' || CAST(doc_id % m1 AS VARCHAR) || ':' ||
+      |       CAST(j AS VARCHAR)), 1, 10) for j in range(3, 36)] ||
+      |    [substr(md5('u:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |       CAST(j AS VARCHAR)), 1, 10) for j in range(36, 40)],
+      |    ' ') AS text
+      |  FROM documents, mm),
+      |""".stripMargin + jaccardTail("rv")
 
   private def minhashOracle: String =
     s"""WITH $minhashCtes
@@ -692,6 +725,8 @@ object SparkEntry {
         |ORDER BY h""".stripMargin,
     "q19_ngram_jaccard" -> jaccardOracle,
     "q135_allpairs_jaccard" -> jaccardOracle,
+    "q181_allpairs_realvocab" -> realVocabJaccardOracle,
+    "q182_jaccard_naive_realvocab" -> realVocabJaccardOracle,
     "q20_minhash_lsh" -> minhashOracle,
     "q42_near_dup_components" -> componentsOracle,
     "q43_containment" ->

@@ -270,6 +270,46 @@ object Dedup {
     out
   }
 
+  /** Deterministic REALISTIC-VOCABULARY twin of the documents fixture
+    * — the arm where prefix filtering can actually prune (round-9
+    * Next #7). The stock fixture's ~30-word vocabulary is AllPairs'
+    * documented worst case: every shingle is corpus-common, prefixes
+    * prune nothing, and q135's bench row shows the penalty rather
+    * than the operator's value. This slice rebuilds each doc from
+    * md5-derived 10-char surrogate tokens (vocabulary ~ corpus size,
+    * the realistic web-corpus regime) with planted structure:
+    *  - tokens 0–2   shared by the doc's GROUP (doc_id mod ~n/16,
+    *    ~16 docs): exactly ONE shared 3-gram shingle (Jaccard ≈
+    *    0.013) — the naive inverted-index candidate class that
+    *    prefix+PPJoin must prune (a single shared shingle passes the
+    *    positional filter only when its hash ranks early in BOTH
+    *    docs' sorted shingle lists, ~1/3 of pairs);
+    *  - tokens 3–35  shared by the doc's CLIQUE (doc_id mod ~n/2,
+    *    ~2 docs): true near-dups (31 shared of 45 distinct shingles,
+    *    Jaccard ≈ 0.689 ≥ 0.5);
+    *  - tokens 36–39 unique to the doc.
+    * Keys are modular in COUNT(*) (not raw id adjacency), so clique
+    * and group sizes are scale-covariant even on the sf1 fixture's
+    * sparse non-contiguous doc_ids — the gate can't go vacuous at
+    * 10× (the q177 lesson). Both engines derive n from COUNT(*) and
+    * the same md5 namespace strings, so the slice is hash-portable. */
+  def realVocabDocs(documents: DataFrame): DataFrame = {
+    val n = documents.count()
+    val m1 = math.max(n / 2, 1L)  // clique modulus (~2 docs)
+    val m2 = math.max(n / 16, 1L) // group modulus (~16 docs)
+    def tok(ns: String, key: Column, j: Column): Column =
+      substring(md5(concat(lit(ns + ":"), key.cast("string"),
+        lit(":"), j.cast("string"))), 1, 10)
+    documents.select(col("doc_id"),
+      array_join(concat(
+        transform(sequence(lit(0), lit(2)),
+          j => tok("g", pmod(col("doc_id"), lit(m2)), j)),
+        transform(sequence(lit(3), lit(35)),
+          j => tok("c", pmod(col("doc_id"), lit(m1)), j)),
+        transform(sequence(lit(36), lit(39)),
+          j => tok("u", col("doc_id"), j))), " ").as("text"))
+  }
+
   /** MinHash signature columns mh0..mh{k-1} via Kirsch–Mitzenmacher
     * double hashing: ONE md5 per (doc, shingle) row yields two 32-bit
     * halves (h1, h2), and permutation i hashes as (h1 + i·h2) mod 2³²

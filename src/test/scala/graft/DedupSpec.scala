@@ -390,4 +390,32 @@ class DedupSpec extends SparkSpec {
       assert(lcs >= 12 && overlap(key) >= 1)
     }
   }
+
+  test("realistic-vocab slice: prefix+PPJoin prunes the naive candidate " +
+    "set, results stay exact, and structure survives any doc_id shape") {
+    val rv = Dedup.realVocabDocs(tables.documents)
+    // same semantics, two algorithms — exact equality on the slice
+    val pref = Dedup.ngramJaccardPairsPrefix(rv)
+      .collect().map(_.mkString("|")).toSet
+    val naive = Dedup.ngramJaccardPairs(rv)
+      .collect().map(_.mkString("|")).toSet
+    assert(pref == naive)
+    assert(pref.nonEmpty, "no planted clique pair survived — vacuous")
+
+    // candidate reduction: the point of the prefix path. Naive
+    // candidates = pairs sharing ANY shingle (the inverted-index join
+    // frontier, incl. every sub-threshold group pair); the prefix
+    // index must cut that by at least 2x on a realistic vocabulary.
+    val sets = Dedup.shingleSets(rv, 3)
+    val idx = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val naiveCand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefCand = Dedup.prefixCandidates(sets, 0.5).count()
+    assert(prefCand * 2 <= naiveCand,
+      s"prefix candidates $prefCand vs naive $naiveCand — no pruning")
+    assert(prefCand >= pref.size.toLong,
+      "candidates must cover every true pair (exactness precondition)")
+  }
 }
