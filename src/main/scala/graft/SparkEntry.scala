@@ -225,7 +225,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 9))
       r1.unionByName(r2).orderBy("doc_id")
     }),
-    // q180: the persisted incremental ANN index (fifth ledger) — init
+    // q183: the persisted incremental ANN index (fifth ledger) — init
     // on 80% of the embeddings, absorb the rest as an increment (no
     // corpus rescan), serve quantized top-k from committed state only.
     // Rows-only (seeded KMeans, q83/q166 precedent); IndexLedgerSpec
@@ -283,12 +283,12 @@ object SparkEntry {
     // kept ledger (fresh temp state per call; Bench re-runs it)
     "q177_corpus_increment" ->
       q(t => graft.sources.CorpusIncrement.q177(t.documents)),
-    // q180: the training-ready last mile — mixture quotas over the
+    // q183: the training-ready last mile — mixture quotas over the
     // kept ledger, token-balanced shard spans, BPE encode accounting
     // under the version's committed merges, one committed artifact
     // (n_bpe_tokens is merge-dependent → dropped here, spec-gated)
-    "q180_training_shards" ->
-      q(t => graft.sources.CorpusIncrement.q180(t.documents)),
+    "q183_training_shards" ->
+      q(t => graft.sources.CorpusIncrement.q183(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -517,12 +517,12 @@ object SparkEntry {
   }
 
 
-  /** Shared CTE chain of the q177/q180 oracles: the FULL composed
+  /** Shared CTE chain of the q177/q183 oracles: the FULL composed
     * refresh replay — q150 enrichment + scrub, keep-first exact
     * dedup, the q170 minhash chain over corpus ∪ exact survivors
     * with pair-existence drops, ending at `near_kept` (see the
     * q177 entry for the stage-by-stage rationale). One text, two
-    * gates — a one-sided edit cannot desynchronize q177 and q180. */
+    * gates — a one-sided edit cannot desynchronize q177 and q183. */
   private def refreshKeptCtes: String =
     ("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         |enriched AS (
@@ -2915,14 +2915,14 @@ object SparkEntry {
         |FROM near_kept
         |WHERE len(string_split(st, ' ')) >= 40
         |ORDER BY doc_id""".stripMargin),
-    // q180: the training-shard replay — q177's kept chain, then the
+    // q183: the training-shard replay — q177's kept chain, then the
     // q149 quota/md5-rank selection at budget 60 over the kept rows,
     // then the q156 token-balanced shard spans at N=4 over the
     // selected docs' scrubbed text. n_words/n_chars are the TRUTH side
     // of the BPE losslessness identity and lossless is literal TRUE:
     // the hash gate thereby verifies the engine's distributed encode
     // reconstructed every selected document exactly.
-    "q180_training_shards" ->
+    "q183_training_shards" ->
       (refreshKeptCtes + """,
         |kept AS (
         |  SELECT doc_id, lang, source, st FROM near_kept

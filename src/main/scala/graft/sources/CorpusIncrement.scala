@@ -451,7 +451,7 @@ object CorpusIncrement {
     spark.read.parquet(dir).orderBy("doc_id")
   }
 
-  /** q180 — the last mile as a declared, hash-gated query: the q177
+  /** q183 — the last mile as a declared, hash-gated query: the q177
     * scenario (planted PII, init on the first 60% by id cut) with ONE
     * increment over the remainder (the composition contract makes one
     * increment == q177's two), then [[trainingShards]] at budget 60 /
@@ -464,10 +464,10 @@ object CorpusIncrement {
     * reconstructs every selected document, corpus-wide. n_bpe_tokens
     * (merge-table-dependent, not SQL-expressible) is spec-gated in
     * CorpusIncrementSpec instead. Fresh temp state per call. */
-  def q180(documents: DataFrame): DataFrame = {
+  def q183(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val root = java.nio.file.Files
-      .createTempDirectory("graft_q180_").toString
+      .createTempDirectory("graft_q183_").toString
     val planted = Scrub.piiEnriched(documents)
     val n = documents.count()
     val c1 = n * 6 / 10
