@@ -289,6 +289,13 @@ object SparkEntry {
     // (n_bpe_tokens is merge-dependent → dropped here, spec-gated)
     "q183_training_shards" ->
       q(t => graft.sources.CorpusIncrement.q183(t.documents)),
+    // q184/q185: the remaining trainer-side accounting — sequence
+    // packing off the distributed prefix sum, and epoch repeat-factor
+    // mixtures for budgets larger than a stratum
+    "q184_sequence_packing" ->
+      q(t => TextAnalysis.sequencePacking(t.documents)),
+    "q185_epoch_mixture" ->
+      q(t => TextAnalysis.epochMixture(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -727,6 +734,60 @@ object SparkEntry {
     "q135_allpairs_jaccard" -> jaccardOracle,
     "q181_allpairs_realvocab" -> realVocabJaccardOracle,
     "q182_jaccard_naive_realvocab" -> realVocabJaccardOracle,
+    // q184: pure integer functions of the q156 running token sum —
+    // the engine's GlobalRank cumsum replayed by a plain window
+    "q184_sequence_packing" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+        |      AS hkey
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens) // 512 AS start_seq,
+        |  (cum - 1) // 512 AS end_seq,
+        |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS seqs_spanned,
+        |  (cum - n_tokens) % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q185: the q149 quota chain at budget 1200 (> |corpus| per-stratum
+    // — the epoch regime), repeat = quota div n + 1 for the first
+    // quota mod n docs in the md5 order
+    "q185_epoch_mixture" ->
+      """WITH s AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+        |b AS (SELECT s.*, t.tw,
+        |             CAST((1200 * w) // tw AS BIGINT) AS base,
+        |             CAST((1200 * w) % tw AS BIGINT) AS rem
+        |      FROM s, t),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM b),
+        |g AS (SELECT CAST(1200 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |qd AS (SELECT lang, source, n_docs,
+        |         base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |       FROM r, g),
+        |ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY CAST(concat('0x', substr(md5(
+        |        CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8)) AS BIGINT),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |SELECT ranked.doc_id, ranked.lang, ranked.source,
+        |  quota // n_docs
+        |    + CASE WHEN rn <= quota % n_docs THEN 1 ELSE 0 END
+        |    AS n_repeats
+        |FROM ranked JOIN qd
+        |  ON qd.lang = ranked.lang AND qd.source = ranked.source
+        |ORDER BY doc_id""".stripMargin,
     "q20_minhash_lsh" -> minhashOracle,
     "q42_near_dup_components" -> componentsOracle,
     "q43_containment" ->

@@ -1036,4 +1036,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** q184 — training-sequence packing accounting: the step AFTER
+    * sharding that every trainer runs — concatenate documents in the
+    * deterministic md5 shuffle order and chunk the token stream into
+    * fixed `seqLen`-token sequences (the GPT/LLaMA concatenate-then-
+    * chunk packing; a document crossing a boundary is split, nothing
+    * is padded except the final sequence). Per document: which
+    * sequences it lands in (`start_seq`/`end_seq`), how many it spans,
+    * and its offset inside its first sequence — all pure integer
+    * functions of the distributed running token sum, so packing needs
+    * NO sequential first-fit pass and no unpartitioned window
+    * ([[GlobalRank.cumSum]], the q156 discipline). A doc spanning
+    * >2 sequences is len/seqLen chunks of pure self-content — the
+    * packing-efficiency statistics (boundary splits, final-sequence
+    * fill) read off this frame with one aggregate. */
+  def sequencePacking(
+      documents: DataFrame, seqLen: Long = 512L,
+      salt: String = "shard"): DataFrame = {
+    require(seqLen > 0, "sequencePacking: seqLen must be positive")
+    val h = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val base = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      h.as("hkey"))
+    val withCum = GlobalRank.cumSum(
+      base, col("hkey"), col("doc_id"), col("n_tokens"), "cum_tokens")
+    withCum
+      .withColumn("__s", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("__s") / seqLen).as("start_seq"),
+        floor((col("cum_tokens") - 1) / seqLen).as("end_seq"),
+        (floor((col("cum_tokens") - 1) / seqLen)
+          - floor(col("__s") / seqLen) + 1L).as("seqs_spanned"),
+        pmod(col("__s"), lit(seqLen)).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** q185 — epoch repeat-factor mixture: [[mixtureSample]]'s selection
+    * generalized to budgets LARGER than a stratum (the LLaMA/"data
+    * recipe" regime where high-value sources are repeated for multiple
+    * epochs): stratum quota q over n docs gives every doc
+    * `q div n` full epochs plus one extra for the q mod n docs
+    * ranked first in the deterministic md5 order — total repeats per
+    * stratum is EXACTLY its quota, and the output is the per-doc
+    * repeat count (0 permitted: below-selection docs are part of the
+    * accounting). The per-stratum rank rides [[GlobalRank.cumSumBy]]
+    * (running count of 1s per (lang, source) over the 32-bit md5 key
+    * — the q64 portable mapping), NOT a raw enum-partitioned window:
+    * lang×source cardinality is fixed while strata grow with the
+    * corpus, exactly the hazard class
+    * [[graft.plans.PlanAudit.lowCardPartitionWindowHazards]] flags. */
+  def epochMixture(
+      documents: DataFrame, budget: Long = 1200L): DataFrame = {
+    val quotas = temperatureMixture(documents, budget)
+      .select(col("lang"), col("source"), col("n_docs"), col("quota"))
+    val h = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":epoch"))), 1, 8), 16, 10)
+      .cast("long")
+    val ranked = GlobalRank.cumSumBy(
+      documents.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("hkey", h),
+      Seq("lang", "source"), col("hkey"), col("doc_id"),
+      Seq((lit(1L), "rn")))
+    ranked
+      .join(broadcast(quotas), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        ((col("quota") / col("n_docs")).cast("long")
+          + when(col("rn") <= pmod(col("quota"), col("n_docs")), 1L)
+            .otherwise(0L)).as("n_repeats"))
+      .orderBy("doc_id")
+  }
 }

@@ -479,4 +479,64 @@ class TextSpec extends SparkSpec {
     val gateOut = rows(2).getAs[Long]("docs_out")
     assert(gateOut == TextAnalysis.corpusPipeline(tables.documents).count())
   }
+
+  test("sequencePacking: exact chunk cover of the token stream — " +
+    "sequence count, span arithmetic, and boundary splits line up") {
+    val L = 512L
+    val packed = TextAnalysis.sequencePacking(tables.documents, L)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nSeqs = rows.map(_.getAs[Long]("end_seq")).max + 1
+    // chunking the concatenated stream yields exactly ceil(total/L)
+    assert(nSeqs == (total + L - 1) / L)
+    rows.foreach { r =>
+      val (n, s0, e, span, off) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq"),
+        r.getAs[Long]("seqs_spanned"), r.getAs[Long]("seq_offset"))
+      assert(span == e - s0 + 1 && span >= 1)
+      assert(off >= 0 && off < L)
+      // a doc of n tokens starting at offset `off` must end inside
+      // sequence s0 + (off + n - 1) / L exactly
+      assert(e == s0 + (off + n - 1) / L)
+    }
+    // the fixture's docs are 10-100 tokens vs L=512: most fit inside
+    // one sequence, but SOME must straddle a boundary (the stream has
+    // no padding) — both classes exercised
+    assert(rows.count(_.getAs[Long]("seqs_spanned") > 1) > 0)
+    assert(rows.count(_.getAs[Long]("seqs_spanned") == 1) > 0)
+    // a crafted mega-doc spans many sequences: pure self-content chunks
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    val mega = Seq((0L, ("tok " * 2000).trim), (1L, "short doc here"))
+      .toDF("doc_id", "text")
+    val mp = TextAnalysis.sequencePacking(mega, L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seqs_spanned"))
+      .toMap
+    assert(mp(0L) >= 2000 / L)
+  }
+
+  test("epochMixture: per-stratum repeats sum EXACTLY to the quota and " +
+    "the grand total to the budget; repeat factors differ by at most 1 " +
+    "inside a stratum") {
+    val budget = 1200L
+    val em = TextAnalysis.epochMixture(tables.documents, budget)
+    val rows = em.collect()
+    assert(rows.map(_.getAs[Long]("n_repeats")).sum == budget)
+    val quotas = TextAnalysis.temperatureMixture(tables.documents, budget)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))
+        -> r.getAs[Long]("quota")).toMap
+    rows.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .foreach { case (k, rs) =>
+        val reps = rs.map(_.getAs[Long]("n_repeats"))
+        assert(reps.sum == quotas(k),
+          s"stratum $k repeats ${reps.sum} != quota ${quotas(k)}")
+        assert(reps.max - reps.min <= 1,
+          s"stratum $k repeat factors not balanced: $reps")
+      }
+    // the epoch regime is actually exercised: some doc repeats > 1
+    assert(rows.exists(_.getAs[Long]("n_repeats") > 1))
+  }
 }
