@@ -296,6 +296,12 @@ object SparkEntry {
       q(t => TextAnalysis.sequencePacking(t.documents)),
     "q185_epoch_mixture" ->
       q(t => TextAnalysis.epochMixture(t.documents)),
+    // q186/q187: retrieval-quality eval over the exact ranked frame,
+    // and the packing frame flipped to the per-sequence axis
+    "q186_retrieval_eval" ->
+      q(t => Similarity.retrievalEval(t.embeddings)),
+    "q187_pack_composition" ->
+      q(t => TextAnalysis.packComposition(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -470,6 +476,23 @@ object SparkEntry {
       |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
       |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
       |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)""".stripMargin
+
+  /** Shared q184/q187 CTE prefix: the deterministic md5 shuffle order
+    * and the running token sum (one def so the doc-axis and
+    * sequence-axis gates cannot desynchronize). */
+  private def packingCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(concat('0x', substr(md5(
+      |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+      |      AS hkey
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM base)""".stripMargin
 
   private def componentsOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -737,24 +760,90 @@ object SparkEntry {
     // q184: pure integer functions of the q156 running token sum —
     // the engine's GlobalRank cumsum replayed by a plain window
     "q184_sequence_packing" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(concat('0x', substr(md5(
-        |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
-        |      AS hkey
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM base)
-        |SELECT doc_id, n_tokens,
+      ("WITH " + packingCtes + "\n" +
+      """SELECT doc_id, n_tokens,
         |  (cum - n_tokens) // 512 AS start_seq,
         |  (cum - 1) // 512 AS end_seq,
         |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS seqs_spanned,
         |  (cum - n_tokens) % 512 AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |FROM c ORDER BY doc_id""".stripMargin),
+    // q187: the same prefix-sum chain flipped to the sequence axis —
+    // per-doc overlap rows via generate_series, one group-by
+    "q187_pack_composition" ->
+      ("WITH " + packingCtes + ",\n" +
+      """d AS (SELECT doc_id, n_tokens,
+        |        CAST(cum AS BIGINT) AS cum,
+        |        CAST(cum - n_tokens AS BIGINT) AS gs,
+        |        CAST((cum - n_tokens) // 512 AS BIGINT) AS s0,
+        |        CAST((cum - 1) // 512 AS BIGINT) AS e
+        |      FROM c),
+        |x AS (SELECT doc_id, cum, gs, s0, e,
+        |        unnest(generate_series(s0, e)) AS seq_id
+        |      FROM d),
+        |o AS (SELECT seq_id,
+        |        least(cum, (seq_id + 1) * 512)
+        |          - greatest(gs, seq_id * 512) AS t,
+        |        CASE WHEN e > s0 THEN 1 ELSE 0 END AS split
+        |      FROM x)
+        |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(split) AS BIGINT) AS n_split_docs,
+        |  CASE WHEN SUM(t) > 1
+        |    THEN ROUND(CAST(1 AS DOUBLE)
+        |      - CAST(SUM(t * (t - 1)) AS DOUBLE)
+        |        / (SUM(t) * (SUM(t) - 1)), 6)
+        |    ELSE 0.0 END AS cross_pair_frac
+        |FROM o GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+    // q186: IR metrics over the exact q26-contract ranked frame with
+    // label-match binary relevance; IDCG via a k x k series self-join
+    "q186_retrieval_eval" ->
+      """WITH v AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS e,
+        |             CAST(label AS BIGINT) AS label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv, label AS q_label
+        |      FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, e AS cv, label AS c_label FROM v),
+        |scored AS (
+        |  SELECT qid, q_label, cid, c_label,
+        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))), 6) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |rk AS (SELECT qid, q_label, c_label,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, cid) AS rk
+        |       FROM scored),
+        |topk AS (SELECT * FROM rk WHERE rk <= 10),
+        |lc AS (SELECT label, COUNT(*) AS n_label FROM v GROUP BY label),
+        |pq AS (SELECT qid, q_label,
+        |         SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS hits,
+        |         MIN(CASE WHEN c_label = q_label THEN rk END) AS frk,
+        |         SUM(CASE WHEN c_label = q_label
+        |             THEN CAST(1 AS DOUBLE) / log2(rk + 1)
+        |             ELSE 0 END) AS dcg
+        |       FROM topk GROUP BY qid, q_label),
+        |idcg AS (SELECT mm.m AS m,
+        |           SUM(CAST(1 AS DOUBLE) / log2(ii.i + 1)) AS idcg
+        |         FROM (SELECT unnest(generate_series(1, 10)) AS m) mm
+        |         JOIN (SELECT unnest(generate_series(1, 10)) AS i) ii
+        |           ON ii.i <= mm.m
+        |         GROUP BY mm.m),
+        |j AS (SELECT pq.qid, pq.hits, pq.frk, pq.dcg,
+        |        CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+        |      FROM pq JOIN lc ON lc.label = pq.q_label)
+        |SELECT j.qid, j.n_rel, CAST(j.hits AS BIGINT) AS hits,
+        |  ROUND(CAST(j.hits AS DOUBLE) / 10, 6) AS precision_k,
+        |  CASE WHEN j.n_rel > 0
+        |    THEN ROUND(CAST(j.hits AS DOUBLE) / j.n_rel, 6)
+        |    ELSE 0.0 END AS recall_k,
+        |  CASE WHEN j.frk IS NOT NULL
+        |    THEN ROUND(CAST(1 AS DOUBLE) / j.frk, 6)
+        |    ELSE 0.0 END AS mrr,
+        |  CASE WHEN idcg.idcg IS NOT NULL
+        |    THEN ROUND(j.dcg / idcg.idcg, 6)
+        |    ELSE 0.0 END AS ndcg_k
+        |FROM j LEFT JOIN idcg ON idcg.m = least(j.n_rel, 10)
+        |ORDER BY j.qid""".stripMargin,
     // q185: the q149 quota chain at budget 1200 (> |corpus| per-stratum
     // — the epoch regime), repeat = quota div n + 1 for the first
     // quota mod n docs in the md5 order

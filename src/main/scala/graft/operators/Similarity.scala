@@ -793,4 +793,72 @@ object Similarity {
     sq8CosineTopK(
       proj.select(col("vec_id"), arr.as("embedding")), queryMaxId, k)
   }
+
+  /** q186 — retrieval-quality evaluation suite: the standard IR/RAG
+    * metrics (hit count, precision@k, recall@k, MRR, NDCG@k) for a
+    * bounded query panel against the full corpus, with the fixture's
+    * `label` column as binary ground-truth relevance (relevant ⇔ same
+    * label, the ANN-benchmark convention). Rides [[cosineTopK]]'s
+    * exact ranked frame unchanged — same rounded-cosine scores, same
+    * deterministic (cos DESC, cid) tiebreak — so the eval and the
+    * retrieval it grades can never disagree about ranking.
+    *
+    * Every metric is computed distributively from that k·|Q| frame:
+    * hits/first-relevant-rank/DCG in one groupBy, relevant-set sizes
+    * from one label-count aggregate (broadcast — label cardinality is
+    * fixed), and the IDCG normalizer from a k×k Range self-join
+    * (no window at all, and nothing driver-side). At 100 TB the eval
+    * panel is bounded by construction (queryMaxId) while the candidate
+    * scan stays one distributed pass — swap [[cosineTopK]] for
+    * [[ivfSq8TopK]] to grade the approximate index with the same
+    * metric frame. NDCG uses binary gains: DCG = Σ rel/log2(rank+1),
+    * IDCG = Σ_{i≤min(n_rel,k)} 1/log2(i+1); ranks and hits are exact
+    * integers, ratios rounded to 6 dp for cross-engine hashing. */
+  def retrievalEval(
+      embeddings: DataFrame, queryMaxId: Long = 10,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val labels = embeddings.select(
+      col("vec_id"), col("label").cast("long").as("label"))
+    // |relevant(q)| = count(label(q)) - 1: the query never counts as
+    // its own candidate (cosineTopK excludes qid = cid)
+    val labelCounts = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+    val perQuery = cosineTopK(embeddings, queryMaxId, k)
+      .join(labels.select(
+        col("vec_id").as("qid"), col("label").as("q_label")), Seq("qid"))
+      .join(labels.select(
+        col("vec_id").as("cid"), col("label").as("c_label")), Seq("cid"))
+      .withColumn("rel",
+        when(col("q_label") === col("c_label"), 1L).otherwise(0L))
+      .groupBy("qid", "q_label")
+      .agg(
+        sum("rel").as("hits"),
+        min(when(col("rel") === 1L, col("rk"))).as("first_rel_rk"),
+        sum(when(col("rel") === 1L,
+          lit(1.0) / log2(col("rk") + 1)).otherwise(lit(0.0))).as("dcg"))
+    // IDCG table for m = 1..k via a Range self-join aggregate — no
+    // unpartitioned window, k² literal-bounded rows
+    val r = spark.range(1, k + 1L).select(col("id"))
+    val idcgTable = r.as("m").join(r.as("i"), col("i.id") <= col("m.id"))
+      .groupBy(col("m.id").as("m"))
+      .agg(sum(lit(1.0) / log2(col("i.id") + 1)).as("idcg"))
+    perQuery
+      .join(broadcast(labelCounts), col("q_label") === col("label"))
+      .withColumn("n_rel", col("n_label") - 1)
+      .join(broadcast(idcgTable),
+        least(col("n_rel"), lit(k.toLong)) === col("m"), "left")
+      .select(
+        col("qid"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("precision_k"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / col("n_rel"), 6))
+          .otherwise(lit(0.0)).as("recall_k"),
+        when(col("first_rel_rk").isNotNull,
+          round(lit(1.0) / col("first_rel_rk"), 6))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(col("idcg").isNotNull, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg_k"))
+      .orderBy("qid")
+  }
 }

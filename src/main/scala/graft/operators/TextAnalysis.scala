@@ -1108,4 +1108,48 @@ object TextAnalysis {
             .otherwise(0L)).as("n_repeats"))
       .orderBy("doc_id")
   }
+
+  /** q187 — per-sequence pack composition: [[sequencePacking]] flipped
+    * from the document axis to the SEQUENCE axis — for every packed
+    * training sequence, how many documents compose it, how many of
+    * them are boundary-split fragments, and the cross-document
+    * attention-contamination fraction (share of within-sequence token
+    * pairs drawn from DIFFERENT documents — the statistic packing
+    * papers use to justify attention-mask resets: with t_d tokens of
+    * doc d in a T-token sequence, cross = 1 − Σ t_d(t_d−1)/(T(T−1))).
+    *
+    * Each doc explodes to its `seqs_spanned` overlap rows (linear in
+    * total tokens / seqLen, never doc × doc), overlaps are pure
+    * integer interval arithmetic off the same global prefix sum, and
+    * one hash-agg per sequence finishes the job — no windows at all.
+    * All columns are exact integers except the rounded fraction. */
+  def packComposition(
+      documents: DataFrame, seqLen: Long = 512L,
+      salt: String = "shard"): DataFrame = {
+    val spans = sequencePacking(documents, seqLen, salt)
+      .withColumn("gstart",
+        col("start_seq") * seqLen + col("seq_offset"))
+      .withColumn("gend", col("gstart") + col("n_tokens"))
+      .withColumn("seq_id",
+        explode(sequence(col("start_seq"), col("end_seq"))))
+      .withColumn("t",
+        least(col("gend"), (col("seq_id") + 1L) * seqLen)
+          - greatest(col("gstart"), col("seq_id") * seqLen))
+    spans.groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("t").as("n_tokens"),
+        sum(when(col("seqs_spanned") > 1, 1L).otherwise(0L))
+          .as("n_split_docs"),
+        sum(col("t") * (col("t") - 1L)).as("__same2"))
+      .withColumn("cross_pair_frac",
+        when(col("n_tokens") > 1,
+          round(lit(1.0) - col("__same2").cast("double")
+            / (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"),
+            6))
+          .otherwise(lit(0.0)))
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("n_split_docs"), col("cross_pair_frac"))
+      .orderBy("seq_id")
+  }
 }

@@ -313,4 +313,72 @@ class SimilaritySpec extends SparkSpec {
     val weird2 = MomentMatrix.Buf(3L, Array.empty, Array.empty)
     assert(agg.merge(agg.reduce(agg.zero, Seq(1f, 2f)), weird2).n == 4)
   }
+
+  test("retrievalEval: every metric matches a driver-side brute-force " +
+    "referee (same rounded-cosine ranking, label-match relevance)") {
+    val k = 10
+    val got = Similarity.retrievalEval(tables.embeddings, 10, k)
+      .collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(got.nonEmpty)
+    val vecs = tables.embeddings
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long](0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2).toLong))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val labelCount = vecs.groupBy(_._3).map { case (l, v) => l -> v.length }
+    for ((qid, qv, qlab) <- vecs if qid < 10) {
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val ranked = vecs.filter(_._1 != qid).map { case (cid, cv, clab) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        val dot = qv.indices.map(i => qv(i) * cv(i)).sum
+        (cid, clab, round6(dot / (qn * cn)))
+      }.sortBy { case (cid, _, cos) => (-cos, cid) }.take(k)
+      val rel = ranked.zipWithIndex
+        .map { case ((_, clab, _), i) => (i + 1, clab == qlab) }
+      val nRel = labelCount(qlab) - 1L
+      val hits = rel.count(_._2).toLong
+      val mrr =
+        rel.find(_._2).map(r => round6(1.0 / r._1)).getOrElse(0.0)
+      val dcg = rel.filter(_._2).map(r => 1.0 / log2(r._1 + 1.0)).sum
+      val m = math.min(nRel, k.toLong).toInt
+      val ndcg = if (m > 0)
+        round6(dcg / (1 to m).map(i => 1.0 / log2(i + 1.0)).sum)
+      else 0.0
+      val row = got(qid)
+      assert(row.getAs[Long]("n_rel") == nRel)
+      assert(row.getAs[Long]("hits") == hits, s"q$qid hits")
+      assert(math.abs(
+        row.getAs[Double]("precision_k") - round6(hits.toDouble / k)) < 5e-7)
+      val recall = if (nRel > 0) round6(hits.toDouble / nRel) else 0.0
+      assert(math.abs(row.getAs[Double]("recall_k") - recall) < 5e-7)
+      assert(math.abs(row.getAs[Double]("mrr") - mrr) < 5e-7, s"q$qid mrr")
+      assert(math.abs(row.getAs[Double]("ndcg_k") - ndcg) < 5e-7,
+        s"q$qid ndcg ${row.getAs[Double]("ndcg_k")} != $ndcg")
+      assert(row.getAs[Double]("ndcg_k") >= 0.0
+        && row.getAs[Double]("ndcg_k") <= 1.0)
+    }
+    // perfect-retrieval fixture: two tight clusters => ndcg/recall = 1
+    val spark2 = tables.embeddings.sparkSession
+    import spark2.implicits._
+    val base = Array.fill(4)(0.0f)
+    def v(i: Int, eps: Float) = {
+      val a = base.clone(); a(i % 4) = 1.0f; a((i + 1) % 4) = eps; a.toSeq
+    }
+    val tiny = (0L until 8L).map(i =>
+      (i, v((i % 2).toInt, 0.01f * (i / 2 + 1)), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+    val perfect = Similarity.retrievalEval(tiny, 2, 3).collect()
+    perfect.foreach { r =>
+      assert(r.getAs[Double]("ndcg_k") == 1.0
+        && r.getAs[Double]("recall_k") == 1.0
+        && r.getAs[Double]("mrr") == 1.0, r.toString)
+    }
+  }
 }

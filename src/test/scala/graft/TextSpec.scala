@@ -539,4 +539,54 @@ class TextSpec extends SparkSpec {
     // the epoch regime is actually exercised: some doc repeats > 1
     assert(rows.exists(_.getAs[Long]("n_repeats") > 1))
   }
+
+  test("packComposition: sequence axis agrees with a driver-side " +
+    "replay of the packing frame — coverage, counts, and the " +
+    "cross-document pair fraction") {
+    val L = 512L
+    val packed = TextAnalysis.sequencePacking(tables.documents, L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq"),
+        r.getAs[Long]("seq_offset")))
+    val comp = TextAnalysis.packComposition(tables.documents, L)
+      .collect()
+    assert(comp.nonEmpty)
+    // referee: per-sequence overlap tokens recomputed from the doc frame
+    val overlaps = packed.flatMap { case (_, n, s0, e, off) =>
+      val gs = s0 * L + off
+      (s0 to e).map { s =>
+        val t = math.min(gs + n, (s + 1) * L) - math.max(gs, s * L)
+        (s, t, e > s0)
+      }
+    }.groupBy(_._1)
+    val total = packed.map(_._2).sum
+    assert(comp.map(_.getAs[Long]("n_tokens")).sum == total)
+    // seq ids are contiguous 0..nSeqs-1 and every non-final is full
+    val ids = comp.map(_.getAs[Long]("seq_id")).sorted
+    assert(ids.head == 0 && ids.last == ids.length - 1)
+    comp.foreach { r =>
+      val (s, nd, nt, ns, frac) = (r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_split_docs"), r.getAs[Double]("cross_pair_frac"))
+      if (s < ids.last) assert(nt == L, s"non-final seq $s has $nt tokens")
+      val ov = overlaps(s)
+      assert(nd == ov.length && nt == ov.map(_._2).sum)
+      assert(ns == ov.count(_._3))
+      val same = ov.map(o => o._2 * (o._2 - 1)).sum
+      val expect =
+        if (nt > 1) 1.0 - same.toDouble / (nt * (nt - 1)) else 0.0
+      assert(math.abs(frac - expect) < 1e-6, s"seq $s frac $frac != $expect")
+      // single-doc sequences are pure; multi-doc ones must mix
+      if (nd == 1) assert(frac == 0.0) else assert(frac > 0.0)
+    }
+    // a crafted mega-doc: its interior sequences are single-doc pure
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    val mega = Seq((0L, ("tok " * 2000).trim), (1L, "a b c"))
+      .toDF("doc_id", "text")
+    val mc = TextAnalysis.packComposition(mega, L).collect()
+    assert(mc.count(r => r.getAs[Long]("n_docs") == 1
+      && r.getAs[Double]("cross_pair_frac") == 0.0) >= 2)
+  }
 }
