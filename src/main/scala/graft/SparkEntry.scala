@@ -302,6 +302,12 @@ object SparkEntry {
       q(t => Similarity.retrievalEval(t.embeddings)),
     "q187_pack_composition" ->
       q(t => TextAnalysis.packComposition(t.documents)),
+    // q188/q189: token-budget quality curation, and RRF hybrid fusion
+    // of the exact and SQ8 rankings
+    "q188_quality_budget" ->
+      q(t => TextAnalysis.qualityBudgetCuration(t.documents)),
+    "q189_rrf_fusion" ->
+      q(t => Similarity.rrfFusion(t.embeddings)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -493,6 +499,44 @@ object SparkEntry {
       |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM base)""".stripMargin
+
+  /** Shared q26/q189 CTE prefix: exact rounded-cosine pair scores for
+    * the bounded query panel (one def so the ranked-frame gates cannot
+    * desynchronize). */
+  private def cosinePairCtes: String =
+    """v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, e AS cv FROM v),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+      |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+      |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))), 6) AS cos
+      |  FROM q JOIN c ON qid <> cid)""".stripMargin
+
+  /** Shared q162/q189 CTE prefix: the SQ8 integer-exact quantized pair
+    * scores (same desync rationale). */
+  private def sq8PairCtes: String =
+    """s AS (
+      |  SELECT vec_id,
+      |    GREATEST(list_max([abs(x::DOUBLE) for x in embedding]),
+      |      1e-12) / 127.0 AS sc
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT e.vec_id,
+      |    [CAST(floor(x::DOUBLE / s.sc + 0.5) AS BIGINT)
+      |     for x in e.embedding] AS qc
+      |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id),
+      |base AS (
+      |  SELECT vec_id, qc, list_sum([c*c for c in qc]) AS d2
+      |  FROM codes WHERE list_sum([c*c for c in qc]) > 0),
+      |sq8pairs AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ROUND(list_sum([q.qc[i] * c.qc[i]
+      |        for i in range(1, len(q.qc)+1)])::DOUBLE /
+      |      (sqrt(q.d2::DOUBLE) * sqrt(c.d2::DOUBLE)), 6) AS cos_q
+      |  FROM base q JOIN base c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)""".stripMargin
 
   private def componentsOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -956,21 +1000,13 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q26_cosine_topk" ->
-      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid, e AS cv FROM v),
-        |scored AS (
-        |  SELECT qid, cid,
-        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
-        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
-        |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))), 6) AS cos
-        |  FROM q JOIN c ON qid <> cid),
-        |rk AS (SELECT qid, cid, cos,
+      ("WITH " + cosinePairCtes + ",\n" +
+      """rk AS (SELECT qid, cid, cos,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
         |       FROM scored)
         |SELECT qid, cid, cos, CAST(rk AS BIGINT) AS rk
         |FROM rk WHERE rk <= 5
-        |ORDER BY qid, rk""".stripMargin,
+        |ORDER BY qid, rk""".stripMargin),
     "q33_corpus_filter" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,
@@ -2412,30 +2448,11 @@ object SparkEntry {
     // (bit-identical across engines); floor(x+0.5) is the one rounding
     // rule both engines share on negative halves.
     "q162_sq8_ann" ->
-      """WITH s AS (
-        |  SELECT vec_id,
-        |    GREATEST(list_max([abs(x::DOUBLE) for x in embedding]),
-        |      1e-12) / 127.0 AS sc
-        |  FROM embeddings),
-        |codes AS (
-        |  SELECT e.vec_id,
-        |    [CAST(floor(x::DOUBLE / s.sc + 0.5) AS BIGINT)
-        |     for x in e.embedding] AS qc
-        |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id),
-        |base AS (
-        |  SELECT vec_id, qc, list_sum([c*c for c in qc]) AS d2
-        |  FROM codes WHERE list_sum([c*c for c in qc]) > 0),
-        |pairs AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    ROUND(list_sum([q.qc[i] * c.qc[i]
-        |        for i in range(1, len(q.qc)+1)])::DOUBLE /
-        |      (sqrt(q.d2::DOUBLE) * sqrt(c.d2::DOUBLE)), 6) AS cos_q
-        |  FROM base q JOIN base c
-        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT qid, cid, cos_q,
+      ("WITH " + sq8PairCtes + "\n" +
+      """SELECT qid, cid, cos_q,
         |  ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cos_q DESC, cid) AS rk
-        |FROM pairs QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |FROM sq8pairs QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin),
     // q163: stage rules are byte-identical to q69's oracle (dedup
     // keep-first window, per-lang quantile_disc(0.5) gate, md5-nibble
     // split); the funnel only adds the counts.

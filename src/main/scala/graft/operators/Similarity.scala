@@ -794,6 +794,42 @@ object Similarity {
       proj.select(col("vec_id"), arr.as("embedding")), queryMaxId, k)
   }
 
+  /** q189 — reciprocal-rank-fusion hybrid retrieval: the standard way
+    * modern search stacks combine heterogeneous rankers (dense +
+    * quantized here; dense + BM25 in a text stack) without score
+    * calibration — RRF(d) = Σ_r 1/(K + rank_r(d)) over the rankings
+    * that surface d, K = 60 (Cormack et al.'s constant). Fuses the
+    * EXACT cosine ranking with the SQ8 quantized ranking, both taken
+    * to `depth`, via one full-outer join on (qid, cid) — per-query
+    * frames are ≤ 2·depth rows after the join, so the fusion window
+    * is bounded by construction no matter the corpus size; the
+    * upstream rankers carry the scale posture. Ranks are exact
+    * integers (absent-from-a-list reported as 0), the fused score is
+    * rounded to 6 dp BEFORE ranking so tie resolution (cid asc) is
+    * engine-portable. */
+  def rrfFusion(
+      embeddings: DataFrame, queryMaxId: Long = 10, depth: Int = 20,
+      k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val a = cosineTopK(embeddings, queryMaxId, depth)
+      .select(col("qid"), col("cid"), col("rk").as("rk_exact"))
+    val b = sq8CosineTopK(embeddings, queryMaxId, depth)
+      .select(col("qid"), col("cid"), col("rk").as("rk_sq8"))
+    val fused = a.join(b, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rk_exact")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf) + col("rk_sq8")), lit(0.0)),
+        6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("cid").asc)
+    fused.withColumn("frk", row_number().over(w))
+      .filter(col("frk") <= k)
+      .select(col("qid"), col("cid"), col("rrf"),
+        coalesce(col("rk_exact"), lit(0L)).as("rk_exact"),
+        coalesce(col("rk_sq8"), lit(0L)).as("rk_sq8"),
+        col("frk").cast("long").as("frk"))
+      .orderBy("qid", "frk")
+  }
+
   /** q186 — retrieval-quality evaluation suite: the standard IR/RAG
     * metrics (hit count, precision@k, recall@k, MRR, NDCG@k) for a
     * bounded query panel against the full corpus, with the fixture's

@@ -1109,6 +1109,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q188 — token-budget quality curation: the greedy "best docs until
+    * the budget is spent" selection every data-constrained training
+    * run makes (quality-annealed curation): rank the corpus by an
+    * integer quality score (mean chars-per-token ×1000, clamped below
+    * 2^20 so the composite sort key stays double-exact) descending
+    * with the deterministic md5 shuffle breaking ties, keep documents
+    * while the running token sum fits `budgetNum/budgetDen` of the
+    * corpus total, and split the kept prefix into `phases` equal-token
+    * curriculum phases (phase 1 = highest quality — the annealing
+    * schedule reads off this column).
+    *
+    * The running sum is [[GlobalRank.cumSum]] over the single
+    * composite key (score desc, hash asc) — no unpartitioned window,
+    * no driver-side greedy loop; kept/phase are pure integer
+    * functions of (cum, budget) via SQL `div`, exact at any corpus
+    * size (no float division anywhere). Greedy maximality and the
+    * min-kept ≥ max-dropped score invariant are spec-pinned. */
+  def qualityBudgetCuration(
+      documents: DataFrame, budgetNum: Long = 2L, budgetDen: Long = 5L,
+      phases: Int = 3, salt: String = "curate"): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && phases > 0)
+    val bound = 1048575L // 2^20 - 1: (bound+1) * 2^32 < 2^53
+    val h = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val base = documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars").cast("long").as("n_chars"),
+        h.as("hkey"))
+      .withColumn("score",
+        least(expr("n_chars * 1000 div n_tokens"), lit(bound)))
+    val ord = (lit(bound + 1L) - col("score")) * lit(4294967296L)
+      + col("hkey")
+    val withCum = GlobalRank.cumSum(
+      base, ord, col("doc_id"), col("n_tokens"), "cum_tokens")
+    val total = base.agg(sum(col("n_tokens")).as("__total"))
+    withCum
+      .crossJoin(broadcast(total))
+      .withColumn("__budget",
+        expr(s"__total * $budgetNum div $budgetDen"))
+      .withColumn("kept",
+        when(col("cum_tokens") <= col("__budget"), 1L).otherwise(0L))
+      .withColumn("phase",
+        when(col("kept") === 1L,
+          expr(s"(cum_tokens - 1) * $phases div __budget") + 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("cum_tokens"), col("kept"), col("phase"))
+      .orderBy("doc_id")
+  }
+
   /** q187 — per-sequence pack composition: [[sequencePacking]] flipped
     * from the document axis to the SEQUENCE axis — for every packed
     * training sequence, how many documents compose it, how many of
