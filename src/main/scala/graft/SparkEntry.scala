@@ -134,12 +134,17 @@ object SparkEntry {
     // SketchSpec pins its error bounds
     "q167_kll_quantiles" -> q(t => Sketches.q167(t)),
     // q168/q175: theta sketches run in EXACT mode on the fixture
-    // (|users|=150 < nomEntries=4096 ⇒ θ=1, estimates are exact
-    // integers), so both carry full hash oracles — the q79/q88
-    // bodies re-expressed on the estimate columns. SketchSpec keeps
-    // the sampling-mode error-bound gates for the >nomEntries regime.
-    "q168_theta_overlap" -> q(t => Sketches.q168(t)),
-    "q175_theta_retention" -> q(t => Sketches.q175(t)),
+    // (θ=1 while |users| < nomEntries, estimates are exact integers),
+    // so both carry full hash oracles — the q79/q88 bodies
+    // re-expressed on the estimate columns. nomEntries=65536 here so
+    // exact mode survives EVERY parity fixture (sf0.01 150 users,
+    // sf0.1 1.5k, sf1 15k — the sf1 sweep would otherwise see
+    // sampled non-integers); SketchSpec keeps the sampling-mode
+    // error-bound gates for the >nomEntries regime at the default
+    // 4096.
+    "q168_theta_overlap" -> q(t => Sketches.q168(t, nomEntries = 65536)),
+    "q175_theta_retention" ->
+      q(t => Sketches.q175(t, nomEntries = 65536)),
     "q105_length_batching" ->
       q(t => TextAnalysis.lengthBatching(t.documents)),
     "q106_data_mixture" -> q(t => TextAnalysis.dataMixture(t.documents)),
@@ -308,6 +313,15 @@ object SparkEntry {
       q(t => TextAnalysis.qualityBudgetCuration(t.documents)),
     "q189_rrf_fusion" ->
       q(t => Similarity.rrfFusion(t.embeddings)),
+    // q190/q191/q192: hard-negative mining off the exact ranked frame,
+    // the per-stratum corpus datasheet, and the source-pair shingle
+    // containment matrix
+    "q190_hard_negatives" ->
+      q(t => Similarity.hardNegatives(t.embeddings)),
+    "q191_corpus_datasheet" ->
+      q(t => TextAnalysis.corpusDatasheet(t.documents)),
+    "q192_corpus_containment" ->
+      q(t => Dedup.corpusContainment(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -888,6 +902,155 @@ object SparkEntry {
         |    ELSE 0.0 END AS ndcg_k
         |FROM j LEFT JOIN idcg ON idcg.m = least(j.n_rel, 10)
         |ORDER BY j.qid""".stripMargin,
+    // q188: greedy token-budget curation replayed as a cumulative sum
+    // over the exact composite order (score desc via the 2^32-scaled
+    // long, md5 tiebreak); kept/phase are pure integer div functions
+    // of (cum, budget)
+    "q188_quality_budget" ->
+      """WITH b0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':curate'), 1, 8)) AS BIGINT)
+        |      AS hkey
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, hkey,
+        |    LEAST(n_chars * 1000 // n_tokens, 1048575) AS score
+        |  FROM b0),
+        |c AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    SUM(n_tokens) OVER (
+        |      ORDER BY (1048576 - score) * 4294967296 + hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM sc),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM b0),
+        |j AS (SELECT c.*, CAST(t.total * 2 // 5 AS BIGINT) AS budget
+        |      FROM c, t)
+        |SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept,
+        |  CAST(CASE WHEN cum_tokens <= budget
+        |    THEN (cum_tokens - 1) * 3 // budget + 1 ELSE 0 END
+        |    AS BIGINT) AS phase
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // q189: RRF fusion of the q26-contract exact ranking and the
+    // q162-contract SQ8 ranking, both to depth 20 — the two shared
+    // CTE prefixes guarantee the fused oracle and the standalone
+    // ranking oracles can never disagree about either input ranking
+    "q189_rrf_fusion" ->
+      ("WITH " + cosinePairCtes + ",\n" + sq8PairCtes + ",\n" +
+      """rke AS (SELECT qid, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY qid
+        |            ORDER BY cos DESC, cid) AS rk
+        |        FROM scored),
+        |e AS (SELECT qid, cid, rk FROM rke WHERE rk <= 20),
+        |rks AS (SELECT qid, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY qid
+        |            ORDER BY cos_q DESC, cid) AS rk
+        |        FROM sq8pairs),
+        |s2 AS (SELECT qid, cid, rk FROM rks WHERE rk <= 20),
+        |f AS (SELECT COALESCE(e.qid, s2.qid) AS qid,
+        |        COALESCE(e.cid, s2.cid) AS cid,
+        |        e.rk AS rk_e, s2.rk AS rk_s
+        |      FROM e FULL JOIN s2 ON e.qid = s2.qid AND e.cid = s2.cid),
+        |g AS (SELECT qid, cid,
+        |        ROUND(COALESCE(1.0 / (60 + rk_e), 0)
+        |          + COALESCE(1.0 / (60 + rk_s), 0), 6) AS rrf,
+        |        CAST(COALESCE(rk_e, 0) AS BIGINT) AS rk_exact,
+        |        CAST(COALESCE(rk_s, 0) AS BIGINT) AS rk_sq8
+        |      FROM f)
+        |SELECT qid, cid, rrf, rk_exact, rk_sq8,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, cid) AS BIGINT) AS frk
+        |FROM g QUALIFY frk <= 10 ORDER BY qid, frk""".stripMargin),
+    // q190: the q186-contract label-scored frame split into the
+    // negative ranking and the per-query best positive
+    "q190_hard_negatives" ->
+      """WITH v AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS e,
+        |             CAST(label AS BIGINT) AS label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv, label AS q_label
+        |      FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, e AS cv, label AS c_label FROM v),
+        |scored AS (
+        |  SELECT qid, q_label, cid, c_label,
+        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))), 6) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |bp AS (SELECT qid, MAX(cos) AS bp FROM scored
+        |       WHERE c_label = q_label GROUP BY qid),
+        |neg AS (SELECT qid, cid, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY qid
+        |            ORDER BY cos DESC, cid) AS rk
+        |        FROM scored WHERE c_label <> q_label)
+        |SELECT n.qid, n.cid, n.cos, CAST(n.rk AS BIGINT) AS neg_rank,
+        |  COALESCE(bp.bp, -1.0) AS best_pos_cos,
+        |  ROUND(COALESCE(bp.bp, -1.0) - n.cos, 6) AS margin
+        |FROM neg n LEFT JOIN bp ON bp.qid = n.qid
+        |WHERE n.rk <= 10
+        |ORDER BY n.qid, n.rk""".stripMargin,
+    // q191: the one-pass dataset card — doc-keyed aggregate + the
+    // distinct (stratum, token) vocabulary aggregate
+    "q191_corpus_datasheet" ->
+      """WITH base AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    string_split(text, ' ') AS toks, md5(text) AS tkey
+        |  FROM documents),
+        |d AS (
+        |  SELECT lang, source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT tkey) AS BIGINT) AS n_distinct_texts,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(CASE WHEN len(toks) < 40 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_short
+        |  FROM base GROUP BY lang, source),
+        |vv AS (SELECT DISTINCT lang, source, tok FROM (
+        |         SELECT lang, source, unnest(toks) AS tok FROM base)),
+        |v2 AS (SELECT lang, source,
+        |         CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+        |       FROM vv GROUP BY lang, source)
+        |SELECT d.lang, d.source, d.n_docs,
+        |  d.n_docs - d.n_distinct_texts AS n_dup_docs,
+        |  d.total_tokens, d.total_chars, d.n_short, v2.distinct_tokens,
+        |  ROUND(CAST(d.total_chars AS DOUBLE) / d.total_tokens, 4)
+        |    AS chars_per_token,
+        |  ROUND(CAST(v2.distinct_tokens AS DOUBLE) / d.total_tokens, 6)
+        |    AS type_token_ratio
+        |FROM d JOIN v2 ON d.lang = v2.lang AND d.source = v2.source
+        |ORDER BY d.lang, d.source""".stripMargin,
+    // q192: distinct (source, shingle) frame self-joined on the
+    // shingle STRING (the engine joins 8-byte xxhash64 fingerprints —
+    // a collision would surface as a hash mismatch here)
+    "q192_corpus_containment" ->
+      s"""WITH toks AS (SELECT source, string_split(text,' ') AS t
+         |              FROM documents),
+         |g AS (SELECT DISTINCT source, shingle FROM (
+         |        SELECT source, unnest($duckShingles) AS shingle
+         |        FROM toks)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |       FROM g GROUP BY source),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_inter
+         |      FROM g a JOIN g b
+         |        ON a.shingle = b.shingle AND a.source <> b.source
+         |      GROUP BY 1, 2),
+         |d AS (SELECT x.source AS source_a, x.n_grams AS n_a,
+         |             y.source AS source_b
+         |      FROM sz x JOIN sz y ON x.source <> y.source)
+         |SELECT d.source_a, d.source_b,
+         |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter, d.n_a,
+         |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / d.n_a, 6)
+         |    AS containment
+         |FROM d LEFT JOIN i
+         |  ON i.source_a = d.source_a AND i.source_b = d.source_b
+         |ORDER BY d.source_a, d.source_b""".stripMargin,
     // q185: the q149 quota chain at budget 1200 (> |corpus| per-stratum
     // — the epoch regime), repeat = quota div n + 1 for the first
     // quota mod n docs in the md5 order

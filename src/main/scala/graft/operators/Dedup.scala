@@ -1062,4 +1062,50 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(desc("n_occ"), col("chunk_md5"))
       .limit(100)
+
+  /** q192 — corpus-pair containment matrix: for every ordered pair of
+    * sources, what fraction of source A's distinct `n`-gram shingles
+    * also occurs in source B — the corpus-level "how much of dataset A
+    * is already inside dataset B" audit run before mixing crawls
+    * (directional: containment(A→B) ≠ containment(B→A); both rows are
+    * emitted). The document-level twins are [[decontaminationPairs]]
+    * (vs an external benchmark) and [[crossSplitContamination]] (vs a
+    * split boundary); this is the dataset-acquisition view.
+    *
+    * Shape: one shingle explode reduced to the DISTINCT (source,
+    * fingerprint) frame — 8-byte xxhash64 keys, the q129 discipline —
+    * then ONE self equi-join on the fingerprint aggregated to the
+    * |sources|² intersection counts, completed against the broadcast
+    * |sources|×|sources| dimension cross so zero-overlap pairs still
+    * appear. Linear in corpus shingle volume, never doc×doc; the only
+    * non-equi join is over the bounded source list. Counts are exact
+    * integers (the oracle joins on the shingle STRING — hash
+    * collisions would surface as a hash mismatch, none exist on the
+    * fixtures), ratios rounded to 6 dp. */
+  def corpusContainment(documents: DataFrame, n: Int = 3): DataFrame = {
+    val fp = documents
+      .select(col("source"), array_distinct(shingles(col("text"), n))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("source"), explode(transform(col("sh"),
+        s => xxhash64(s))).as("g"))
+      .distinct()
+    val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val inter = fp.as("a")
+      .join(fp.as("b"), col("a.g") === col("b.g")
+        && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val dims = sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"))),
+        col("source_a") =!= col("source_b"))
+    dims.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_a"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / col("n_a"), 6).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
 }

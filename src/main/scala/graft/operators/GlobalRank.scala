@@ -117,7 +117,10 @@ object GlobalRank {
     * (group, bucket), and offsets accumulate only over earlier
     * buckets OF THE SAME GROUP. Several value columns share one
     * bucketing/window pass (q178 needs cum1 and cum2). Null/NaN key
-    * routing and the min==max degenerate bucket follow cumSum. */
+    * routing and the min==max degenerate bucket follow cumSum; a NULL
+    * `part` key is kept as its own group (all group joins are
+    * null-safe `<=>`), matching the `Window.partitionBy` semantics
+    * this replaces. */
   def cumSumBy(
       df: DataFrame,
       part: Seq[String],
@@ -131,10 +134,21 @@ object GlobalRank {
     val keyed = df.withColumn("__gr_k", key.cast("double"))
       .localCheckpoint(true)
     val finite = when(!isnan(col("__gr_k")), col("__gr_k"))
+    // Every group-key join below is NULL-SAFE (<=>): the window this
+    // operator replaces keeps a NULL partition group, so plain
+    // equi-joins would silently drop those rows — the exact "no
+    // silent row drops" promise cumSum makes for the sort key,
+    // extended to the partition key.
     val fences = keyed.groupBy(part.map(col): _*).agg(
       min(finite).as("__gr_min"), max(finite).as("__gr_max"))
+    val fencesR = fences.select(
+      part.map(c => col(c).as(s"__gr_f_$c")) ++
+        Seq(col("__gr_min"), col("__gr_max")): _*)
+    val fenceCond = part.map(c => col(c) <=> col(s"__gr_f_$c"))
+      .reduce(_ && _)
     val bucketed = keyed
-      .join(broadcast(fences), part)
+      .join(broadcast(fencesR), fenceCond)
+      .drop(part.map(c => s"__gr_f_$c"): _*)
       .withColumn("__gr_b",
         when(col("__gr_k").isNull, lit(0L))
           .when(isnan(col("__gr_k")), lit(buckets.toLong + 2L))
@@ -151,7 +165,7 @@ object GlobalRank {
       part.map(c => col(c).as(s"__gr_p_$c")) ++
         (col("__gr_b").as("__gr_pb") +:
           values.indices.map(i => col(s"__gr_t$i").as(s"__gr_pt$i"))): _*)
-    val sameGroup = part.map(c => col(s"__gr_p_$c") === col(c))
+    val sameGroup = part.map(c => col(s"__gr_p_$c") <=> col(c))
       .reduce(_ && _)
     val offsets = hist
       .join(broadcast(prev), sameGroup && col("__gr_pb") < col("__gr_b"),
@@ -171,8 +185,14 @@ object GlobalRank {
     val outCols = values.zipWithIndex.map { case ((_, o), i) =>
       (col(s"__gr_off$i") + col(s"__gr_loc$i")).as(o)
     }
+    val offsetsR = offsets.select(
+      part.map(c => col(c).as(s"__gr_o_$c")) ++
+        (col("__gr_b").as("__gr_ob") +:
+          values.indices.map(i => col(s"__gr_off$i"))): _*)
+    val offCond = part.map(c => col(c) <=> col(s"__gr_o_$c"))
+      .reduce(_ && _) && col("__gr_b") === col("__gr_ob")
     withLoc
-      .join(broadcast(offsets), part :+ "__gr_b")
+      .join(broadcast(offsetsR), offCond)
       .select(cols.map(col) ++ outCols: _*)
   }
 

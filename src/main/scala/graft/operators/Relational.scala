@@ -2371,7 +2371,8 @@ object Relational {
       .agg(max("dnum").as("ks_dec"))
       .select(col("event_type"), col("n1"), col("n2"),
         col("ks_dec").cast("long").as("ks_num"),
-        when(col("n1") * col("n2") === 0L, lit(null).cast("double"))
+        when(col("n1") === 0L || col("n2") === 0L,
+          lit(null).cast("double"))
           .otherwise(round(col("ks_dec").cast("double") /
             (dec("n1") * dec("n2")).cast("double"), 6)).as("ks"))
       .orderBy("event_type")

@@ -830,6 +830,56 @@ object Similarity {
       .orderBy("qid", "frk")
   }
 
+  /** q190 — hard-negative mining: the training-data step behind every
+    * contrastive retriever/reranker (DPR/SBERT-style): for each query
+    * in the bounded panel, the `k` highest-cosine candidates whose
+    * label DIFFERS from the query's (label = ground-truth relevance,
+    * the q186 convention) — the negatives a bi-encoder most needs to
+    * see — each with its negative rank, cosine, the query's best
+    * POSITIVE cosine, and the margin (best positive − negative;
+    * negative margin ⇒ the ranker currently prefers a wrong answer —
+    * the "hardest" class).
+    *
+    * Shape: one broadcast of the bounded query panel against the
+    * candidate scan (the [[cosineTopK]] posture), ONE extra aggregate
+    * for the per-query best positive (|Q| rows, broadcast back), and
+    * the per-query negative rank over the same bounded-panel window.
+    * Scores are rounded to 6 dp BEFORE ranking and the margin is a
+    * difference of two rounded values re-rounded — deterministic,
+    * hence the full hash oracle. Queries with no positive at all
+    * report best_pos_cos = −1 (worse than any cosine, so margins
+    * stay well-defined). */
+  def hardNegatives(
+      embeddings: DataFrame, queryMaxId: Long = 10,
+      k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"),
+        col("label").cast("long").as("q_label"))
+      .withColumn("qn", norm(col("qv")))
+    val c = embeddings
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"),
+        col("label").cast("long").as("c_label"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val bestPos = scored.filter(col("c_label") === col("q_label"))
+      .groupBy("qid").agg(max("cos").as("bp"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.filter(col("c_label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(broadcast(bestPos), Seq("qid"), "left")
+      .withColumn("best_pos_cos", coalesce(col("bp"), lit(-1.0)))
+      .select(col("qid"), col("cid"), col("cos"),
+        col("rk").cast("long").as("neg_rank"),
+        col("best_pos_cos"),
+        round(col("best_pos_cos") - col("cos"), 6).as("margin"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** q186 — retrieval-quality evaluation suite: the standard IR/RAG
     * metrics (hit count, precision@k, recall@k, MRR, NDCG@k) for a
     * bounded query panel against the full corpus, with the fixture's

@@ -1124,8 +1124,10 @@ object TextAnalysis {
     * composite key (score desc, hash asc) — no unpartitioned window,
     * no driver-side greedy loop; kept/phase are pure integer
     * functions of (cum, budget) via SQL `div`, exact at any corpus
-    * size (no float division anywhere). Greedy maximality and the
-    * min-kept ≥ max-dropped score invariant are spec-pinned. */
+    * size (no float division anywhere) — hence the full hash oracle
+    * (q188). Greedy maximality, the min-kept ≥ max-dropped score
+    * invariant, and the equal-token phase split are pinned in
+    * TextSpec. */
   def qualityBudgetCuration(
       documents: DataFrame, budgetNum: Long = 2L, budgetDen: Long = 5L,
       phases: Int = 3, salt: String = "curate"): DataFrame = {
@@ -1140,8 +1142,8 @@ object TextAnalysis {
         h.as("hkey"))
       .withColumn("score",
         least(expr("n_chars * 1000 div n_tokens"), lit(bound)))
-    val ord = (lit(bound + 1L) - col("score")) * lit(4294967296L)
-      + col("hkey")
+    val ord = (lit(bound + 1L) - col("score")) * lit(4294967296L) +
+      col("hkey")
     val withCum = GlobalRank.cumSum(
       base, ord, col("doc_id"), col("n_tokens"), "cum_tokens")
     val total = base.agg(sum(col("n_tokens")).as("__total"))
@@ -1202,5 +1204,46 @@ object TextAnalysis {
       .select(col("seq_id"), col("n_docs"), col("n_tokens"),
         col("n_split_docs"), col("cross_pair_frac"))
       .orderBy("seq_id")
+  }
+
+  /** q191 — the corpus DATASHEET: the per-(lang, source) summary table
+    * every dataset card / "Datasheets for Datasets" release publishes,
+    * computed in one pass over the corpus — doc and exact-duplicate
+    * counts (md5(text) groups within the stratum), token/char volume,
+    * short-doc count (the q177 gate's < 40-token class), distinct
+    * vocabulary size, and the derived chars-per-token and type-token
+    * ratios. Two hash aggregates — one doc-keyed, one on the exploded
+    * (stratum, token) frame reduced to distinct before counting — and
+    * a broadcast join of the |strata|-row results; nothing is
+    * windowed, nothing driver-side, every column is an exact integer
+    * or a rounded ratio of exact integers (full hash oracle). At
+    * 100 TB this is the cheap always-on companion to the monitor
+    * suite: token-keyed shuffles, ~|vocab| + |strata| state. */
+  def corpusDatasheet(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("lang"), col("source"),
+      col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+      split(col("text"), " ").as("toks"), md5(col("text")).as("tkey"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val docAgg = base.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("tkey")).as("n_distinct_texts"),
+      sum("n_tokens").as("total_tokens"),
+      sum("n_chars").as("total_chars"),
+      sum(when(col("n_tokens") < 40, 1L).otherwise(0L)).as("n_short"))
+    val vocabAgg = base
+      .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+      .distinct()
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("distinct_tokens"))
+    docAgg.join(broadcast(vocabAgg), Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+        col("total_tokens"), col("total_chars"), col("n_short"),
+        col("distinct_tokens"),
+        round(col("total_chars").cast("double") / col("total_tokens"), 4)
+          .as("chars_per_token"),
+        round(col("distinct_tokens").cast("double") / col("total_tokens"),
+          6).as("type_token_ratio"))
+      .orderBy("lang", "source")
   }
 }

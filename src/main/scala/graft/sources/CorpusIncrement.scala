@@ -358,23 +358,64 @@ object CorpusIncrement {
     s"$root/bpe/v_$version"
   private def shardsDir(root: String, version: Long) =
     s"$root/shards/v_$version"
-  private def committed(dir: String) =
-    new java.io.File(dir, "_SUCCESS").exists()
+
+  // The version-keyed artifacts (bpe/v_<v>, shards/v_<v>) are also
+  // PARAMETER-keyed: a `_PARAMS` line written tmp+rename AFTER the
+  // parquet data is the commit marker (parquet's _SUCCESS alone is
+  // not enough — a re-call at the same kept-ledger version with a
+  // different budget/nShards/numMerges/salt must not silently read
+  // back the artifact built with the OLD parameters). Read-back with
+  // mismatched params REFUSES loudly (the ledgers' refuse-don't-guess
+  // convention); a crash between the parquet commit and the params
+  // rename leaves the artifact uncommitted, so the replay rebuilds
+  // byte-identically — same ordered-commit recovery as everywhere
+  // else in this file.
+  private def paramsFile(dir: String) = new java.io.File(dir, "_PARAMS")
+  private def commitParams(dir: String, params: String): Unit = {
+    val tmp = new java.io.File(dir, "._PARAMS.tmp")
+    java.nio.file.Files.write(tmp.toPath, params.getBytes("UTF-8"))
+    java.nio.file.Files.move(
+      tmp.toPath, paramsFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  /** True iff `dir` holds an artifact committed with exactly `params`;
+    * false if uncommitted; refuses loudly on a params mismatch. */
+  private def committedWith(dir: String, params: String): Boolean = {
+    val f = paramsFile(dir)
+    if (!f.exists()) false
+    else {
+      val got = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      require(got == params,
+        s"artifact at $dir was committed with [$got] but re-called " +
+          s"with [$params] — refusing to return a mismatched artifact " +
+          "(use a fresh root, or re-call with the committed parameters)")
+      true
+    }
+  }
 
   /** BPE merges for root-manifest version `v` — trained ONCE per
-    * corpus version on `trainText` and committed under `bpe/v_<v>`
-    * (parquet write's _SUCCESS is the commit marker; a crash mid-write
-    * leaves no marker and the replay retrains byte-identically from
-    * the same committed selection). Later calls at the same version
-    * read the committed table and never touch text. */
+    * (corpus version, numMerges, selection) on `trainText` and
+    * committed under `bpe/v_<v>` with a `_PARAMS` marker (a crash
+    * mid-write leaves no marker and the replay retrains
+    * byte-identically from the same committed selection; a re-call
+    * with different numMerges/selection refuses loudly). Later calls
+    * at the same version+params read the committed table and never
+    * touch text. `selectionTag` names how `trainText` was selected —
+    * callers that vary the selection at a fixed version must vary the
+    * tag. */
   def committedMerges(
       spark: SparkSession, root: String, trainText: => DataFrame,
-      version: Long, numMerges: Int = 40): Seq[graft.operators.Bpe.Merge] = {
+      version: Long, numMerges: Int = 40,
+      selectionTag: String = ""): Seq[graft.operators.Bpe.Merge] = {
     val dir = bpeDir(root, version)
-    if (!committed(dir)) {
+    val params = s"numMerges=$numMerges;selection=$selectionTag"
+    if (!committedWith(dir, params)) {
       val m = graft.operators.Bpe.train(trainText, numMerges)
       import spark.implicits._
       m.toDF.write.mode("overwrite").parquet(dir)
+      commitParams(dir, params)
     }
     spark.read.parquet(dir).collect()
       .map(r => graft.operators.Bpe.Merge(
@@ -389,12 +430,15 @@ object CorpusIncrement {
     * [[TextAnalysis.shuffleShards]] token-balanced contiguous shards
     * over the md5 shuffle order → [[graft.operators.Bpe]] encode
     * accounting under the version's COMMITTED merges — emitted as
-    * `shards/v_<version>` with the parquet _SUCCESS commit marker, so
-    * a re-call at the same corpus version is a pure read-back (no
-    * corpus text touched; CorpusIncrementSpec deletes the text source
-    * and re-reads). One artifact per kept-ledger version keeps the
-    * time-travel story: the shards a trainer consumed are exactly
-    * reproducible from the version that produced them.
+    * `shards/v_<version>` with a `_PARAMS` commit marker recording
+    * (nShards, budget, numMerges, salt), so a re-call at the same
+    * corpus version AND parameters is a pure read-back (no corpus
+    * text touched; CorpusIncrementSpec deletes the text source and
+    * re-reads) while a re-call with DIFFERENT parameters refuses
+    * loudly instead of returning the stale artifact. One artifact per
+    * kept-ledger version keeps the time-travel story: the shards a
+    * trainer consumed are exactly reproducible from the version that
+    * produced them.
     *
     * Output: (doc_id, lang, source, shard, pos, n_tokens,
     * n_bpe_tokens, n_words, n_chars, lossless). Scale: selection is
@@ -413,7 +457,9 @@ object CorpusIncrement {
     require(m.keyParts.nonEmpty,
       s"no increments committed yet at $root")
     val out = shardsDir(root, m.version)
-    if (committed(out))
+    val params =
+      s"nShards=$nShards;budget=$budget;numMerges=$numMerges;salt=$salt"
+    if (committedWith(out, params))
       return spark.read.parquet(out).orderBy("doc_id")
 
     // mixture selection: |budget| rows of kept-ledger metadata
@@ -426,7 +472,7 @@ object CorpusIncrement {
       .join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "text")
     val merges = committedMerges(spark, root, selText, m.version,
-      numMerges)
+      numMerges, selectionTag = s"budget=$budget")
     val sh = TextAnalysis.shuffleShards(selText, nShards, salt)
     val acct = graft.operators.Bpe.encodeAccounting(selText, merges)
     sh.join(acct, "doc_id")
@@ -435,6 +481,7 @@ object CorpusIncrement {
         col("pos"), col("n_tokens"), col("n_bpe_tokens"),
         col("n_words"), col("n_chars"), col("lossless"))
       .write.mode("overwrite").parquet(out)
+    commitParams(out, params)
     spark.read.parquet(out).orderBy("doc_id")
   }
 
@@ -445,7 +492,7 @@ object CorpusIncrement {
   def trainingShards(
       spark: SparkSession, root: String, asOfVersion: Long): DataFrame = {
     val dir = shardsDir(root, asOfVersion)
-    require(committed(dir),
+    require(paramsFile(dir).exists(),
       s"no committed training-shard artifact at version $asOfVersion " +
         s"of $root")
     spark.read.parquet(dir).orderBy("doc_id")

@@ -317,5 +317,23 @@ class CorpusIncrementSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusIncrement.trainingShards(spark, rootA, v - 1)
     }
+
+    // params discipline: a re-call at the SAME version with DIFFERENT
+    // build parameters must refuse loudly (round-10 ADVICE: the
+    // version-keyed short-circuit silently returned the artifact
+    // built with the old parameters), and the committed artifact must
+    // be byte-stable across the refusal
+    val e = intercept[IllegalArgumentException] {
+      CorpusIncrement.trainingShards(
+        spark, rootA, textAll, nShards = 4, budget = 99L)
+    }
+    assert(e.getMessage.contains("refusing"))
+    intercept[IllegalArgumentException] {
+      CorpusIncrement.trainingShards(
+        spark, rootA, textAll, nShards = 8, budget = 60L)
+    }
+    assert(rowSet(CorpusIncrement.trainingShards(
+      spark, rootA, textAll.limit(0), nShards = 4, budget = 60L))
+      == rowSet(shA))
   }
 }

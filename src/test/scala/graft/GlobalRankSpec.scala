@@ -78,6 +78,23 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("cumSumBy keeps a NULL partition group (null-safe group joins " +
+    "match Window.partitionBy's null semantics)") {
+    // one of three groups is NULL: the window keeps it as its own
+    // partition, so cumSumBy must too — round-10 ADVICE flagged the
+    // equi-joins here as silently null-rejecting
+    val g = df.withColumn("grp",
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(pmod(col("id"), lit(3))))
+    val w = Window.partitionBy("grp").orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = g.withColumn("s", sum(col("v")).over(w))
+    val got = GlobalRank.cumSumBy(g, Seq("grp"), col("k"), col("id"),
+      Seq((col("v"), "s")), 16)
+    assert(got.count() == g.count(), "null-group rows must never drop")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("null and NaN keys are kept in Spark's asc order, no row loss") {
     val mixed = df.withColumn("kd",
       when(col("id") % 7 === 0, lit(Double.NaN))

@@ -381,4 +381,47 @@ class SimilaritySpec extends SparkSpec {
         && r.getAs[Double]("mrr") == 1.0, r.toString)
     }
   }
+
+  test("rrfFusion: ranks agree with the two input rankers, the fused " +
+    "score recomputes exactly, and the fused order is (rrf desc, cid)") {
+    val depth = 20
+    val exact = Similarity.cosineTopK(tables.embeddings, 10, depth)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+        -> r.getAs[Long]("rk")).toMap
+    val sq8 = Similarity.sq8CosineTopK(tables.embeddings, 10, depth)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+        -> r.getAs[Long]("rk")).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fused = Similarity.rrfFusion(tables.embeddings).collect()
+    assert(fused.nonEmpty)
+    val byQ = fused.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rows) =>
+      // frk is a contiguous 1..k prefix of the fused order
+      assert(rows.map(_.getAs[Long]("frk")).sorted.toSeq
+        == (1L to rows.length).toSeq)
+      rows.foreach { r =>
+        val cid = r.getAs[Long]("cid")
+        val (re, rs) = (r.getAs[Long]("rk_exact"), r.getAs[Long]("rk_sq8"))
+        // reported ranks ARE the input rankers' ranks (0 = absent)
+        assert(re == exact.getOrElse((qid, cid), 0L), s"q$qid c$cid exact")
+        assert(rs == sq8.getOrElse((qid, cid), 0L), s"q$qid c$cid sq8")
+        assert(re > 0 || rs > 0, "a fused doc must come from some ranker")
+        val want = round6((if (re > 0) 1.0 / (60 + re) else 0.0)
+          + (if (rs > 0) 1.0 / (60 + rs) else 0.0))
+        assert(r.getAs[Double]("rrf") == want, s"q$qid c$cid rrf")
+      }
+      // fused order: rrf desc, cid asc
+      val ord = rows.sortBy(_.getAs[Long]("frk"))
+        .map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("cid"))).toSeq
+      assert(ord.sliding(2).forall {
+        case Seq((s1, c1), (s2, c2)) => s1 > s2 || (s1 == s2 && c1 < c2)
+        case _ => true
+      })
+      // a doc surfaced by BOTH rankers at rank 1 must lead the fusion
+      val both = rows.filter(r => r.getAs[Long]("rk_exact") == 1L
+        && r.getAs[Long]("rk_sq8") == 1L)
+      both.foreach(r => assert(r.getAs[Long]("frk") == 1L))
+    }
+  }
 }

@@ -589,4 +589,34 @@ class TextSpec extends SparkSpec {
     assert(mc.count(r => r.getAs[Long]("n_docs") == 1
       && r.getAs[Double]("cross_pair_frac") == 0.0) >= 2)
   }
+
+  test("qualityBudgetCuration: greedy maximality, min-kept score >= " +
+    "max-dropped score, and exact equal-token phase splits") {
+    val got = TextAnalysis
+      .qualityBudgetCuration(tables.documents).collect()
+    val kept = got.filter(_.getAs[Long]("kept") == 1L)
+    val dropped = got.filter(_.getAs[Long]("kept") == 0L)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    val total = got.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * 2 / 5
+    // greedy maximality: the kept prefix fits the budget and the FIRST
+    // dropped doc (smallest cum among dropped) would overflow it
+    val keptSum = kept.map(_.getAs[Long]("n_tokens")).sum
+    assert(keptSum == kept.map(_.getAs[Long]("cum_tokens")).max)
+    assert(keptSum <= budget)
+    assert(dropped.map(_.getAs[Long]("cum_tokens")).min > budget)
+    // quality ordering: no dropped doc outscores any kept doc (equal
+    // scores may straddle the boundary via the md5 tiebreak)
+    assert(kept.map(_.getAs[Long]("score")).min
+      >= dropped.map(_.getAs[Long]("score")).max)
+    // dropped docs carry phase 0; kept phases partition [1, budget]
+    // into 3 equal-token spans: phase = (cum-1)*3 div budget + 1
+    assert(dropped.forall(_.getAs[Long]("phase") == 0L))
+    kept.foreach { r =>
+      val cum = r.getAs[Long]("cum_tokens")
+      assert(r.getAs[Long]("phase") == (cum - 1) * 3 / budget + 1)
+    }
+    assert(kept.map(_.getAs[Long]("phase")).distinct.sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
 }
