@@ -134,7 +134,18 @@ class PlanAuditSpec extends SparkSpec {
       "fixture; a serving query batch is bounded by the caller"),
     "q77_sql_vector" -> "query batch (same serving-batch bound as q26)",
     "q162_sq8_ann" -> "query batch (same serving-batch bound as q26)",
-    "q171_pca_sq8_ann" -> "query batch (same serving-batch bound as q26)")
+    "q171_pca_sq8_ann" -> "query batch (same serving-batch bound as q26)",
+    "q180_index_ledger_ann" ->
+      "query batch of quantized codes (same serving-batch bound as q26)",
+    "q186_retrieval_eval" ->
+      "eval query panel (same serving-batch bound as q26)",
+    "q189_rrf_fusion" -> ("query batch, once per fused ranker " +
+      "(same serving-batch bound as q26)"),
+    "q190_hard_negatives" -> ("query panel + its |Q|-row best-positive " +
+      "aggregate (same serving-batch bound as q26)"),
+    "q185_epoch_mixture" -> ("quota frame: |strata| rows (the q149 " +
+      "bound); the strata-rank join hides the Aggregate shape from " +
+      "the static audit"))
 
   // Low-card-window exemptions: SQL window-SURFACE parity demos
   // (rank/dense_rank/ntile/lag/lead, rows-frames) that deliberately
