@@ -498,6 +498,38 @@ object CorpusIncrement {
     spark.read.parquet(dir).orderBy("doc_id")
   }
 
+  /** Age-based retention for the WHOLE composed root — the ledgers'
+    * `vacuum(keepVersions)` contract lifted to the refresh: vacuums
+    * the three inner ledgers (keys + blooms, signatures, sketches) AND
+    * the root's own state in one call, so the operational loop has ONE
+    * retention knob instead of four. Root-side semantics follow
+    * [[DedupLedger.vacuumState]] exactly: manifest snapshots older
+    * than CURRENT−keepVersions truncate (as-of reads beyond the
+    * horizon refuse loudly — `kept(spark, root, v)` and the
+    * trainingShards as-of overload included), and version-keyed
+    * artifacts referenced ONLY by truncated snapshots (superseded
+    * `shards/v_*` / `bpe/v_*` builds) are reclaimed. Kept, monitor,
+    * and stage parts are APPEND-ONLY — the CURRENT manifest references
+    * every one of them, so they are live by construction and vacuum
+    * never touches them (they are the corpus; retention there is
+    * purge, not vacuum). CURRENT reads are byte-identical before and
+    * after; a replay of the newest increment after a crash still sees
+    * its stage markers (all within the horizon). Returns the number
+    * of reclaimed artifact directories across all four states. */
+  def vacuum(root: String, keepVersions: Int): Long = {
+    val inner =
+      DedupLedger.vacuum(dedupState(root), keepVersions) +
+        MinhashLedger.vacuum(minhashState(root), keepVersions) +
+        SketchLedger.vacuum(sketchState(root), keepVersions)
+    val own = DedupLedger.vacuumState(root, keepVersions,
+      m => m.keyParts.flatMap(p => Seq(
+        s"kept/$p", s"monitor/$p", s"stage/exact/$p", s"stage/near/$p"))
+        ++ Seq(s"shards/v_${m.version}", s"bpe/v_${m.version}"),
+      Seq("kept", "monitor", "stage/exact", "stage/near",
+        "shards", "bpe"))
+    inner + own
+  }
+
   /** q183 — the last mile as a declared, hash-gated query: the q177
     * scenario (planted PII, init on the first 60% by id cut) with ONE
     * increment over the remainder (the composition contract makes one

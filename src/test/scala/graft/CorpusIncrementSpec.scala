@@ -336,4 +336,50 @@ class CorpusIncrementSpec extends SparkSpec {
       spark, rootA, textAll.limit(0), nShards = 4, budget = 60L))
       == rowSet(shA))
   }
+
+  test("vacuum: one retention knob for the whole root — superseded " +
+    "shard/bpe artifacts reclaimed, as-of beyond the horizon refused " +
+    "on root AND inner ledgers, CURRENT reads byte-identical") {
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("vacuum")
+    val corpus = spark.read.parquet(corpusDir)
+    val (b1, b2) = (spark.read.parquet(b1Dir), spark.read.parquet(b2Dir))
+    val root = s"$base/vac"
+    CorpusIncrement.init(spark, root, corpus)
+    CorpusIncrement.increment(spark, root, b1, 0L)      // version 2
+    val textV2 = corpus.unionByName(b1)
+    CorpusIncrement.trainingShards(spark, root, textV2,
+      nShards = 4, budget = 60L)                        // shards/v_2
+    CorpusIncrement.increment(spark, root, b2, 1L)      // version 3
+    val textAll = textV2.unionByName(b2)
+    val shards3 = CorpusIncrement.trainingShards(spark, root, textAll,
+      nShards = 4, budget = 60L)                        // shards/v_3
+    val keptBefore = rowSet(CorpusIncrement.kept(spark, root))
+    val sh3Before = rowSet(shards3)
+    assert(rowSet(CorpusIncrement.trainingShards(spark, root, 2L))
+      .nonEmpty, "the v2 artifact must exist before the vacuum")
+
+    val reclaimed = CorpusIncrement.vacuum(root, keepVersions = 1)
+    assert(reclaimed > 0, "the superseded v2 shard+bpe builds reclaim")
+
+    // CURRENT reads byte-identical: kept, the v3 artifact (as-of and
+    // the pure read-back path)
+    assert(rowSet(CorpusIncrement.kept(spark, root)) == keptBefore)
+    assert(rowSet(CorpusIncrement.trainingShards(spark, root, 3L))
+      == sh3Before)
+    assert(rowSet(CorpusIncrement.trainingShards(spark, root,
+      textAll.limit(0), nShards = 4, budget = 60L)) == sh3Before)
+    // beyond the horizon: root as-of, the v2 artifact, and the inner
+    // dedup ledger's as-of all refuse loudly
+    intercept[Exception] { CorpusIncrement.kept(spark, root, 2L) }
+    intercept[IllegalArgumentException] {
+      CorpusIncrement.trainingShards(spark, root, 2L)
+    }
+    intercept[Exception] {
+      DedupLedger.keys(spark,
+        CorpusIncrement.dedupState(root), asOfVersion = 2L).collect()
+    }
+    // idempotent: a second vacuum reclaims nothing and changes nothing
+    assert(CorpusIncrement.vacuum(root, keepVersions = 1) == 0L)
+    assert(rowSet(CorpusIncrement.kept(spark, root)) == keptBefore)
+  }
 }
