@@ -322,6 +322,22 @@ object SparkEntry {
       q(t => TextAnalysis.corpusDatasheet(t.documents)),
     "q192_corpus_containment" ->
       q(t => Dedup.corpusContainment(t.documents)),
+    // q193: per-document memorization-risk audit — fraction of each
+    // document built from corpus-frequent shingles (df >= minDf)
+    "q193_memorization_risk" ->
+      q(t => Dedup.memorizationRisk(t.documents)),
+    // q194: per-class embedding-geometry panel — mean pairwise cosine
+    // via the sum-norm identity, one pass, never O(n^2) pairs
+    "q194_embedding_diagnostics" ->
+      q(t => Similarity.embeddingDiagnostics(t.embeddings)),
+    // q195: unigram JS-divergence source-pair matrix — the
+    // distributional complement to q192's verbatim containment
+    "q195_unigram_jsd" ->
+      q(t => TextAnalysis.unigramJsDivergence(t.documents)),
+    // q196: stride-scheduled curriculum interleave — integer-exact
+    // global training order with every source spread evenly
+    "q196_curriculum_interleave" ->
+      q(t => TextAnalysis.curriculumInterleave(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -1051,6 +1067,109 @@ object SparkEntry {
          |FROM d LEFT JOIN i
          |  ON i.source_a = d.source_a AND i.source_b = d.source_b
          |ORDER BY d.source_a, d.source_b""".stripMargin,
+    // q193: the oracle joins on the shingle STRING (the engine on the
+    // xxhash64 fingerprint) — a collision would surface as a mismatch
+    "q193_memorization_risk" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+         |              FROM documents),
+         |idx AS (SELECT DISTINCT doc_id, shingle FROM (
+         |          SELECT doc_id, unnest($duckShingles) AS shingle
+         |          FROM toks)),
+         |dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+         |          FROM idx GROUP BY shingle)
+         |SELECT idx.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_frequent,
+         |  CAST(MAX(df) AS BIGINT) AS max_df,
+         |  ROUND(CAST(SUM(CASE WHEN df >= 4 THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / COUNT(*), 6) AS frequent_frac,
+         |  CAST(CASE WHEN 2 * SUM(CASE WHEN df >= 4 THEN 1 ELSE 0 END)
+         |            >= COUNT(*) THEN 1 ELSE 0 END AS INT) AS risk_flag
+         |FROM idx JOIN dfreq USING (shingle)
+         |GROUP BY idx.doc_id ORDER BY idx.doc_id""".stripMargin,
+    // q194: per-row norm math is IEEE-deterministic on both engines;
+    // only the final sums are order-sensitive -> 4 dp (q71 convention)
+    "q194_embedding_diagnostics" ->
+      """WITH e AS (SELECT label,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |nn AS (SELECT label, v,
+        |         sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |ex AS (SELECT label, nrm,
+        |         unnest([{'d': i, 'x': v[i]}
+        |                 for i in range(1, len(v)+1)]) AS s
+        |       FROM nn),
+        |dims AS (SELECT label, s.d AS d, SUM(s.x) AS sv,
+        |           SUM(s.x / nrm) AS su
+        |         FROM ex GROUP BY label, s.d),
+        |persum AS (SELECT label, SUM(sv * sv) AS sv2,
+        |             SUM(su * su) AS su2
+        |           FROM dims GROUP BY label),
+        |scal AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |           AVG(nrm) AS mean_norm,
+        |           STDDEV_SAMP(nrm) AS sd_norm
+        |         FROM nn GROUP BY label)
+        |SELECT scal.label, scal.n_vecs,
+        |  ROUND(mean_norm, 4) AS mean_norm,
+        |  ROUND(sd_norm, 4) AS sd_norm,
+        |  ROUND(sqrt(sv2) / n_vecs, 4) AS centroid_norm,
+        |  ROUND((su2 - n_vecs) / (n_vecs * (n_vecs - 1.0)), 4) + 0.0
+        |    AS mean_cos
+        |FROM scal JOIN persum USING (label)
+        |ORDER BY label""".stripMargin,
+    // q195: intersection terms + closed-form tail mass (tokens outside
+    // the intersection contribute 0.5*p exactly); 4 dp, -0.0 folded
+    "q195_unigram_jsd" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+        |                AS tok FROM documents),
+        |cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM toks WHERE len(tok) > 0 GROUP BY source, tok),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY source),
+        |prob AS (SELECT cnt.source, tok,
+        |           CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |         FROM cnt JOIN tot USING (source)),
+        |joint AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    SUM(a.p) AS sp, SUM(b.p) AS sq,
+        |    SUM(0.5 * a.p * log2(2 * a.p / (a.p + b.p))
+        |      + 0.5 * b.p * log2(2 * b.p / (a.p + b.p))) AS core
+        |  FROM prob a JOIN prob b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |dims AS (SELECT x.source AS source_a, y.source AS source_b
+        |         FROM tot x JOIN tot y ON x.source < y.source)
+        |SELECT d.source_a, d.source_b,
+        |  CAST(COALESCE(j.n_common, 0) AS BIGINT) AS n_common,
+        |  ROUND(COALESCE(j.core, 0)
+        |    + 0.5 * (1.0 - COALESCE(j.sp, 0))
+        |    + 0.5 * (1.0 - COALESCE(j.sq, 0)), 4) + 0.0 AS jsd
+        |FROM dims d LEFT JOIN joint j
+        |  ON j.source_a = d.source_a AND j.source_b = d.source_b
+        |ORDER BY d.source_a, d.source_b""".stripMargin,
+    // q196: all-integer stride arithmetic — the oracle replays the
+    // same scaled div, so the gate is exact (no float anywhere)
+    "q196_curriculum_interleave" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |         1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+        |        AS rank_in_source FROM b),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        |       FROM b GROUP BY source),
+        |k AS (SELECT r.*, sz.n_src,
+        |        CAST((2 * rank_in_source - 1) * 4294967296
+        |             // (2 * n_src) AS BIGINT) AS stride_key
+        |      FROM r JOIN sz USING (source))
+        |SELECT doc_id, source, rank_in_source, n_src, stride_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY stride_key, h, doc_id)
+        |       AS BIGINT) AS global_pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     // q185: the q149 quota chain at budget 1200 (> |corpus| per-stratum
     // — the epoch regime), repeat = quota div n + 1 for the first
     // quota mod n docs in the md5 order

@@ -1082,6 +1082,56 @@ object Dedup {
     * integers (the oracle joins on the shingle STRING — hash
     * collisions would surface as a hash mismatch, none exist on the
     * fixtures), ratios rounded to 6 dp. */
+  /** q193 — memorization-risk audit: for every document, how much of
+    * it is built from CORPUS-FREQUENT n-grams — shingles whose
+    * document frequency is at least `minDf` — plus the document's
+    * hottest shingle's df. The per-document view of the signal behind
+    * the Lee et al. repeated-substring dedup rule ("Deduplicating
+    * Training Data Makes Language Models Better"): text that large
+    * models memorize is text the corpus repeats, and a document made
+    * mostly of corpus-frequent n-grams is boilerplate/template
+    * material a trainer down-weights or drops. Corpus-level twins:
+    * [[exactSubstrRuns]] (q132, verbatim pair runs) and q94's
+    * within-document repetition; this measures repetition ACROSS the
+    * corpus per document.
+    *
+    * Shape: one shingle explode to the distinct (doc_id, fingerprint)
+    * frame (8-byte xxhash64, the q129/q192 discipline), document
+    * frequency = one count per fingerprint (idx is already distinct
+    * per doc), one vocab-keyed equi-join back, one doc-keyed
+    * aggregate — linear in corpus shingle volume, never doc×doc, no
+    * windows. `minDf` is fixed (production runs pick it per corpus —
+    * Lee et al. use absolute repeat counts); the fixture family keeps
+    * both classes populated at every sf because the sf1 replica's
+    * per-copy token namespaces preserve the sf0.1 df distribution.
+    * All counts exact integers; the fraction is one division rounded
+    * 6 dp (engine-portable); the risk flag an integer threshold on
+    * the EXACT integer pair (no float compare in the gate). */
+  def memorizationRisk(
+      documents: DataFrame, n: Int = 3, minDf: Int = 4): DataFrame = {
+    val idx = documents
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    val dfreq = idx.groupBy("g").agg(count(lit(1)).as("df"))
+    idx.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L))
+          .as("n_frequent"),
+        max(col("df")).as("max_df"))
+      .select(col("doc_id"), col("n_shingles"), col("n_frequent"),
+        col("max_df"),
+        round(col("n_frequent").cast("double")
+          / col("n_shingles").cast("double"), 6).as("frequent_frac"),
+        // integer-exact gate: frequent shingles form a majority
+        when(col("n_frequent") * 2 >= col("n_shingles"), 1)
+          .otherwise(0).as("risk_flag"))
+      .orderBy("doc_id")
+  }
+
   def corpusContainment(documents: DataFrame, n: Int = 3): DataFrame = {
     val fp = documents
       .select(col("source"), array_distinct(shingles(col("text"), n))

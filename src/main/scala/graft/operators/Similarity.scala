@@ -47,6 +47,50 @@ object Similarity {
     * to 6 decimals so the ranking (not just the output) is reproducible
     * across engines.
     */
+  /** q194 — embedding-space diagnostics per class: vector count, norm
+    * mean/spread, centroid norm, and the MEAN PAIRWISE COSINE within
+    * the class — the collapse/anisotropy panel run before trusting an
+    * embedding column for SemDeDup (q100), ANN (q26/q166), or
+    * clustering: a class whose mean pairwise cosine drifts toward 1 is
+    * collapsing (near-dup thresholds silently change meaning), one
+    * near 0 is isotropic.
+    *
+    * The scale trick is the sum-norm identity: with unit vectors û,
+    * Σ_{i≠j} cos(û_i,û_j) = ‖Σû‖² − n, so the all-pairs mean is
+    * (‖Σû‖² − n)/(n(n−1)) — ONE pass and a per-(class, dim) hash
+    * aggregate (≤ |classes|·dim cells), never the O(n²) pair join.
+    * Everything is built from two aggregates joined on the bounded
+    * class key: the (class, dim) sums of raw and normalized
+    * components (map-side partial sums), and the per-class scalar
+    * norm stats. Per-row math (norm, the divide) is IEEE-deterministic
+    * on both engines; only the final sums are order-sensitive, and
+    * all emitted floats round 4 dp (the q71 centroid convention). */
+  def embeddingDiagnostics(embeddings: DataFrame): DataFrame = {
+    val base = embeddings
+      .select(col("label"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val dims = base
+      .select(col("label"), col("nrm"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("sv"),
+        sum(col("col") / col("nrm")).as("su"))
+      .groupBy("label")
+      .agg(sum(col("sv") * col("sv")).as("sv2"),
+        sum(col("su") * col("su")).as("su2"))
+    val scal = base.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), avg(col("nrm")).as("mean_norm"),
+        stddev_samp(col("nrm")).as("sd_norm"))
+    scal.join(dims, "label")
+      .select(col("label"), col("n_vecs"),
+        round(col("mean_norm"), 4).as("mean_norm"),
+        round(col("sd_norm"), 4).as("sd_norm"),
+        round(sqrt(col("sv2")) / col("n_vecs"), 4).as("centroid_norm"),
+        (round((col("su2") - col("n_vecs"))
+          / (col("n_vecs") * (col("n_vecs") - lit(1)).cast("double")), 4)
+          + lit(0.0)).as("mean_cos"))
+      .orderBy("label")
+  }
+
   /** q71 — per-group embedding centroids (the k-means/IVF training
     * primitive as a declarative aggregate): explode to (group, dim,
     * value) and hash-aggregate per (group, dim). Shuffle volume is

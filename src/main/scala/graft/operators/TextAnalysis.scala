@@ -1246,4 +1246,102 @@ object TextAnalysis {
           6).as("type_token_ratio"))
       .orderBy("lang", "source")
   }
+
+  /** q195 — unigram Jensen–Shannon divergence matrix: for every
+    * unordered source pair, the JS divergence (log2 — bounded [0,1])
+    * between the two sources' unigram token distributions. The
+    * DISTRIBUTIONAL complement to q192's verbatim containment: two
+    * crawls can share no 3-gram (containment 0) yet speak the same
+    * unigram mix (JSD ≈ 0), and the mixing decision (q106/q127)
+    * needs both views.
+    *
+    * Shape that avoids the full-outer union-of-vocab join: with
+    * p = P_a(t), q = P_b(t), every token OUTSIDE the intersection
+    * contributes exactly 0.5·p (or 0.5·q) because log2(2p/(p+0)) = 1,
+    * so JSD = Σ_common [0.5·p·log2(2p/(p+q)) + 0.5·q·log2(2q/(p+q))]
+    * + 0.5·(1 − Σ_common p) + 0.5·(1 − Σ_common q) — ONE inner
+    * self-join on the token key plus per-pair mass totals. Disjoint
+    * pairs (nothing in common) are completed against the broadcast
+    * |sources|² cross with JSD = 1. Token-keyed and linear in the
+    * (source, token) vocabulary frame; the join output is bounded by
+    * Σ_t pairs(t) ≤ |sources|²·|vocab| with the |sources| side
+    * dimension-bounded — never doc×doc. Per-row probability math is
+    * IEEE-deterministic; only the per-pair sums are order-sensitive,
+    * so the statistic rounds 4 dp (q71 convention) with the +0.0
+    * negative-zero fold (Σp can exceed 1 by one ulp). */
+  def unigramJsDivergence(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("tot"))
+    val prob = counts.join(broadcast(totals), "source")
+      .select(col("source"), col("tok"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    val joint = prob.as("a")
+      .join(prob.as("b"), col("a.tok") === col("b.tok")
+        && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.p").as("p"), col("b.p").as("q"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("p")).as("sp"), sum(col("q")).as("sq"),
+        sum(lit(0.5) * col("p")
+            * log2(lit(2) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q")
+            * log2(lit(2) * col("q") / (col("p") + col("q"))))
+          .as("core"))
+    val dims = totals.select(col("source").as("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"))),
+        col("source_a") < col("source_b"))
+    dims.join(joint, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (round(coalesce(col("core"), lit(0.0))
+          + lit(0.5) * (lit(1.0) - coalesce(col("sp"), lit(0.0)))
+          + lit(0.5) * (lit(1.0) - coalesce(col("sq"), lit(0.0))), 4)
+          + lit(0.0)).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q196 — stride-scheduled curriculum interleave: a deterministic
+    * GLOBAL training order in which every source is spread evenly
+    * through the epoch (doc j of a source with n docs sits at stride
+    * position (2j−1)/(2n) ∈ (0,1)) — the classic stride-scheduling
+    * guarantee that after any prefix of the order, each source has
+    * contributed its proportional share ±1. This is the "data
+    * ordering" step between mixture (q106/q127/q185) and sharding
+    * (q156/q183): trainers that stream shards sequentially need
+    * sources interleaved, not concatenated, or early steps see one
+    * distribution and late steps another.
+    *
+    * Everything is integer-exact and engine-portable: within-source
+    * order is the 32-bit md5 shuffle key (q64's portable mapping,
+    * doc_id tiebreak); the stride position is SCALED to the exact
+    * long ⌊(2j−1)·2³² / (2n)⌋ < 2³² (no float division anywhere —
+    * exact while (2j−1)·2³² < 2⁶³, i.e. n per source < 2³⁰); the
+    * global position over (stride_key, h, doc_id) rides
+    * [[GlobalRank.cumSum]] — and the per-source rank rides
+    * [[GlobalRank.cumSumBy]], because `source` is exactly the
+    * low-cardinality partition key the round-10 PlanAudit window
+    * hazard class exists for. No unpartitioned window, no driver
+    * loop; both rank passes are 256-way bucketed. */
+  def curriculumInterleave(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    val base = documents.select(col("doc_id"), col("source"))
+      .withColumn("h", h)
+    val ranked = GlobalRank.cumSumBy(base, Seq("source"), col("h"),
+      col("doc_id"), Seq((lit(1L), "rank_in_source")))
+    val sizes = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val keyed = ranked.join(broadcast(sizes), "source")
+      .withColumn("stride_key", expr(
+        "(2 * rank_in_source - 1) * 4294967296 div (2 * n_src)"))
+    GlobalRank.cumSum(keyed, col("stride_key"),
+      struct(col("h"), col("doc_id")), lit(1L), "global_pos")
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        col("n_src"), col("stride_key"), col("global_pos"))
+      .orderBy("doc_id")
+  }
 }

@@ -418,4 +418,57 @@ class DedupSpec extends SparkSpec {
     assert(prefCand >= pref.size.toLong,
       "candidates must cover every true pair (exactness precondition)")
   }
+
+  test("memorizationRisk: df counting, frequent fraction, majority flag") {
+    // "x y z" occurs in docs 1, 2, 4 (df=3); every other shingle df=1
+    val docs = Seq(
+      (1L, "x y z p q"), // shingles: x y z | y z p | z p q
+      (2L, "x y z r s"), // shingles: x y z | y z r | z r s
+      (3L, "u v w a b"), // all unique
+      (4L, "x y z"), //     single shingle, corpus-frequent -> flag
+      (5L, "ab")) //        shorter than n -> absent from output
+      .toDF("doc_id", "text")
+    val got = Dedup.memorizationRisk(docs, n = 3, minDf = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_shingles") == 3
+      && d1.getAs[Long]("n_frequent") == 1
+      && d1.getAs[Long]("max_df") == 3
+      && math.abs(d1.getAs[Double]("frequent_frac") - 0.333333) < 1e-9
+      && d1.getAs[Int]("risk_flag") == 0)
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("n_frequent") == 0
+      && d3.getAs[Long]("max_df") == 1
+      && d3.getAs[Double]("frequent_frac") == 0.0)
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("n_shingles") == 1
+      && d4.getAs[Long]("n_frequent") == 1
+      && d4.getAs[Double]("frequent_frac") == 1.0
+      && d4.getAs[Int]("risk_flag") == 1)
+  }
+
+  test("memorizationRisk: fixture docs agree with a driver-side replay") {
+    val rows = Dedup.memorizationRisk(tables.documents).collect()
+    // driver referee: same distinct-shingle df counting in plain Scala
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val dfreq = docs.flatMap { case (_, t) => sh(t) }
+      .groupBy(identity).map { case (g, v) => g -> v.length }
+    val expect = docs.map { case (id, t) =>
+      val s = sh(t)
+      id -> (s.size, s.count(g => dfreq(g) >= 4))
+    }.filter(_._2._1 > 0).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nSh, nFq) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_shingles") == nSh.toLong
+        && r.getAs[Long]("n_frequent") == nFq.toLong)
+    }
+  }
 }

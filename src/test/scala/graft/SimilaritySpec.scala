@@ -424,4 +424,55 @@ class SimilaritySpec extends SparkSpec {
       both.foreach(r => assert(r.getAs[Long]("frk") == 1L))
     }
   }
+
+  test("embeddingDiagnostics: crafted classes pin the cosine identity") {
+    // label 0: parallel pair -> mean_cos 1; label 1: orthogonal -> 0;
+    // label 2: antipodal -> -1 (rounded; -0.0 must fold to 0.0)
+    val df = Seq(
+      (1L, Seq(2.0f, 0.0f), 0), (2L, Seq(5.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(3.0f, 0.0f), 2), (6L, Seq(-3.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDiagnostics(df).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(0).getAs[Double]("mean_cos") == 1.0)
+    assert(got(1).getAs[Double]("mean_cos") == 0.0
+      && !(1.0 / got(1).getAs[Double]("mean_cos") < 0)) // not -0.0
+    assert(got(2).getAs[Double]("mean_cos") == -1.0)
+    assert(got(0).getAs[Long]("n_vecs") == 2
+      && got(0).getAs[Double]("mean_norm") == 3.5
+      && got(0).getAs[Double]("centroid_norm") == 3.5)
+    // orthogonal unit pair: centroid norm = sqrt(2)/2
+    assert(math.abs(got(1).getAs[Double]("centroid_norm")
+      - math.sqrt(2) / 2) < 1e-4)
+  }
+
+  test("embeddingDiagnostics: fixture agrees with brute-force referee") {
+    val rows = Similarity.embeddingDiagnostics(tables.embeddings)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val vecs = tables.embeddings
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    vecs.map(_._1).distinct.foreach { lbl =>
+      val vs = vecs.filter(_._1 == lbl).map(_._2)
+      val n = vs.length
+      if (n >= 2) {
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        val units = vs.map { v =>
+          val nn = math.sqrt(dot(v, v)); v.map(_ / nn)
+        }
+        val pairSum = (for {
+          i <- units.indices; j <- units.indices if i != j
+        } yield dot(units(i), units(j))).sum
+        val expect = pairSum / (n.toDouble * (n - 1))
+        assert(math.abs(rows(lbl).getAs[Double]("mean_cos") - expect)
+          < 5e-4, s"label $lbl")
+        val meanNorm = vs.map(v => math.sqrt(dot(v, v))).sum / n
+        assert(math.abs(rows(lbl).getAs[Double]("mean_norm") - meanNorm)
+          < 5e-4)
+      }
+    }
+  }
 }

@@ -619,4 +619,88 @@ class TextSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("phase")).distinct.sorted.toSeq
       == Seq(1L, 2L, 3L))
   }
+
+  test("unigramJsDivergence: identical 0, disjoint 1, crafted middle") {
+    val docs = Seq(
+      ("sa", "a a b"), ("sb", "a b b"), // mirrored 2/3-1/3 mix
+      ("sc", "a a b"), //                 identical to sa
+      ("sd", "zz zz")) //                 disjoint from everything
+      .toDF("source", "text")
+    val got = TextAnalysis.unigramJsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jsd"))).toMap
+    assert(got.size == 6) // all C(4,2) pairs, disjoint ones completed
+    assert(got(("sa", "sc")) == (2L, 0.0))
+    assert(got(("sa", "sd")) == (0L, 1.0))
+    assert(got(("sc", "sd")) == (0L, 1.0))
+    // driver referee for the mixed pair: p=(2/3,1/3), q=(1/3,2/3)
+    def t(p: Double, q: Double) =
+      0.5 * p * (math.log(2 * p / (p + q)) / math.log(2))
+    val expect = t(2.0 / 3, 1.0 / 3) + t(1.0 / 3, 2.0 / 3) +
+      t(1.0 / 3, 2.0 / 3) + t(2.0 / 3, 1.0 / 3)
+    assert(math.abs(got(("sa", "sb"))._2 - expect) < 1e-4)
+    assert(got(("sa", "sb"))._1 == 2L)
+  }
+
+  test("unigramJsDivergence: bounds and symmetry-free keying on fixture") {
+    val rows = TextAnalysis.unigramJsDivergence(tables.documents)
+      .collect()
+    val nSrc = tables.documents.select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= 1.0, s"jsd out of [0,1]: $j")
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("curriculumInterleave: permutation, stride spread, exact replay") {
+    val out = TextAnalysis.curriculumInterleave(tables.documents)
+      .collect()
+    val n = out.length
+    // global_pos is a permutation of 1..n
+    assert(out.map(_.getAs[Long]("global_pos")).sorted.toSeq
+      == (1L to n.toLong).toSeq)
+    // driver replay: same md5 key, same stride arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = tables.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), h32(r.getLong(0))))
+    val bySrc = docs.groupBy(_._2)
+    val strideOf = docs.map { case (id, src, h) =>
+      val grp = bySrc(src).sortBy(d => (d._3, d._1))
+      val r = grp.indexWhere(_._1 == id) + 1L
+      val nS = grp.length.toLong
+      (id, (2 * r - 1) * 4294967296L / (2 * nS), h, r, nS)
+    }
+    val order = strideOf.sortBy(d => (d._2, d._3, d._1))
+      .zipWithIndex.map { case (d, i) => d._1 -> (i + 1L) }.toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val exp = strideOf.find(_._1 == id).get
+      assert(r.getAs[Long]("stride_key") == exp._2, s"doc $id stride")
+      assert(r.getAs[Long]("rank_in_source") == exp._4)
+      assert(r.getAs[Long]("n_src") == exp._5)
+      assert(r.getAs[Long]("global_pos") == order(id), s"doc $id pos")
+    }
+    // stride guarantee: any prefix holds each source's proportional
+    // share within ±1 (the reason this ordering exists)
+    val seq = out.sortBy(_.getAs[Long]("global_pos"))
+      .map(_.getString(1))
+    val totals = seq.groupBy(identity).map { case (s, v) => s -> v.length }
+    Seq(n / 4, n / 2, 3 * n / 4).foreach { m =>
+      val pre = seq.take(m).groupBy(identity)
+        .map { case (s, v) => s -> v.length }
+      totals.foreach { case (src, tot) =>
+        val got = pre.getOrElse(src, 0).toDouble
+        val share = m.toDouble * tot / n
+        assert(math.abs(got - share) <= 1.0 + 1e-9,
+          s"prefix $m source $src: $got vs $share")
+      }
+    }
+  }
 }
