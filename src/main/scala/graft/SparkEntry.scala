@@ -338,6 +338,11 @@ object SparkEntry {
     // global training order with every source spread evenly
     "q196_curriculum_interleave" ->
       q(t => TextAnalysis.curriculumInterleave(t.documents)),
+    // q197: fixed-state bucketed-histogram JSD per source vs corpus —
+    // the monitoring-loop twin of q195 (same statistic the
+    // CorpusIncrement monitor commits per increment as jsd_tokens)
+    "q197_token_hist_drift" ->
+      q(t => TextAnalysis.tokenHistDrift(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -1170,6 +1175,34 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY stride_key, h, doc_id)
         |       AS BIGINT) AS global_pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    // q197: exact integer bucket counts (portable md5 mod 4096);
+    // the only floats are the final per-source sums -> 4 dp
+    "q197_token_hist_drift" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+        |                AS tok FROM documents),
+        |bk AS (SELECT source,
+        |         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+        |           % 4096 AS bucket
+        |       FROM toks WHERE len(tok) > 0),
+        |per AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM bk GROUP BY source, bucket),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+        |       FROM per GROUP BY source),
+        |co AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc
+        |       FROM per GROUP BY bucket),
+        |ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot FROM co),
+        |j AS (SELECT per.source,
+        |        CAST(c AS DOUBLE) / tot AS p,
+        |        CAST(cc AS DOUBLE) / ctot AS q
+        |      FROM per JOIN st USING (source)
+        |        JOIN co USING (bucket), ct)
+        |SELECT j.source, st.tot AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  ROUND(SUM(0.5 * p * log2(2 * p / (p + q))
+        |          + 0.5 * q * log2(2 * q / (p + q)))
+        |    + 0.5 * (1.0 - SUM(q)), 4) + 0.0 AS jsd_vs_corpus
+        |FROM j JOIN st ON st.source = j.source
+        |GROUP BY j.source, st.tot ORDER BY j.source""".stripMargin,
     // q185: the q149 quota chain at budget 1200 (> |corpus| per-stratum
     // — the epoch regime), repeat = quota div n + 1 for the first
     // quota mod n docs in the md5 order

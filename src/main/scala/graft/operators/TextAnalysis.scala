@@ -1305,6 +1305,69 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** q197 — bucketed-histogram source drift: each source's token
+    * distribution compared against the corpus-wide distribution as a
+    * Jensen–Shannon divergence over a FIXED-SIZE hashed histogram —
+    * every token maps to one of `buckets` cells via the portable
+    * 32-bit md5 key (q64's mapping) mod `buckets`, so the statistic's
+    * state is `buckets` longs per source REGARDLESS of vocabulary
+    * size. This is the scale twin of [[unigramJsDivergence]]: exact
+    * unigram JSD carries |vocab| state (fine for a bounded source
+    * pair audit, unbounded for always-on monitoring at 100 TB), while
+    * the bucketed form is the statistic a monitoring loop can commit
+    * per increment forever — [[graft.sources.CorpusIncrement]] emits
+    * exactly this construction as `jsd_tokens` from committed
+    * histogram state.
+    *
+    * By the data-processing inequality the bucketed JSD NEVER exceeds
+    * the exact JSD (hashing can only merge mass), so it is a
+    * conservative drift detector: what it flags is real; hash-merged
+    * fine structure it cannot see (spec-pinned on the fixture).
+    * Bucket counts are exact integers (hash-agg, map-side combine);
+    * the only floats are the final per-source sums over ≤ `buckets`
+    * terms, rounded 4 dp. Reference distribution = the corpus
+    * INCLUDING the source (the PSI convention, q144). */
+  def tokenHistDrift(
+      documents: DataFrame, buckets: Int = 4096): DataFrame = {
+    val b = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+    val perSrc = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", b)
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy("source").agg(sum("c").as("tot"))
+    val corpus = perSrc.groupBy("bucket").agg(sum("c").as("cc"))
+    val corpusTot = corpus.agg(sum("cc").as("ctot"))
+    val joined = perSrc
+      .join(broadcast(srcTot), "source")
+      .join(corpus, "bucket")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"),
+        (col("cc").cast("double") / col("ctot").cast("double")).as("q"))
+    // tail mass: buckets where the SOURCE has no tokens contribute
+    // 0.5*q*log2(2q/q)=0.5*q only if p=0 there — handled closed-form
+    // via the per-source Σq over the source's OWN buckets (q192/q195
+    // completion discipline); the corpus side always covers the
+    // source's buckets, so p's tail is empty by construction
+    joined.groupBy("source")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("q")).as("sq"),
+        sum(lit(0.5) * col("p")
+            * log2(lit(2) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q")
+            * log2(lit(2) * col("q") / (col("p") + col("q"))))
+          .as("core"))
+      .join(broadcast(srcTot), "source")
+      .select(col("source"), col("tot").as("n_tokens"),
+        col("n_buckets"),
+        (round(col("core")
+          + lit(0.5) * (lit(1.0) - col("sq")), 4) + lit(0.0))
+          .as("jsd_vs_corpus"))
+      .orderBy("source")
+  }
+
   /** q196 — stride-scheduled curriculum interleave: a deterministic
     * GLOBAL training order in which every source is spread evenly
     * through the epoch (doc j of a source with n docs sits at stride

@@ -84,8 +84,17 @@ object CorpusIncrement {
   private def keptDir(root: String, part: String) = s"$root/kept/$part"
   private def monitorDir(root: String, part: String) =
     s"$root/monitor/$part"
+  private def histDir(root: String, part: String) =
+    s"$root/monitor_hist/$part"
   private def refCountsDir(root: String) = s"$root/ref/source_counts"
   private def partOf(id: Long) = s"batch_$id"
+
+  /** Fixed cell count of the per-increment bucketed token histogram
+    * (the q197 statistic): monitoring state is `HistBuckets` longs
+    * per increment REGARDLESS of vocabulary size — the property that
+    * lets the drift loop run forever at 100 TB where exact unigram
+    * state (|vocab|) cannot. */
+  val HistBuckets = 4096
 
   /** Increment N's synthetic "day" in the sketch ledger: epoch + N.
     * Reusing [[SketchLedger]] unchanged means the monitoring state is
@@ -138,7 +147,8 @@ object CorpusIncrement {
       bands: Int = 4, minEstJaccard: Double = 0.5,
       stopwords: Seq[String] = DefaultStopwords,
       minSwRatio: Double = 0.05, minTokens: Int = 0,
-      ksAlarm: Double = 0.2, psiAlarm: Double = 0.25): DataFrame = {
+      ksAlarm: Double = 0.2, psiAlarm: Double = 0.25,
+      jsdAlarm: Double = 0.2): DataFrame = {
     val m = readManifest(root).getOrElse(
       throw new IllegalStateException(
         s"no corpus-increment root at $root — call init(corpus) first"))
@@ -181,13 +191,14 @@ object CorpusIncrement {
     // a token-count floor (vocabulary-free); both fixed configs.
     val toks = split(col("text"), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    val gated = nearKept
+    val gatedFull = nearKept
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("sw_ratio",
         round(size(filter(toks, t => array_contains(stopArr, t)))
           .cast("double") / size(toks), 4))
       .filter(col("sw_ratio") >= minSwRatio &&
         col("n_tokens") >= minTokens)
+    val gated = gatedFull
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens"), col("sw_ratio"),
         col("n_email").cast("long").as("n_email"),
@@ -197,6 +208,22 @@ object CorpusIncrement {
     gated.write.mode("overwrite")
       .parquet(keptDir(root, partOf(incrementId)))
     val keptPart = spark.read.parquet(keptDir(root, partOf(incrementId)))
+
+    // stage 5a — the kept batch's bucketed token histogram (the q197
+    // statistic): HistBuckets exact long counts, committed under
+    // monitor_hist/batch_N with the same replay-to-identical-bytes
+    // discipline as the monitor row; this is the ONLY place the
+    // batch's text feeds monitoring, and it is the batch scan the
+    // increment already pays — never a corpus rescan
+    gatedFull
+      .select(explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"), lit(HistBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(histDir(root, partOf(incrementId)))
 
     // stage 5 — monitoring, from ledger/sketch state only: sketch this
     // increment's token-count distribution into the KLL ledger (its
@@ -210,7 +237,7 @@ object CorpusIncrement {
         col("n_tokens").cast("double").as("value")),
       incrementId)
     writeMonitor(spark, root, m, incrementId, keptPart,
-      ksAlarm, psiAlarm)
+      ksAlarm, psiAlarm, jsdAlarm)
 
     writeManifest(root, Manifest(m.version + 1,
       m.keyParts :+ partOf(incrementId), Some(incrementId)))
@@ -224,11 +251,14 @@ object CorpusIncrement {
     * composition vs the init-corpus reference counts (Laplace
     * smoothing (c+1)/(n+|cats|)), and the q173 integer CUSUM over the
     * per-increment kept volumes read from the ≤|increments| prior
-    * monitor rows. Everything driver-side here is bounded by
-    * |sources| or |increments| — never corpus rows. */
+    * monitor rows, and the q197 bucketed-JSD token drift (this
+    * increment's HistBuckets-cell histogram vs the sum of all prior
+    * committed ones). Everything driver-side here is bounded by
+    * |sources|, |increments|, or HistBuckets — never corpus rows. */
   private def writeMonitor(
       spark: SparkSession, root: String, m: Manifest, incrementId: Long,
-      keptPart: DataFrame, ksAlarm: Double, psiAlarm: Double): Unit = {
+      keptPart: DataFrame, ksAlarm: Double, psiAlarm: Double,
+      jsdAlarm: Double): Unit = {
     import graft.functions.QuantileSketch
     import graft.functions.QuantileSketch.kll_merge_agg
 
@@ -266,6 +296,34 @@ object CorpusIncrement {
         Some(math.rint(v * 1e4) / 1e4)
       }
 
+    // bucketed-JSD token drift (the q197 statistic off committed
+    // histogram state): this increment's HistBuckets-cell histogram
+    // vs the SUM of all prior committed increments' — ≤ 2·HistBuckets
+    // longs driver-side, conservative by the data-processing
+    // inequality (hash-merged mass can only lower the divergence)
+    val curH = spark.read.parquet(histDir(root, partOf(incrementId)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val priorH: Map[Long, Long] =
+      if (m.keyParts.isEmpty) Map.empty
+      else spark.read.parquet(m.keyParts.map(histDir(root, _)): _*)
+        .groupBy("bucket").agg(sum("c").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jsd: Option[Double] =
+      if (curH.isEmpty || priorH.isEmpty) None
+      else {
+        val (nc, np) =
+          (curH.values.sum.toDouble, priorH.values.sum.toDouble)
+        def half(x: Double, y: Double) =
+          if (x == 0.0) 0.0
+          else 0.5 * x * (math.log(2 * x / (x + y)) / math.log(2.0))
+        val v = (curH.keySet ++ priorH.keySet).toSeq.map { b =>
+          val p = curH.getOrElse(b, 0L) / nc
+          val q = priorH.getOrElse(b, 0L) / np
+          half(p, q) + half(q, p)
+        }.sum
+        Some(math.rint(v * 1e4) / 1e4)
+      }
+
     // q173 integer CUSUM over per-increment kept volumes: history from
     // the committed monitor rows (1 row each), plus this increment
     val history = m.keyParts.map(p =>
@@ -294,22 +352,27 @@ object CorpusIncrement {
       StructField("psi_source", DoubleType, true),
       StructField("cusum_stat", LongType, false),
       StructField("cusum_argmax_id", LongType, false),
+      StructField("jsd_tokens", DoubleType, true),
       StructField("alarm_ks", BooleanType, false),
-      StructField("alarm_psi", BooleanType, false)))
+      StructField("alarm_psi", BooleanType, false),
+      StructField("alarm_jsd", BooleanType, false)))
     spark.createDataFrame(
       java.util.List.of(Row(incrementId, keptN,
         ks.map(Double.box).orNull, psi.map(Double.box).orNull,
-        best, bestId,
-        ks.exists(_ > ksAlarm), psi.exists(_ > psiAlarm))), schema)
+        best, bestId, jsd.map(Double.box).orNull,
+        ks.exists(_ > ksAlarm), psi.exists(_ > psiAlarm),
+        jsd.exists(_ > jsdAlarm))), schema)
       .write.mode("overwrite")
       .parquet(monitorDir(root, partOf(incrementId)))
   }
 
   /** The committed monitoring ledger: one row per increment —
     * (increment_id, kept_n, ks_tokens, psi_source, cusum_stat,
-    * cusum_argmax_id, alarm_ks, alarm_psi). The operational loop the
-    * round-9 judge asked for: refresh → alarm, with no caller
-    * assembly required. */
+    * cusum_argmax_id, jsd_tokens, alarm_ks, alarm_psi, alarm_jsd).
+    * The operational loop the round-9 judge asked for: refresh →
+    * alarm, with no caller assembly required; jsd_tokens is the q197
+    * fixed-state bucketed token-distribution drift vs all prior
+    * increments. */
   def monitorLog(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(
       throw new IllegalStateException(
@@ -523,10 +586,11 @@ object CorpusIncrement {
         SketchLedger.vacuum(sketchState(root), keepVersions)
     val own = DedupLedger.vacuumState(root, keepVersions,
       m => m.keyParts.flatMap(p => Seq(
-        s"kept/$p", s"monitor/$p", s"stage/exact/$p", s"stage/near/$p"))
+        s"kept/$p", s"monitor/$p", s"monitor_hist/$p",
+        s"stage/exact/$p", s"stage/near/$p"))
         ++ Seq(s"shards/v_${m.version}", s"bpe/v_${m.version}"),
-      Seq("kept", "monitor", "stage/exact", "stage/near",
-        "shards", "bpe"))
+      Seq("kept", "monitor", "monitor_hist", "stage/exact",
+        "stage/near", "shards", "bpe"))
     inner + own
   }
 

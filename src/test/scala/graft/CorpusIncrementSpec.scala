@@ -212,12 +212,17 @@ class CorpusIncrementSpec extends SparkSpec {
     val c0 = ctl.head
     assert(c0.isNullAt(c0.fieldIndex("ks_tokens")),
       "increment 0 has no prior period — ks must be null")
+    assert(c0.isNullAt(c0.fieldIndex("jsd_tokens")),
+      "increment 0 has no prior period — jsd must be null")
     assert(!c0.getBoolean(c0.fieldIndex("alarm_ks")))
+    assert(!c0.getBoolean(c0.fieldIndex("alarm_jsd")))
     val c1 = ctl(1)
     assert(!c1.getBoolean(c1.fieldIndex("alarm_ks")),
       s"in-distribution ks=${c1.get(c1.fieldIndex("ks_tokens"))}")
     assert(!c1.getBoolean(c1.fieldIndex("alarm_psi")),
       s"in-distribution psi=${c1.get(c1.fieldIndex("psi_source"))}")
+    assert(!c1.getBoolean(c1.fieldIndex("alarm_jsd")),
+      s"in-distribution jsd=${c1.get(c1.fieldIndex("jsd_tokens"))}")
     assert(c1.getLong(c1.fieldIndex("kept_n")) > 0)
 
     // drift root: increment 1 truncates every text to 10 tokens
@@ -241,6 +246,23 @@ class CorpusIncrementSpec extends SparkSpec {
         s"psi=${d1.get(d1.fieldIndex("psi_source"))}")
     // the volume statistic is the q173 integer form over increments
     assert(d1.getLong(d1.fieldIndex("cusum_stat")) >= 0)
+
+    // jsd root: increment 1 rewrites every token into a fresh
+    // namespace — the token-count KS and source PSI barely move, but
+    // the bucketed token-DISTRIBUTION drift (jsd_tokens, the q197
+    // statistic off committed histogram state) must fire
+    val rootJ = s"$base/rootJ"
+    CorpusIncrement.init(spark, rootJ, corpus)
+    inc(rootJ, b1, 0L)
+    val renamed = b2.withColumn("text",
+      regexp_replace($"text", "(\\S+)", "ns$1"))
+    inc(rootJ, renamed, 1L)
+    val j1 = CorpusIncrement.monitorLog(spark, rootJ).collect()(1)
+    assert(j1.getBoolean(j1.fieldIndex("alarm_jsd")),
+      s"planted namespace shift not alarmed: " +
+        s"jsd=${j1.get(j1.fieldIndex("jsd_tokens"))}")
+    assert(j1.getDouble(j1.fieldIndex("jsd_tokens")) > 0.5,
+      "disjoint namespaces should drive the bucketed JSD high")
   }
 
   test("monitor output is exactly-once under crash replay: rolling " +

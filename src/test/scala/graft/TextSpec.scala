@@ -654,6 +654,55 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tokenHistDrift: zero for identical mixes, DPI vs exact JSD, " +
+    "planted namespace shift surfaces") {
+    // two sources with IDENTICAL token mixes drift equally; a third
+    // on a disjoint namespace drifts strictly more vs the blend
+    val docs = Seq(
+      ("s1", "a b c a b c"), ("s2", "a b c a b c"),
+      ("s3", "zz1 zz2 zz3 zz1 zz2 zz3"))
+      .toDF("source", "text")
+    val got = TextAnalysis.tokenHistDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("jsd_vs_corpus"))
+      .toMap
+    // s1/s2 are 2/3 of the corpus mass on their own tokens: nonzero
+    // but small and EQUAL; s3 is the 1/3 outlier: strictly larger
+    assert(got("s1") == got("s2"))
+    assert(got("s3") > got("s1"),
+      s"namespace outlier ${got("s3")} not above in-mix ${got("s1")}")
+    // single source == corpus -> exactly 0
+    val solo = TextAnalysis
+      .tokenHistDrift(Seq(("only", "p q r p")).toDF("source", "text"))
+      .collect().head
+    assert(solo.getAs[Double]("jsd_vs_corpus") == 0.0)
+
+    // data-processing inequality on the fixture: the bucketed JSD
+    // never exceeds the exact token-level JSD (hashing merges mass)
+    val fix = TextAnalysis.tokenHistDrift(tables.documents).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("jsd_vs_corpus"))
+      .toMap
+    val toks = tables.documents.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val corpusC = toks.groupBy(_._2).map { case (t, v) => t -> v.length }
+    val nAll = toks.length.toDouble
+    def half(x: Double, y: Double) =
+      if (x == 0.0) 0.0
+      else 0.5 * x * (math.log(2 * x / (x + y)) / math.log(2.0))
+    toks.groupBy(_._1).foreach { case (src, v) =>
+      val srcC = v.groupBy(_._2).map { case (t, w) => t -> w.length }
+      val nS = v.length.toDouble
+      val exact = corpusC.keys.map { t =>
+        val p = srcC.getOrElse(t, 0) / nS
+        val q = corpusC(t) / nAll
+        half(p, q) + half(q, p)
+      }.sum
+      assert(fix(src) <= exact + 5e-4,
+        s"$src: bucketed ${fix(src)} exceeds exact $exact")
+      assert(fix(src) >= 0.0 && fix(src) <= 1.0)
+    }
+  }
+
   test("curriculumInterleave: permutation, stride spread, exact replay") {
     val out = TextAnalysis.curriculumInterleave(tables.documents)
       .collect()
