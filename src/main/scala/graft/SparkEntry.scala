@@ -343,6 +343,10 @@ object SparkEntry {
     // CorpusIncrement monitor commits per increment as jsd_tokens)
     "q197_token_hist_drift" ->
       q(t => TextAnalysis.tokenHistDrift(t.documents)),
+    // q198: per-shard composition audit on the exact q156 spans —
+    // dominant-lang share + language entropy per training shard
+    "q198_shard_homogeneity" ->
+      q(t => TextAnalysis.shardHomogeneity(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -517,6 +521,29 @@ object SparkEntry {
       |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
       |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
       |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)""".stripMargin
+
+  /** Shared q156/q198 CTE prefix: the shard assignment through `s`
+    * (one def so the shard writer's gate and the homogeneity audit's
+    * gate cannot desynchronize about membership). */
+  private def shardCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(concat('0x', substr(md5(
+      |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+      |      AS hkey
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens, hkey,
+      |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_tokens) OVER () AS tot
+      |  FROM base),
+      |s AS (
+      |  SELECT doc_id, n_tokens, hkey,
+      |    LEAST(CAST(FLOOR((cum - n_tokens) * 8.0 / tot) AS BIGINT),
+      |      7) AS shard
+      |  FROM c)""".stripMargin
 
   /** Shared q184/q187 CTE prefix: the deterministic md5 shuffle order
     * and the running token sum (one def so the doc-axis and
@@ -2524,29 +2551,40 @@ object SparkEntry {
     // shuffle order — the engine computes that sum via GlobalRank (no
     // unpartitioned window), the oracle via a plain window.
     "q156_shuffle_shards" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(concat('0x', substr(md5(
-        |      CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
-        |      AS hkey
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens, hkey,
-        |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(n_tokens) OVER () AS tot
-        |  FROM base),
-        |s AS (
-        |  SELECT doc_id, n_tokens, hkey,
-        |    LEAST(CAST(FLOOR((cum - n_tokens) * 8.0 / tot) AS BIGINT),
-        |      7) AS shard
-        |  FROM c)
-        |SELECT doc_id, CAST(shard AS INT) AS shard,
-        |  ROW_NUMBER() OVER (PARTITION BY shard
-        |    ORDER BY hkey, doc_id) AS pos,
-        |  n_tokens
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $shardCtes
+         |SELECT doc_id, CAST(shard AS INT) AS shard,
+         |  ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY hkey, doc_id) AS pos,
+         |  n_tokens
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // q198: the SAME shard-assignment CTE as q156 — the shard writer
+    // and the homogeneity audit cannot disagree about membership
+    "q198_shard_homogeneity" ->
+      s"""WITH $shardCtes,
+         |a AS (SELECT s.doc_id, CAST(s.shard AS INT) AS shard,
+         |        s.n_tokens, d.lang, d.source
+         |      FROM s JOIN documents d USING (doc_id)),
+         |ps AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |       FROM a GROUP BY shard),
+         |pl AS (SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM a GROUP BY shard, lang),
+         |dom AS (SELECT shard, lang, c, ROW_NUMBER() OVER (
+         |          PARTITION BY shard ORDER BY c DESC, lang DESC) AS rk
+         |        FROM pl),
+         |ent AS (SELECT pl.shard,
+         |          ROUND(-SUM((CAST(c AS DOUBLE) / n_docs)
+         |            * log2(CAST(c AS DOUBLE) / n_docs)), 4) + 0.0
+         |            AS lang_entropy
+         |        FROM pl JOIN ps USING (shard) GROUP BY pl.shard)
+         |SELECT ps.shard, ps.n_docs, ps.n_tokens, ps.n_sources,
+         |  dom.lang AS dominant_lang,
+         |  ROUND(CAST(dom.c AS DOUBLE) / ps.n_docs, 6) AS dominant_frac,
+         |  ent.lang_entropy
+         |FROM ps JOIN dom ON dom.shard = ps.shard AND dom.rk = 1
+         |JOIN ent ON ent.shard = ps.shard
+         |ORDER BY ps.shard""".stripMargin,
     // q157: parallel unnest(range, ls) zips positionally in DuckDB —
     // the posexplode twin; string_agg(... ORDER BY pos) rebuilds the
     // doc in original line order; concat_ws skips NULL branches in

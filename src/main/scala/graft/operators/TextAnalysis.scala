@@ -1037,6 +1037,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q198 — shard homogeneity audit: per training shard of
+    * [[shuffleShards]], the composition statistics a trainer checks
+    * before treating shards as exchangeable — doc/token volume,
+    * distinct sources, the dominant language with its share, and the
+    * language entropy (log2). Shards are supposed to be iid slices of
+    * the corpus mix; a shard whose dominant-language share spikes (or
+    * whose entropy collapses) breaks the "any shard ≈ the corpus"
+    * assumption that data-parallel training and the q196 interleave
+    * both rest on. Rides the EXACT q156 shard spans (same hash, same
+    * boundary arithmetic — this audit and the shard writer cannot
+    * disagree about membership); one doc-keyed equi-join to bring in
+    * (lang, source), then two |shards|-keyed hash aggregates. Counts
+    * exact integers; the entropy is a ≤|langs|-term sum, 4 dp, with
+    * the −0.0 fold (a single-language shard sums to −0.0). */
+  def shardHomogeneity(
+      documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val assigned = shuffleShards(documents, nShards)
+      .join(documents.select("doc_id", "lang", "source"), "doc_id")
+    val perShard = assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"))
+    val perLang = assigned.groupBy("shard", "lang")
+      .agg(count(lit(1)).as("c"))
+    val langStats = perLang
+      .join(perShard.select("shard", "n_docs"), "shard")
+      .groupBy("shard").agg(
+        max(struct(col("c"), col("lang"))).as("dom"),
+        (round(-sum((col("c").cast("double") / col("n_docs"))
+          * log2(col("c").cast("double") / col("n_docs"))), 4)
+          + lit(0.0)).as("lang_entropy"))
+    perShard.join(langStats, "shard")
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_sources"),
+        col("dom").getField("lang").as("dominant_lang"),
+        round(col("dom").getField("c").cast("double") / col("n_docs"),
+          6).as("dominant_frac"),
+        col("lang_entropy"))
+      .orderBy("shard")
+  }
+
   /** q184 — training-sequence packing accounting: the step AFTER
     * sharding that every trainer runs — concatenate documents in the
     * deterministic md5 shuffle order and chunk the token stream into

@@ -703,6 +703,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("shardHomogeneity: crafted entropy values and fixture conservation") {
+    // one shard, 2+2 langs -> entropy exactly 1.0, dominant share 0.5
+    // with the (count, lang) struct-max tie rule picking 'zb'
+    val docs = Seq(
+      (1L, "w x", "za", "s1"), (2L, "w x", "za", "s1"),
+      (3L, "w x", "zb", "s2"), (4L, "w x", "zb", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val one = TextAnalysis.shardHomogeneity(docs, nShards = 1).collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getAs[Long]("n_docs") == 4
+      && r.getAs[Long]("n_sources") == 2
+      && r.getAs[String]("dominant_lang") == "zb"
+      && r.getAs[Double]("dominant_frac") == 0.5
+      && r.getAs[Double]("lang_entropy") == 1.0)
+    // single-language corpus -> entropy -0.0 folded to 0.0
+    val mono = TextAnalysis.shardHomogeneity(
+      docs.withColumn("lang", lit("only")), nShards = 1).collect().head
+    assert(mono.getAs[Double]("lang_entropy") == 0.0
+      && mono.getAs[Double]("dominant_frac") == 1.0)
+
+    // fixture: shards conserve docs/tokens and agree with the q156
+    // spans they claim to audit
+    val rows = TextAnalysis.shardHomogeneity(tables.documents).collect()
+    val spans = TextAnalysis.shuffleShards(tables.documents).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == spans.length)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum
+      == spans.map(_.getAs[Long]("n_tokens")).sum)
+    val byShard = spans.groupBy(_.getAs[Int]("shard"))
+      .map { case (s, v) => s -> v.length.toLong }
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_docs")
+        == byShard(row.getAs[Int]("shard")))
+      val e = row.getAs[Double]("lang_entropy")
+      assert(e >= 0.0 && e <= math.log(5) / math.log(2) + 1e-9)
+    }
+  }
+
   test("curriculumInterleave: permutation, stride spread, exact replay") {
     val out = TextAnalysis.curriculumInterleave(tables.documents)
       .collect()
