@@ -347,6 +347,10 @@ object SparkEntry {
     // dominant-lang share + language entropy per training shard
     "q198_shard_homogeneity" ->
       q(t => TextAnalysis.shardHomogeneity(t.documents)),
+    // q199: temperature quotas recomputed after near-dup
+    // canonicalization, with the per-stratum shift
+    "q199_dedup_adjusted_mixture" ->
+      q(t => TextAnalysis.dedupAdjustedMixture(t.documents)),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -599,6 +603,30 @@ object SparkEntry {
       |      (sqrt(q.d2::DOUBLE) * sqrt(c.d2::DOUBLE)), 6) AS cos_q
       |  FROM base q JOIN base c
       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)""".stripMargin
+
+  /** The q127 temperature-quota chain over an arbitrary (lang,
+    * source, …) table, CTE names prefixed — q127 runs it over
+    * `documents`, q199 over both `documents` and the dedup-kept
+    * frame (one def, three gates, no desync). */
+  private def quotaCtesOver(src: String, p: String): String =
+    s"""${p}s AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
+       |  FROM $src GROUP BY lang, source),
+       |${p}t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM ${p}s),
+       |${p}b AS (SELECT ${p}s.*, ${p}t.tw,
+       |             CAST((100000 * w) // tw AS BIGINT) AS base,
+       |             CAST((100000 * w) % tw AS BIGINT) AS rem
+       |      FROM ${p}s, ${p}t),
+       |${p}r AS (SELECT *, CAST(ROW_NUMBER() OVER
+       |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk
+       |      FROM ${p}b),
+       |${p}g AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover
+       |      FROM ${p}b),
+       |${p}q AS (SELECT lang, source, n_docs,
+       |        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |             AS BIGINT) AS quota
+       |      FROM ${p}r, ${p}g)""".stripMargin
 
   private def componentsOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -3214,22 +3242,43 @@ object SparkEntry {
         |    AS vocab
         |FROM nd ORDER BY doc_id""".stripMargin,
     "q127_temperature_mixture" ->
-      """WITH s AS (
-        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |         CAST(ROUND(1000000 * sqrt(COUNT(*))) AS BIGINT) AS w
-        |  FROM documents GROUP BY lang, source),
-        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
-        |b AS (SELECT s.*, t.tw,
-        |             CAST((100000 * w) // tw AS BIGINT) AS base,
-        |             CAST((100000 * w) % tw AS BIGINT) AS rem
-        |      FROM s, t),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
-        |        (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM b),
-        |g AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover FROM b)
-        |SELECT lang, source, n_docs,
-        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-        |            AS BIGINT) AS quota
-        |FROM r, g ORDER BY lang, source""".stripMargin,
+      s"""WITH ${quotaCtesOver("documents", "m")}
+         |SELECT lang, source, n_docs, quota
+         |FROM mq ORDER BY lang, source""".stripMargin,
+    // q199: the q42 components + q85 keeper rule + the SHARED q127
+    // quota chain over both frames — three gates, one quota text
+    "q199_dedup_adjusted_mixture" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+         |und(a, b) AS (SELECT doc_i, doc_j FROM pairs
+         |              UNION SELECT doc_j, doc_i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |cl AS (SELECT c.component, c.doc_id, d.n_chars
+         |       FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |rkd AS (SELECT component, doc_id, ROW_NUMBER() OVER (
+         |          PARTITION BY component
+         |          ORDER BY n_chars DESC, doc_id) AS rk
+         |        FROM cl),
+         |dropped AS (SELECT doc_id FROM rkd WHERE rk > 1),
+         |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |${quotaCtesOver("documents", "bf")},
+         |${quotaCtesOver("kept", "af")}
+         |SELECT bf.lang, bf.source,
+         |  bf.n_docs AS n_before,
+         |  CAST(COALESCE(af.n_docs, 0) AS BIGINT) AS n_after,
+         |  bf.quota AS quota_before,
+         |  CAST(COALESCE(af.quota, 0) AS BIGINT) AS quota_after,
+         |  CAST(COALESCE(af.quota, 0) - bf.quota AS BIGINT)
+         |    AS quota_shift
+         |FROM bfq bf LEFT JOIN afq af
+         |  ON af.lang = bf.lang AND af.source = bf.source
+         |ORDER BY bf.lang, bf.source""".stripMargin,
     "q128_conversion_survival" ->
       """WITH f AS (
         |  SELECT user_id,

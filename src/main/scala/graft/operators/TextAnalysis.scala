@@ -1037,6 +1037,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q199 — dedup-adjusted mixture: the temperature-mixture quotas
+    * (q127) recomputed AFTER near-dup canonicalization, with the
+    * per-stratum shift — closing the loop q85 and q127 leave open:
+    * dedup changes stratum sizes (boilerplate-heavy sources lose the
+    * most), and a mixture planned on pre-dedup counts silently
+    * over-allocates exactly the strata dedup shrinks. Per (lang,
+    * source): doc counts and quotas before/after, and the quota
+    * shift.
+    *
+    * Composition, not new machinery: ONE [[Dedup.nearDupComponents]]
+    * pass (the q42 star components), the q85 keeper rule (max
+    * n_chars, min doc_id tie) inlined so components are not derived
+    * twice, a left-anti join to the kept corpus, and
+    * [[temperatureMixture]] over both frames joined on the stratum
+    * key (left join + coalesce 0: a stratum dedup empties must
+    * surface as quota_after = 0, not vanish). Scale posture is the
+    * components'/mixture's own — nothing here adds a shuffle beyond
+    * the |strata|-row joins. */
+  def dedupAdjustedMixture(
+      documents: DataFrame, budget: Long = 100000L): DataFrame = {
+    val comp = Dedup.nearDupComponents(documents)
+    val keepers = comp
+      .join(documents.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("component")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select((-col("best.neg_id")).as("doc_id"),
+        lit(1).as("keep"))
+    val dropIds = comp.select("doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .filter(col("keep").isNull).select("doc_id")
+    val kept = documents.join(dropIds, Seq("doc_id"), "left_anti")
+    val before = temperatureMixture(documents, budget)
+      .select(col("lang"), col("source"),
+        col("n_docs").as("n_before"), col("quota").as("quota_before"))
+    val after = temperatureMixture(kept, budget)
+      .select(col("lang"), col("source"),
+        col("n_docs").as("n_after"), col("quota").as("quota_after"))
+    before.join(after, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("quota_before"),
+        coalesce(col("quota_after"), lit(0L)).as("quota_after"),
+        (coalesce(col("quota_after"), lit(0L)) - col("quota_before"))
+          .as("quota_shift"))
+      .orderBy("lang", "source")
+  }
+
   /** q198 — shard homogeneity audit: per training shard of
     * [[shuffleShards]], the composition statistics a trainer checks
     * before treating shards as exchangeable — doc/token volume,

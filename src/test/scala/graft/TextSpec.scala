@@ -703,6 +703,55 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("dedupAdjustedMixture: quota conservation, monotone stratum " +
+    "shrink, and the planted boilerplate stratum loses quota") {
+    import org.apache.spark.sql.functions.{col => c}
+    // stratum (l1, sA): 4 near-identical docs (3 die in canonical
+    // keep); (l1, sB): 4 distinct docs — sA's quota must shift down
+    val mk = (id: Long, txt: String, src: String) =>
+      (id, txt, "l1", src, txt.length.toLong)
+    val docs = (
+      (1L to 4L).map(i => mk(i,
+        "alpha beta gamma delta epsilon zeta", "sA")) ++
+      Seq(
+        mk(11L, "one two three four five six", "sB"),
+        mk(12L, "seven eight nine ten eleven twelve", "sB"),
+        mk(13L, "red green blue yellow purple orange", "sB"),
+        mk(14L, "north south east west up down", "sB")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.dedupAdjustedMixture(docs, budget = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val sA = got(("l1", "sA")); val sB = got(("l1", "sB"))
+    assert(sA.getAs[Long]("n_before") == 4
+      && sA.getAs[Long]("n_after") == 1,
+      s"canonical keep should leave 1 of the 4 twins: $sA")
+    assert(sB.getAs[Long]("n_after") == 4)
+    assert(sA.getAs[Long]("quota_shift") < 0
+      && sB.getAs[Long]("quota_shift") > 0)
+    // both plans conserve the budget exactly
+    assert(got.values.map(_.getAs[Long]("quota_before")).sum == 100L)
+    assert(got.values.map(_.getAs[Long]("quota_after")).sum == 100L)
+
+    // fixture: monotone shrink and conservation
+    val fix = TextAnalysis.dedupAdjustedMixture(tables.documents)
+      .collect()
+    fix.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("quota_shift")
+        == r.getAs[Long]("quota_after") - r.getAs[Long]("quota_before"))
+    }
+    assert(fix.map(_.getAs[Long]("quota_before")).sum == 100000L)
+    assert(fix.map(_.getAs[Long]("quota_after")).sum == 100000L)
+    val droppedTotal = fix.map(r =>
+      r.getAs[Long]("n_before") - r.getAs[Long]("n_after")).sum
+    val comp = graft.operators.Dedup
+      .nearDupComponents(tables.documents)
+    val expectDropped =
+      comp.count() - comp.select(c("component")).distinct().count()
+    assert(droppedTotal == expectDropped,
+      s"dropped $droppedTotal vs components math $expectDropped")
+  }
+
   test("shardHomogeneity: crafted entropy values and fixture conservation") {
     // one shard, 2+2 langs -> entropy exactly 1.0, dominant share 0.5
     // with the (count, lang) struct-max tie rule picking 'zb'
