@@ -351,6 +351,22 @@ object SparkEntry {
     // canonicalization, with the per-stratum shift
     "q199_dedup_adjusted_mixture" ->
       q(t => TextAnalysis.dedupAdjustedMixture(t.documents)),
+    // q200: the sixth ledger — q193's memorization risk against LIVE
+    // committed df state: init on 80% by id, absorb the rest as one
+    // increment (as-of dfs = committed + batch; no corpus rescan).
+    // Fresh temp state per call (Bench re-runs it). FULL hash oracle:
+    // the df state is additive integers, so the as-of risk replays
+    // exactly in SQL on shingle strings.
+    "q200_ngram_ledger_risk" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(spark, dir).documents
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_ngledger_").toString + "/state"
+      graft.sources.NgramLedger.init(spark, state,
+        docs.filter(col("doc_id") % 10 < 8))
+      graft.sources.NgramLedger.absorb(spark, state,
+        docs.filter(col("doc_id") % 10 >= 8))
+    }),
     "q173_cusum_changepoint" -> q(Relational.q173),
     "q174_theil_sen" -> q(Relational.q174),
     "q176_mann_kendall" -> q(Relational.q176),
@@ -1148,6 +1164,33 @@ object SparkEntry {
          |            >= COUNT(*) THEN 1 ELSE 0 END AS INT) AS risk_flag
          |FROM idx JOIN dfreq USING (shingle)
          |GROUP BY idx.doc_id ORDER BY idx.doc_id""".stripMargin,
+    // q200: q193's as-of form — dfs = committed 80% state + the
+    // batch's own contribution, additive integers, exact replay
+    "q200_ngram_ledger_risk" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+         |              FROM documents),
+         |idx AS (SELECT DISTINCT doc_id, shingle FROM (
+         |          SELECT doc_id, unnest($duckShingles) AS shingle
+         |          FROM toks)),
+         |prior AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfp
+         |          FROM idx WHERE doc_id % 10 < 8 GROUP BY shingle),
+         |bidx AS (SELECT * FROM idx WHERE doc_id % 10 >= 8),
+         |bdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfb
+         |        FROM bidx GROUP BY shingle)
+         |SELECT bidx.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN COALESCE(dfp, 0) + dfb >= 4
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+         |  CAST(MAX(COALESCE(dfp, 0) + dfb) AS BIGINT) AS max_df,
+         |  ROUND(CAST(SUM(CASE WHEN COALESCE(dfp, 0) + dfb >= 4
+         |             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         |    AS frequent_frac,
+         |  CAST(CASE WHEN 2 * SUM(CASE WHEN COALESCE(dfp, 0) + dfb >= 4
+         |            THEN 1 ELSE 0 END) >= COUNT(*)
+         |       THEN 1 ELSE 0 END AS INT) AS risk_flag
+         |FROM bidx JOIN bdf USING (shingle)
+         |  LEFT JOIN prior USING (shingle)
+         |GROUP BY bidx.doc_id ORDER BY bidx.doc_id""".stripMargin,
     // q194: per-row norm math is IEEE-deterministic on both engines;
     // only the final sums are order-sensitive -> 4 dp (q71 convention)
     "q194_embedding_diagnostics" ->
