@@ -119,6 +119,53 @@ class NgramLedgerSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest via absorbSink: two micro-batches over a " +
+    "file stream equal the batch two-absorb twin, rows and state") {
+    val docs = tables.documents
+    val root = java.nio.file.Files
+      .createTempDirectory("ngled_stream").toString
+    val (corpusDir, b1Dir, b2Dir) =
+      (s"$root/corpus", s"$root/b1", s"$root/b2")
+    docs.filter($"doc_id" < 30).write.parquet(corpusDir)
+    docs.filter($"doc_id" >= 30 && $"doc_id" < 40).write.parquet(b1Dir)
+    docs.filter($"doc_id" >= 40).write.parquet(b2Dir)
+    val corpus = spark.read.parquet(corpusDir)
+
+    val state = s"$root/state"; val twin = s"$root/twin"
+    NgramLedger.init(spark, state, corpus)
+    NgramLedger.init(spark, twin, corpus)
+    val exp1 = NgramLedger.absorb(spark, twin,
+      spark.read.parquet(b1Dir)).collect().toSet
+    val exp2 = NgramLedger.absorb(spark, twin,
+      spark.read.parquet(b2Dir)).collect().toSet
+    assert(exp1.nonEmpty && exp2.nonEmpty, "vacuous fixture")
+
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def feed(srcDir: String, tag: String): Unit =
+      new java.io.File(srcDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(inDir, s"${tag}_$i.parquet"))
+        }
+    val q = spark.readStream.schema(corpus.schema).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(NgramLedger.absorbSink(spark, state, outDir))
+      .start()
+    try {
+      feed(b1Dir, "b1"); q.processAllAvailable()
+      feed(b2Dir, "b2"); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$outDir/batch_0").collect().toSet
+      == exp1)
+    assert(spark.read.parquet(s"$outDir/batch_1").collect().toSet
+      == exp2)
+    assert(dfMap(NgramLedger.dfTable(spark, state))
+      == dfMap(NgramLedger.dfTable(spark, twin)),
+      "stream-maintained df state must equal the batch twin")
+  }
+
   test("vacuum reclaims superseded parts, refuses as-of beyond the " +
     "horizon, and leaves CURRENT byte-identical") {
     val state = tmp("vac")
