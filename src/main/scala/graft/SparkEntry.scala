@@ -357,6 +357,25 @@ object SparkEntry {
     // Fresh temp state per call (Bench re-runs it). FULL hash oracle:
     // the df state is additive integers, so the as-of risk replays
     // exactly in SQL on shingle strings.
+    // q201/q202: the datasheet companions — Good–Turing
+    // frequency-of-frequencies per source, and the exact-copy
+    // cluster-size distribution with duplicate token mass
+    "q201_frequency_spectrum" ->
+      q(t => TextAnalysis.frequencySpectrum(t.documents)),
+    // q202 plants scale-covariant duplicates (doc_id % 17 copied
+    // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
+    // stock fixture has no exact copies at any sf, and a gate whose
+    // duplicate buckets are structurally empty is vacuous (the
+    // q181/q177 lesson). Modular keys keep all three buckets
+    // populated at every scale factor.
+    "q202_duplication_profile" ->
+      q { t =>
+        import org.apache.spark.sql.functions.col
+        val d = t.documents
+        TextAnalysis.duplicationProfile(
+          d.unionByName(d.filter(col("doc_id") % 17 === 0))
+            .unionByName(d.filter(col("doc_id") % 51 === 0)))
+      },
     "q200_ngram_ledger_risk" -> ((spark: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables(spark, dir).documents
@@ -1191,6 +1210,50 @@ object SparkEntry {
          |FROM bidx JOIN bdf USING (shingle)
          |  LEFT JOIN prior USING (shingle)
          |GROUP BY bidx.doc_id ORDER BY bidx.doc_id""".stripMargin,
+    "q201_frequency_spectrum" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+        |                AS tok FROM documents),
+        |cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM toks WHERE len(tok) > 0 GROUP BY source, tok),
+        |sp AS (SELECT source, LEAST(c, 11) AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n_types,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens
+        |       FROM cnt GROUP BY source, LEAST(c, 11)),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tt,
+        |          CAST(SUM(c) AS BIGINT) AS tk
+        |        FROM cnt GROUP BY source)
+        |SELECT sp.source, CAST(k AS BIGINT) AS k, n_types, n_tokens,
+        |  ROUND(CAST(n_types AS DOUBLE) / tt, 6) AS type_share,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / tk, 6) AS token_share
+        |FROM sp JOIN tot USING (source)
+        |ORDER BY sp.source, k""".stripMargin,
+    "q202_duplication_profile" ->
+      """WITH pool AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 51 = 0),
+        |g AS (
+        |  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS d,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |      AS g_tokens,
+        |    CAST(MAX(len(string_split(text, ' '))) AS BIGINT)
+        |      AS keeper_tokens
+        |  FROM pool GROUP BY md5(text)),
+        |p AS (SELECT LEAST(d, 6) AS db,
+        |        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |        CAST(SUM(d) AS BIGINT) AS n_docs,
+        |        CAST(SUM(d - 1) AS BIGINT) AS n_dup_docs,
+        |        CAST(SUM(g_tokens) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(g_tokens - keeper_tokens) AS BIGINT)
+        |          AS dup_tokens
+        |      FROM g GROUP BY LEAST(d, 6)),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+        |        CAST(SUM(n_tokens) AS BIGINT) AS tt FROM p)
+        |SELECT CAST(db AS BIGINT) AS db, n_groups, n_docs, n_dup_docs,
+        |  n_tokens, dup_tokens,
+        |  ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+        |  ROUND(CAST(dup_tokens AS DOUBLE) / tt, 6) AS dup_token_share
+        |FROM p, t ORDER BY db""".stripMargin,
     // q194: per-row norm math is IEEE-deterministic on both engines;
     // only the final sums are order-sensitive -> 4 dp (q71 convention)
     "q194_embedding_diagnostics" ->

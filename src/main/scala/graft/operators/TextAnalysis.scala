@@ -1457,6 +1457,73 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q201 — token frequency-of-frequencies spectrum: per source, how
+    * many token TYPES occur exactly k times (k = 1..maxK, pooled
+    * maxK+1 = "more"), with type/token shares — the Good–Turing
+    * frequency profile behind smoothing estimates, vocabulary sizing,
+    * and the hapax rate (k = 1 share) that flags OCR noise and
+    * boilerplate extremes in dataset datasheets. Two token-keyed hash
+    * aggregates: (source, token) counts, then (source, k) rollup
+    * joined to the broadcast |sources|-row totals. Counts exact
+    * integers; shares single divisions rounded 6 dp. */
+  def frequencySpectrum(
+      documents: DataFrame, maxK: Int = 10): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val spectrum = counts
+      .withColumn("k", least(col("c"), lit(maxK.toLong + 1L)))
+      .groupBy("source", "k")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"))
+    val totals = counts.groupBy("source")
+      .agg(count(lit(1)).as("tot_types"), sum("c").as("tot_tokens"))
+    spectrum.join(broadcast(totals), "source")
+      .select(col("source"), col("k"), col("n_types"), col("n_tokens"),
+        round(col("n_types").cast("double")
+          / col("tot_types").cast("double"), 6).as("type_share"),
+        round(col("n_tokens").cast("double")
+          / col("tot_tokens").cast("double"), 6).as("token_share"))
+      .orderBy("source", "k")
+  }
+
+  /** q202 — duplication profile: the exact-copy cluster-size
+    * distribution (how many md5(text) groups have exactly d members,
+    * d = 1..maxD, pooled maxD+1 = "more") with the doc and token mass
+    * locked in duplicates — the corpus-level summary of what q17's
+    * dedup would remove (dup_token_share is the fraction of all
+    * tokens sitting on NON-KEEPER copies), reported in every dataset
+    * datasheet next to q191's per-stratum counts. One hash-group on
+    * the 128-bit text hash (the q17 shuffle posture — text itself
+    * never shuffles), one d-keyed rollup, one broadcast 1-row totals
+    * join. All counts exact; shares rounded 6 dp. */
+  def duplicationProfile(
+      documents: DataFrame, maxD: Int = 5): DataFrame = {
+    val groups = documents
+      .select(md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("d"), sum("n_tokens").as("g_tokens"),
+        max("n_tokens").as("keeper_tokens"))
+    val prof = groups
+      .withColumn("db", least(col("d"), lit(maxD.toLong + 1L)))
+      .groupBy("db")
+      .agg(count(lit(1)).as("n_groups"), sum("d").as("n_docs"),
+        sum(col("d") - lit(1L)).as("n_dup_docs"),
+        sum("g_tokens").as("n_tokens"),
+        sum(col("g_tokens") - col("keeper_tokens")).as("dup_tokens"))
+    val totals = prof.agg(
+      sum("n_docs").as("tot_docs"), sum("n_tokens").as("tot_tokens"))
+    prof.crossJoin(broadcast(totals))
+      .select(col("db"), col("n_groups"), col("n_docs"),
+        col("n_dup_docs"), col("n_tokens"), col("dup_tokens"),
+        round(col("n_docs").cast("double")
+          / col("tot_docs").cast("double"), 6).as("doc_share"),
+        round(col("dup_tokens").cast("double")
+          / col("tot_tokens").cast("double"), 6).as("dup_token_share"))
+      .orderBy("db")
+  }
+
   /** q196 — stride-scheduled curriculum interleave: a deterministic
     * GLOBAL training order in which every source is spread evenly
     * through the epoch (doc j of a source with n docs sits at stride

@@ -703,6 +703,56 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("frequencySpectrum: crafted buckets, hapax share, fixture " +
+    "type/token conservation") {
+    val docs = Seq(("s", "a a a b b c")).toDF("source", "text")
+    val got = TextAnalysis.frequencySpectrum(docs).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("type_share"))).toMap
+    assert(got(1L) == (1L, 1L, 0.333333)) // hapax: c
+    assert(got(2L) == (1L, 2L, 0.333333)) // b
+    assert(got(3L) == (1L, 3L, 0.333333)) // a
+    val fix = TextAnalysis.frequencySpectrum(tables.documents).collect()
+    val bySrc = fix.groupBy(_.getString(0))
+    val truth = tables.documents.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+      .groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      val toks = truth(src).map(_._2)
+      assert(rows.map(_.getAs[Long]("n_types")).sum
+        == toks.distinct.length.toLong, s"$src type conservation")
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum
+        == toks.length.toLong, s"$src token conservation")
+    }
+  }
+
+  test("duplicationProfile: crafted cluster sizes and duplicate token " +
+    "mass, fixture conservation") {
+    val docs = (Seq.fill(3)("x y") ++ Seq.fill(2)("p q r") ++ Seq("m"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicationProfile(docs).collect()
+      .map(r => r.getAs[Long]("db") -> r).toMap
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("n_groups") == 1
+      && d3.getAs[Long]("n_docs") == 3
+      && d3.getAs[Long]("n_dup_docs") == 2
+      && d3.getAs[Long]("dup_tokens") == 4
+      && d3.getAs[Double]("doc_share") == 0.5
+      && d3.getAs[Double]("dup_token_share") == 0.307692)
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_dup_docs") == 0
+      && d1.getAs[Double]("dup_token_share") == 0.0)
+    val fix = TextAnalysis.duplicationProfile(tables.documents).collect()
+    assert(fix.map(_.getAs[Long]("n_docs")).sum
+      == tables.documents.count())
+    val totTokens = tables.documents.select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong).sum
+    assert(fix.map(r => r.getAs[Long]("n_tokens")).sum == totTokens)
+  }
+
   test("dedupAdjustedMixture: quota conservation, monotone stratum " +
     "shrink, and the planted boilerplate stratum loses quota") {
     import org.apache.spark.sql.functions.{col => c}
