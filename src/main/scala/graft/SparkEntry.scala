@@ -362,6 +362,11 @@ object SparkEntry {
     // cluster-size distribution with duplicate token mass
     "q201_frequency_spectrum" ->
       q(t => TextAnalysis.frequencySpectrum(t.documents)),
+    // q203: rows-only — no DuckDB deflate scalar exists; TextSpec
+    // pins exact equality vs a driver-side java.util.zip reference,
+    // determinism, and the repetitive-vs-prose ordering
+    "q203_compression_ratio" ->
+      q(t => TextAnalysis.compressionRatio(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose

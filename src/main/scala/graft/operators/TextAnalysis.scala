@@ -1524,6 +1524,38 @@ object TextAnalysis {
       .orderBy("db")
   }
 
+  /** q203 — compression-ratio quality filter (the Gopher/RedPajama
+    * repetitiveness signal): per document, UTF-8 bytes, raw-DEFLATE
+    * compressed bytes via the native codegen'd
+    * [[graft.functions.DeflateLen]] expression, their ratio, and the
+    * repetitive flag (ratio above `maxRatio` — templated/repeated
+    * text compresses far better than natural prose). Catches
+    * character-level and structural repetition that token-level
+    * heuristics (q94) miss; the two signals are complementary gates
+    * in production filters. One codegen'd projection riding the scan
+    * + a flag — no shuffle at all except the output ordering. The
+    * flag compares against an exact integer cross-multiplication
+    * (bytes > maxRatioNum·deflate/maxRatioDen would be float; instead
+    * bytes·den > num·deflate — no float in the gate). Rows-only by
+    * convention (no DuckDB deflate scalar); TextSpec pins exact
+    * equality vs a driver-side java.util.zip reference. */
+  def compressionRatio(
+      documents: DataFrame, maxRatioNum: Int = 4,
+      maxRatioDen: Int = 1): DataFrame =
+    documents
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.CompressionFunctions
+          .deflate_len(col("text")).cast("long").as("deflate_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+        round(col("n_bytes").cast("double")
+          / col("deflate_bytes").cast("double"), 4)
+          .as("compression_ratio"),
+        when(col("n_bytes") * maxRatioDen
+          > col("deflate_bytes") * maxRatioNum, 1)
+          .otherwise(0).as("repetitive_flag"))
+      .orderBy("doc_id")
+
   /** q196 — stride-scheduled curriculum interleave: a deterministic
     * GLOBAL training order in which every source is spread evenly
     * through the epoch (doc j of a source with n docs sits at stride

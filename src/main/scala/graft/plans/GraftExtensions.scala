@@ -45,6 +45,11 @@ object GraftExtensions {
         classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) =>
         graft.functions.NfcNormalize(args(0))),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(
+        classOf[graft.functions.DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) =>
+        graft.functions.DeflateLen(args(0))),
     (FunctionIdentifier("interleave_bits16"),
       new ExpressionInfo(
         classOf[graft.functions.InterleaveBits].getName,

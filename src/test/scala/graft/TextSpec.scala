@@ -753,6 +753,41 @@ class TextSpec extends SparkSpec {
     assert(fix.map(r => r.getAs[Long]("n_tokens")).sum == totTokens)
   }
 
+  test("compressionRatio: exact parity with the java.util.zip " +
+    "reference, repetitive-vs-prose ordering, and the SQL surface") {
+    val rows = TextAnalysis.compressionRatio(tables.documents).collect()
+    val truth = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        graft.functions.CompressionFunctions
+          .deflateLen(r.getString(1).getBytes("UTF-8")).toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("deflate_bytes") == truth(r.getLong(0)),
+        s"doc ${r.getLong(0)}: engine deflate diverges from reference")
+    }
+    // determinism: a second run is identical
+    val again = TextAnalysis.compressionRatio(tables.documents).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    // repetitive text compresses far better than diverse text
+    val crafted = Seq(
+      (1L, Seq.fill(300)("ab").mkString(" ")),
+      (2L, (1 to 300).map(i => s"w${i}q${i * 7 % 101}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cr = TextAnalysis.compressionRatio(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(cr(1L).getAs[Double]("compression_ratio")
+      > 2 * cr(2L).getAs[Double]("compression_ratio"))
+    assert(cr(1L).getAs[Int]("repetitive_flag") == 1)
+    assert(cr(2L).getAs[Int]("repetitive_flag") == 0)
+
+    // SQL surface registered by GraftExtensions.register
+    graft.plans.GraftExtensions.register(spark)
+    val sqlLen = spark.sql(
+      "SELECT deflate_len('abababababababab') AS l").head().getInt(0)
+    assert(sqlLen == graft.functions.CompressionFunctions
+      .deflateLen("abababababababab".getBytes("UTF-8")))
+  }
+
   test("dedupAdjustedMixture: quota conservation, monotone stratum " +
     "shrink, and the planted boilerplate stratum loses quota") {
     import org.apache.spark.sql.functions.{col => c}
