@@ -1265,8 +1265,10 @@ object SparkEntry {
       """WITH e AS (SELECT label,
         |             [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),
-        |nn AS (SELECT label, v,
-        |         sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |nn AS (SELECT label, v, nrm FROM (
+        |         SELECT label, v,
+        |           sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
+        |       WHERE nrm > 0),
         |ex AS (SELECT label, nrm,
         |         unnest([{'d': i, 'x': v[i]}
         |                 for i in range(1, len(v)+1)]) AS s
@@ -1283,10 +1285,11 @@ object SparkEntry {
         |         FROM nn GROUP BY label)
         |SELECT scal.label, scal.n_vecs,
         |  ROUND(mean_norm, 4) AS mean_norm,
-        |  ROUND(sd_norm, 4) AS sd_norm,
+        |  CASE WHEN n_vecs > 1 THEN ROUND(sd_norm, 4) END AS sd_norm,
         |  ROUND(sqrt(sv2) / n_vecs, 4) AS centroid_norm,
-        |  ROUND((su2 - n_vecs) / (n_vecs * (n_vecs - 1.0)), 4) + 0.0
-        |    AS mean_cos
+        |  CASE WHEN n_vecs > 1 THEN
+        |    ROUND((su2 - n_vecs) / (n_vecs * (n_vecs - 1.0)), 4) + 0.0
+        |  END AS mean_cos
         |FROM scal JOIN persum USING (label)
         |ORDER BY label""".stripMargin,
     // q195: intersection terms + closed-form tail mass (tokens outside

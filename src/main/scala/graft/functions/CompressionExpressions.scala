@@ -53,19 +53,29 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object CompressionFunctions {
 
+  // per-row native Deflater construction/teardown would rival the
+  // compression work itself on short documents; a thread-local
+  // instance reset() per call keeps the hot path allocation-free
+  // (bounded native state: one Deflater + 8 KB buffer per executor
+  // thread) with identical deterministic output (same level,
+  // strategy, and zlib)
+  private val localDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+  private val localBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   /** Raw-DEFLATE (nowrap) length at fixed level 6 / default strategy.
-    * Allocates one Deflater per call; the output buffer is reused
-    * across the loop. Deterministic for a given JVM's zlib. */
+    * Deterministic for a given JVM's zlib. */
   def deflateLen(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = localBuf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** Column API for [[DeflateLen]]. */

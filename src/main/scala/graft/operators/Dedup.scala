@@ -1082,6 +1082,33 @@ object Dedup {
     * integers (the oracle joins on the shingle STRING — hash
     * collisions would surface as a hash mismatch, none exist on the
     * fixtures), ratios rounded to 6 dp. */
+  def corpusContainment(documents: DataFrame, n: Int = 3): DataFrame = {
+    val fp = documents
+      .select(col("source"), array_distinct(shingles(col("text"), n))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("source"), explode(transform(col("sh"),
+        s => xxhash64(s))).as("g"))
+      .distinct()
+    val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val inter = fp.as("a")
+      .join(fp.as("b"), col("a.g") === col("b.g")
+        && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val dims = sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"))),
+        col("source_a") =!= col("source_b"))
+    dims.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_a"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / col("n_a"), 6).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q193 — memorization-risk audit: for every document, how much of
     * it is built from CORPUS-FREQUENT n-grams — shingles whose
     * document frequency is at least `minDf` — plus the document's
@@ -1130,32 +1157,5 @@ object Dedup {
         when(col("n_frequent") * 2 >= col("n_shingles"), 1)
           .otherwise(0).as("risk_flag"))
       .orderBy("doc_id")
-  }
-
-  def corpusContainment(documents: DataFrame, n: Int = 3): DataFrame = {
-    val fp = documents
-      .select(col("source"), array_distinct(shingles(col("text"), n))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("source"), explode(transform(col("sh"),
-        s => xxhash64(s))).as("g"))
-      .distinct()
-    val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val inter = fp.as("a")
-      .join(fp.as("b"), col("a.g") === col("b.g")
-        && col("a.source") =!= col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val dims = sizes.select(col("source").as("source_a"),
-        col("n_grams").as("n_a"))
-      .join(broadcast(sizes.select(col("source").as("source_b"))),
-        col("source_a") =!= col("source_b"))
-    dims.join(inter, Seq("source_a", "source_b"), "left")
-      .select(col("source_a"), col("source_b"),
-        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_a"),
-        round(coalesce(col("n_inter"), lit(0L)).cast("double")
-          / col("n_a"), 6).as("containment"))
-      .orderBy("source_a", "source_b")
   }
 }

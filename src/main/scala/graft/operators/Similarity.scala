@@ -66,9 +66,16 @@ object Similarity {
     * on both engines; only the final sums are order-sensitive, and
     * all emitted floats round 4 dp (the q71 centroid convention). */
   def embeddingDiagnostics(embeddings: DataFrame): DataFrame = {
+    // zero-norm vectors carry no direction: they would poison the
+    // normalized sums into NaN for the whole class, so they are
+    // excluded from the panel (documented contract; the oracle
+    // filters identically). Singleton classes have no pairs: mean_cos
+    // and sd_norm are NULL there, not 0/0 (matching DuckDB's
+    // STDDEV_SAMP-of-one NULL so the gate stays engine-portable).
     val base = embeddings
       .select(col("label"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
+      .filter(col("nrm") > 0)
     val dims = base
       .select(col("label"), col("nrm"), posexplode(col("e")))
       .groupBy(col("label"), col("pos"))
@@ -83,11 +90,12 @@ object Similarity {
     scal.join(dims, "label")
       .select(col("label"), col("n_vecs"),
         round(col("mean_norm"), 4).as("mean_norm"),
-        round(col("sd_norm"), 4).as("sd_norm"),
+        when(col("n_vecs") > 1, round(col("sd_norm"), 4)).as("sd_norm"),
         round(sqrt(col("sv2")) / col("n_vecs"), 4).as("centroid_norm"),
-        (round((col("su2") - col("n_vecs"))
-          / (col("n_vecs") * (col("n_vecs") - lit(1)).cast("double")), 4)
-          + lit(0.0)).as("mean_cos"))
+        when(col("n_vecs") > 1,
+          round((col("su2") - col("n_vecs"))
+            / (col("n_vecs") * (col("n_vecs") - lit(1)).cast("double")),
+            4) + lit(0.0)).as("mean_cos"))
       .orderBy("label")
   }
 

@@ -1416,10 +1416,18 @@ object TextAnalysis {
     * the only floats are the final per-source sums over ≤ `buckets`
     * terms, rounded 4 dp. Reference distribution = the corpus
     * INCLUDING the source (the PSI convention, q144). */
+  /** The portable md5 token→bucket mapping shared by [[tokenHistDrift]]
+    * and [[graft.sources.CorpusIncrement]]'s monitor histogram — ONE
+    * def, so the declared query's statistic and the monitor's
+    * jsd_tokens cannot desynchronize (the shardCtes/quotaCtesOver
+    * discipline, applied to the engine side). */
+  def tokenBucket(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
   def tokenHistDrift(
       documents: DataFrame, buckets: Int = 4096): DataFrame = {
-    val b = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    val b = tokenBucket(col("tok"), buckets)
     val perSrc = documents
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)

@@ -191,6 +191,11 @@ object CorpusIncrement {
     // a token-count floor (vocabulary-free); both fixed configs.
     val toks = split(col("text"), " ")
     val stopArr = array(stopwords.map(lit): _*)
+    // eager localCheckpoint: the gated frame feeds TWO consumers (the
+    // kept-part write and the stage-5a histogram) — without it the
+    // whole scrub → dedup-join → gate lineage re-evaluates for the
+    // histogram (the GlobalRank.cumSum lesson; measured +1.5 s per
+    // q177 at sf0.1 before this truncation)
     val gatedFull = nearKept
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("sw_ratio",
@@ -198,6 +203,7 @@ object CorpusIncrement {
           .cast("double") / size(toks), 4))
       .filter(col("sw_ratio") >= minSwRatio &&
         col("n_tokens") >= minTokens)
+      .localCheckpoint(true)
     val gated = gatedFull
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens"), col("sw_ratio"),
@@ -218,8 +224,8 @@ object CorpusIncrement {
     gatedFull
       .select(explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy(pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
-        .cast("long"), lit(HistBuckets.toLong)).as("bucket"))
+      .groupBy(TextAnalysis.tokenBucket(col("tok"), HistBuckets)
+        .as("bucket"))
       .agg(count(lit(1)).as("c"))
       .coalesce(1)
       .write.mode("overwrite")

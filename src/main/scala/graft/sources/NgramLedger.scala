@@ -35,6 +35,8 @@ object NgramLedger {
 
   private def dfDir(statePath: String, part: String) =
     s"$statePath/df/$part"
+  private def docsDir(statePath: String, part: String) =
+    s"$statePath/docs/$part"
 
   /** The distinct (doc_id, fingerprint) frame — q193's index shape. */
   private def index(docs: DataFrame, n: Int): DataFrame = docs
@@ -57,8 +59,19 @@ object NgramLedger {
       s"ledger already initialized at $statePath")
     dfOf(index(corpus, n))
       .write.mode("overwrite").parquet(dfDir(statePath, partName(1)))
+    // the doc registry (8 bytes/doc) is what makes purge IDEMPOTENT:
+    // count subtraction is only sound once per member, so purge must
+    // know which docs' contributions are still in the df table
+    corpus.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(docsDir(statePath, partName(1)))
     writeManifest(statePath, Manifest(1, Seq(partName(1))))
   }
+
+  /** The absorbed doc_id registry (union of the manifest's parts). */
+  private def docsTable(
+      spark: SparkSession, statePath: String, m: Manifest): DataFrame =
+    spark.read.parquet(m.keyParts.map(docsDir(statePath, _)): _*)
+      .distinct()
 
   /** The committed corpus-wide df table: merge-on-read over the
     * manifest's delta parts. Fingerprints and counts only — never
@@ -87,7 +100,8 @@ object NgramLedger {
     * deltas (both persisted via localCheckpoint so commit and output
     * see one evaluation) + the manifest they were derived from. */
   private final case class Pending(
-      risk: DataFrame, batchDf: DataFrame, m: Manifest)
+      risk: DataFrame, batchDf: DataFrame, batchDocs: DataFrame,
+      m: Manifest)
 
   private def riskBatch(
       spark: SparkSession, statePath: String, batch: DataFrame,
@@ -97,6 +111,7 @@ object NgramLedger {
         s"no ledger at $statePath — call init(corpus) first"))
     val idx = index(batch, n).localCheckpoint(true)
     val batchDf = dfOf(idx).localCheckpoint(true)
+    val batchDocs = batch.select(col("doc_id")).distinct()
     val prior = mergedAt(spark, statePath, m)
       .withColumnRenamed("df", "df_prior")
     // as-of df = committed state + this batch's own contribution —
@@ -118,7 +133,7 @@ object NgramLedger {
         when(col("n_frequent") * 2 >= col("n_shingles"), 1)
           .otherwise(0).as("risk_flag"))
       .orderBy("doc_id")
-    Pending(risk, batchDf, m)
+    Pending(risk, batchDf, batchDocs, m)
   }
 
   /** State advance: the batch's df deltas as a new part, manifest
@@ -128,6 +143,8 @@ object NgramLedger {
     val next = p.m.version + 1
     p.batchDf.write.mode("overwrite")
       .parquet(dfDir(statePath, partName(next)))
+    p.batchDocs.write.mode("overwrite")
+      .parquet(docsDir(statePath, partName(next)))
     writeManifest(statePath,
       Manifest(next, p.m.keyParts :+ partName(next), batchId))
   }
@@ -180,40 +197,58 @@ object NgramLedger {
     val next = m.version + 1
     mergedAt(spark, statePath, m)
       .write.mode("overwrite").parquet(dfDir(statePath, partName(next)))
+    docsTable(spark, statePath, m)
+      .write.mode("overwrite").parquet(docsDir(statePath, partName(next)))
     writeManifest(statePath,
       Manifest(next, Seq(partName(next)), m.lastBatchId))
     true
   }
 
   /** Right-to-erasure for the DERIVED df state: subtract the given
-    * documents' shingle contributions and rewrite the table (counts
-    * that reach zero disappear). As-of versions older than the purge
-    * are refused afterwards (snapshot truncation — a purged doc's
-    * fingerprints must not be readable through time travel). Returns
-    * the number of fingerprints whose count changed. */
+    * documents' shingle contributions, rewrite the table (counts that
+    * reach zero disappear), and drop the docs from the registry.
+    * IDEMPOTENT, unlike a bare count subtraction: the doc registry
+    * gates the arithmetic, so a crash-retry of the same purge (or a
+    * purge of a never-absorbed doc) subtracts NOTHING the second time
+    * — df counts are only ever decremented once per actual member.
+    * As-of versions older than the purge are refused afterwards
+    * (snapshot truncation — a purged doc's fingerprints must not be
+    * readable through time travel). Returns the number of documents
+    * actually removed. */
   def purge(
       spark: SparkSession, statePath: String, docs: DataFrame,
       n: Int = 3): Long = {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(s"no ledger at $statePath"))
-    val sub = dfOf(index(docs, n))
+    val registry = docsTable(spark, statePath, m)
+    // only docs STILL IN the registry may subtract — the idempotence
+    // guard (the DedupLedger.purge anti-join discipline, adapted to
+    // count arithmetic)
+    val present = docs.dropDuplicates("doc_id")
+      .join(registry, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val removed = present.select("doc_id").distinct().count()
+    if (removed == 0L) return 0L
+    val sub = dfOf(index(present, n))
       .select(col("g"), (-col("df")).as("df"))
-    val touched = sub.count()
-    if (touched == 0L) return 0L
     val next = m.version + 1
     mergedAt(spark, statePath, m).unionByName(sub)
       .groupBy("g").agg(sum("df").as("df"))
       .filter(col("df") > 0)
       .write.mode("overwrite").parquet(dfDir(statePath, partName(next)))
+    registry.join(present.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(docsDir(statePath, partName(next)))
     writeManifest(statePath,
       Manifest(next, Seq(partName(next)), m.lastBatchId))
     truncateSnapshots(statePath, next)
-    touched
+    removed
   }
 
   /** Age-based retention for superseded delta parts — see
     * [[DedupLedger.vacuumState]]. */
   def vacuum(statePath: String, keepVersions: Int): Long =
     DedupLedger.vacuumState(statePath, keepVersions,
-      m => m.keyParts.map("df/" + _), Seq("df"))
+      m => m.keyParts.flatMap(p => Seq(s"df/$p", s"docs/$p")),
+      Seq("df", "docs"))
 }

@@ -117,6 +117,19 @@ class NgramLedgerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       NgramLedger.dfTable(spark, state, verPrePurge).count()
     }
+
+    // IDEMPOTENCE (the doc-registry guard): re-purging the same docs
+    // — the crash-retry case — subtracts NOTHING the second time;
+    // shared shingles of surviving docs keep their counts
+    val after = dfMap(NgramLedger.dfTable(spark, state))
+    assert(NgramLedger.purge(spark, state, doomed) == 0L,
+      "replayed purge must be a no-op")
+    assert(dfMap(NgramLedger.dfTable(spark, state)) == after,
+      "replayed purge must not double-subtract")
+    // purging never-absorbed docs is also a no-op
+    val alien = Seq((999999L, "totally novel alien text body"))
+      .toDF("doc_id", "text")
+    assert(NgramLedger.purge(spark, state, alien) == 0L)
   }
 
   test("streaming ingest via absorbSink: two micro-batches over a " +

@@ -447,6 +447,26 @@ class SimilaritySpec extends SparkSpec {
       - math.sqrt(2) / 2) < 1e-4)
   }
 
+  test("embeddingDiagnostics: singleton class yields NULL mean_cos/" +
+    "sd_norm (not 0/0 NaN) and zero-norm vectors are excluded") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f), 7), //            singleton class
+      (2L, Seq(0.0f, 0.0f), 8), //            zero vector: excluded
+      (3L, Seq(1.0f, 0.0f), 8), (4L, Seq(1.0f, 0.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDiagnostics(df).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val solo = got(7)
+    assert(solo.getAs[Long]("n_vecs") == 1
+      && solo.getAs[Double]("mean_norm") == 5.0
+      && solo.isNullAt(solo.fieldIndex("sd_norm"))
+      && solo.isNullAt(solo.fieldIndex("mean_cos")))
+    // class 8: the zero vector is excluded, leaving a parallel pair
+    val c8 = got(8)
+    assert(c8.getAs[Long]("n_vecs") == 2
+      && c8.getAs[Double]("mean_cos") == 1.0)
+  }
+
   test("embeddingDiagnostics: fixture agrees with brute-force referee") {
     val rows = Similarity.embeddingDiagnostics(tables.embeddings)
       .collect().map(r => r.getAs[Int]("label") -> r).toMap
