@@ -602,8 +602,9 @@ object SparkEntry {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
-      |    SUM(n_tokens) OVER (ORDER BY hkey, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    CAST(SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
       |  FROM base)""".stripMargin
 
   /** Shared q26/q189 CTE prefix: exact rounded-cosine pair scores for

@@ -309,9 +309,14 @@ object CorpusIncrement {
     // inequality (hash-merged mass can only lower the divergence)
     val curH = spark.read.parquet(histDir(root, partOf(incrementId)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // legacy roots (committed before histogram monitoring existed)
+    // have manifest keyParts with no monitor_hist dir — treat those
+    // increments as empty histograms rather than failing the read
+    val histParts = m.keyParts
+      .filter(p => new java.io.File(histDir(root, p)).exists())
     val priorH: Map[Long, Long] =
-      if (m.keyParts.isEmpty) Map.empty
-      else spark.read.parquet(m.keyParts.map(histDir(root, _)): _*)
+      if (histParts.isEmpty) Map.empty
+      else spark.read.parquet(histParts.map(histDir(root, _)): _*)
         .groupBy("bucket").agg(sum("c").as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val jsd: Option[Double] =
@@ -385,8 +390,19 @@ object CorpusIncrement {
         s"no corpus-increment root at $root"))
     require(m.keyParts.nonEmpty,
       s"no increments committed yet at $root")
-    spark.read.parquet(m.keyParts.map(monitorDir(root, _)): _*)
-      .orderBy("increment_id")
+    // per-part reads (1 row each, bounded by |increments|) so legacy
+    // 8-column monitor rows (pre-jsd) align with the current schema:
+    // missing columns become typed nulls, never a mixed-schema error
+    m.keyParts.map { p =>
+      var df = spark.read.parquet(monitorDir(root, p))
+      if (!df.columns.contains("jsd_tokens"))
+        df = df.withColumn("jsd_tokens", lit(null).cast("double"))
+      if (!df.columns.contains("alarm_jsd"))
+        df = df.withColumn("alarm_jsd", lit(false))
+      df.select("increment_id", "kept_n", "ks_tokens", "psi_source",
+        "cusum_stat", "cusum_argmax_id", "jsd_tokens",
+        "alarm_ks", "alarm_psi", "alarm_jsd")
+    }.reduce(_.unionByName(_)).orderBy("increment_id")
   }
 
   /** The committed kept ledger: every increment's gated survivors —

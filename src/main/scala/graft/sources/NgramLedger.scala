@@ -38,6 +38,34 @@ object NgramLedger {
   private def docsDir(statePath: String, part: String) =
     s"$statePath/docs/$part"
 
+  // ---- shingle-width pinning ------------------------------------
+  // df subtraction is only sound when purge re-shingles with the SAME
+  // n the docs were absorbed under, so n is pinned in a `_PARAMS`
+  // sidecar (tmp+rename, the CorpusIncrement convention) and every
+  // state-mutating call is checked — a mismatched n REFUSES loudly
+  // instead of silently corrupting counts. Legacy roots committed
+  // before this marker existed adopt the first post-upgrade caller's
+  // n (all historical callers used the default n=3).
+  private def paramsPath(statePath: String) =
+    new java.io.File(statePath, "_PARAMS").toPath
+  private def pinN(statePath: String, n: Int): Unit = {
+    val tmp = new java.io.File(statePath, "._PARAMS.tmp").toPath
+    java.nio.file.Files.write(tmp, s"n=$n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, paramsPath(statePath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+  private def requireN(statePath: String, n: Int): Unit = {
+    val p = paramsPath(statePath)
+    if (java.nio.file.Files.exists(p)) {
+      val got = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      require(got == s"n=$n",
+        s"ledger at $statePath was committed with [$got] but called " +
+          s"with [n=$n] — refusing: subtracting/adding dfs shingled " +
+          "at a different width silently corrupts counts")
+    } else pinN(statePath, n)
+  }
+
   /** The distinct (doc_id, fingerprint) frame — q193's index shape. */
   private def index(docs: DataFrame, n: Int): DataFrame = docs
     .select(col("doc_id"),
@@ -64,6 +92,7 @@ object NgramLedger {
     // know which docs' contributions are still in the df table
     corpus.select(col("doc_id")).distinct()
       .write.mode("overwrite").parquet(docsDir(statePath, partName(1)))
+    pinN(statePath, n) // dirs exist now; manifest rename is still last
     writeManifest(statePath, Manifest(1, Seq(partName(1))))
   }
 
@@ -109,9 +138,19 @@ object NgramLedger {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(
         s"no ledger at $statePath — call init(corpus) first"))
-    val idx = index(batch, n).localCheckpoint(true)
+    requireN(statePath, n)
+    // additivity guard: a doc_id already in the registry must not
+    // contribute df deltas AGAIN (docsTable dedups the registry, so a
+    // later purge would subtract only once and leave phantom mass) —
+    // absorb is idempotent per doc_id, mirroring purge's registry
+    // gate. Re-sent docs are skipped: their gating verdict was
+    // already emitted when first absorbed. Internal doc_id dups
+    // collapse for the same reason (one text per doc_id contract).
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(docsTable(spark, statePath, m), Seq("doc_id"), "left_anti")
+    val idx = index(fresh, n).localCheckpoint(true)
     val batchDf = dfOf(idx).localCheckpoint(true)
-    val batchDocs = batch.select(col("doc_id")).distinct()
+    val batchDocs = fresh.select(col("doc_id")).distinct()
     val prior = mergedAt(spark, statePath, m)
       .withColumnRenamed("df", "df_prior")
     // as-of df = committed state + this batch's own contribution —
@@ -214,12 +253,22 @@ object NgramLedger {
     * As-of versions older than the purge are refused afterwards
     * (snapshot truncation — a purged doc's fingerprints must not be
     * readable through time travel). Returns the number of documents
-    * actually removed. */
+    * actually removed.
+    *
+    * HARD CONTRACT: `docs` must carry the SAME text the doc was
+    * absorbed with (the registry stores only doc_id — subtraction is
+    * recomputed from caller text), and the same shingle width n the
+    * ledger was pinned with ([[requireN]] refuses a mismatch). Text
+    * drift is partially detected: over-subtraction drives some df
+    * negative and trips the require below instead of being masked by
+    * the df > 0 rewrite; drift that only leaves phantom mass is
+    * undetectable from counts alone — hence the contract. */
   def purge(
       spark: SparkSession, statePath: String, docs: DataFrame,
       n: Int = 3): Long = {
     val m = readManifest(statePath).getOrElse(
       throw new IllegalStateException(s"no ledger at $statePath"))
+    requireN(statePath, n)
     val registry = docsTable(spark, statePath, m)
     // only docs STILL IN the registry may subtract — the idempotence
     // guard (the DedupLedger.purge anti-join discipline, adapted to
@@ -232,9 +281,15 @@ object NgramLedger {
     val sub = dfOf(index(present, n))
       .select(col("g"), (-col("df")).as("df"))
     val next = m.version + 1
-    mergedAt(spark, statePath, m).unionByName(sub)
+    val merged = mergedAt(spark, statePath, m).unionByName(sub)
       .groupBy("g").agg(sum("df").as("df"))
-      .filter(col("df") > 0)
+      .localCheckpoint(true)
+    val negatives = merged.filter(col("df") < 0).count()
+    require(negatives == 0L,
+      s"purge at $statePath drove $negatives dfs negative — the " +
+        "purged docs' text differs from what was absorbed " +
+        "(text-identity contract); state NOT rewritten")
+    merged.filter(col("df") > 0)
       .write.mode("overwrite").parquet(dfDir(statePath, partName(next)))
     registry.join(present.select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")

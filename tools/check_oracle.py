@@ -16,6 +16,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse type class, mimicking the driver's type-sensitive hash.
+    DuckDB HUGEINT (e.g. an unwrapped windowed SUM(BIGINT)) lands in
+    pandas as float64, so an int-typed Spark column vs a HUGEINT
+    oracle column shows up as int-vs-float here and FAILS — exactly
+    what the driver does (q184, round 11)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    if k == "O":
+        vals = s.dropna()
+        if len(vals):
+            v = vals.iloc[0]
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            # Spark DATE reads back as object-of-datetime.date while
+            # DuckDB DATE reads as datetime64 — same class (the
+            # driver's hasher passes these; cell() canonicalizes both
+            # to %Y-%m-%d)
+            import datetime
+            if isinstance(v, datetime.date):
+                return "ts"
+    return "obj"
+
 def cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -54,6 +88,13 @@ def main(sf_dir, out_dir):
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_bad += 1
+            continue
+        tg = [dtype_class(got[c]) for c in got.columns]
+        te = [dtype_class(exp[c]) for c in exp.columns]
+        if tg != te:
+            diffs = [(c, a, b) for c, a, b in zip(got.columns, tg, te) if a != b]
+            print(f"FAIL {name}: dtype classes differ (spark vs duckdb): {diffs}")
             n_bad += 1
             continue
         gh = got.map(cell)

@@ -37,6 +37,35 @@ def one(sf_dir, out_dir, name, sql, q):
             return str([cell(x) for x in v.tolist()])
         return str(v)
 
+    def dtype_class(s):
+        # Type-sensitive like the driver's hash: DuckDB HUGEINT
+        # (unwrapped windowed SUM(BIGINT)) lands as float64, so
+        # int-vs-float mismatches FAIL here instead of slipping
+        # through %.6g canonicalization (q184, round 11).
+        k = s.dtype.kind
+        if k in "iu":
+            return "int"
+        if k == "f":
+            return "float"
+        if k == "b":
+            return "bool"
+        if k == "M":
+            return "ts"
+        if k == "O":
+            vals = s.dropna()
+            if len(vals):
+                v = vals.iloc[0]
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, int):
+                    return "int"
+                if isinstance(v, float):
+                    return "float"
+                import datetime
+                if isinstance(v, datetime.date):
+                    return "ts"
+        return "obj"
+
     try:
         con = duckdb.connect()
         for t in TABLES:
@@ -50,6 +79,13 @@ def one(sf_dir, out_dir, name, sql, q):
             return
         if len(got) != len(exp):
             q.put(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            return
+        tg = [dtype_class(got[c]) for c in got.columns]
+        te = [dtype_class(exp[c]) for c in exp.columns]
+        if tg != te:
+            diffs = [(c, a, b)
+                     for c, a, b in zip(got.columns, tg, te) if a != b]
+            q.put(f"FAIL {name}: dtype classes differ: {diffs}")
             return
         if (got.map(cell) != exp.map(cell)).any().any():
             q.put(f"FAIL {name}: values differ")
