@@ -178,12 +178,14 @@ object SparkEntry {
     "q160_zorder" -> q(ZOrder.q160),
     "q161_cdc_chunks" -> q(t => Dedup.q161(t.documents)),
     "q162_sq8_ann" -> q(t => Similarity.sq8CosineTopK(t.embeddings)),
-    // rows-only (ml_ convention): iterative BPE training is outside
-    // single-statement SQL; BpeSpec pins it to a reference impl
+    // HASH-GATED since round 12: deterministic integer state admits a
+    // 40-stage unrolled DuckDB replay (bpeMergesOracle) — the one-time
+    // exception to the ml_ rows-only convention; BpeSpec still pins
+    // the reference-implementation equality
     "ml_bpe_merges" -> q(t => Bpe.mlBpeMerges(t.documents)),
     // ml_bpe_encode: the train→apply loop closed — corpus-wide encode
     // under the trained merges with per-doc lossless verification
-    // (rows-only by the ml_ convention; BpeSpec is the real gate)
+    // (hash-gated since round 12 via bpeEncodeOracle; BpeSpec too)
     "ml_bpe_encode" -> q(t => Bpe.mlBpeEncode(t.documents)),
     // ml_pca_stream: PCA off the stream-maintained moment ledger —
     // two increments absorbed, model read without a vector rescan
@@ -448,6 +450,111 @@ object SparkEntry {
   /** DuckDB 3-token shingle list for `documents.text` (1-based slices). */
   private val duckShingles =
     "list_distinct([array_to_string(t[i:i+2],' ') for i in range(1, len(t)-1)])"
+
+  // ---- BPE oracle (ml_bpe_merges / ml_bpe_encode) -----------------
+  // Unrolled 40-stage DuckDB replay of Bpe.train: each word's symbol
+  // sequence packs as US+tok+US concatenations (US = chr(31), absent
+  // from whitespace-split tokens), so ONE plain replace() of
+  // US·l·US·US·r·US -> US·lr·US is exactly Bpe.applyMerge's leftmost
+  // non-overlapping scan — replace never rescans its own output,
+  // matching the scan's i += 2 advance. Stage i aggregates weighted
+  // adjacent-pair counts over the distinct-word working set, takes
+  // the argmax (count desc, then lexicographic l, r — binary
+  // collation on both engines), and rewrites; an argmax under
+  // minCount=2 leaves b_i empty and the LEFT JOIN keeps w unchanged,
+  // so the trainer's early stop falls out with fewer merge rows.
+  // MATERIALIZED pins DuckDB to evaluate each stage once (every w_i
+  // is referenced by both p_i and w_{i+1} — inlining would double
+  // the expansion per stage).
+  private val bpeUS = "chr(31)"
+  private val bpeNumMerges = 40
+
+  /** Pack one word column as the US-wrapped symbol string (chars +
+    * terminal `</w>` marker, the Sennrich convention Bpe.toSyms uses). */
+  private def bpePack(wordExpr: String): String =
+    s"$bpeUS || list_aggr(str_split($wordExpr, ''), 'string_agg', " +
+      s"$bpeUS||$bpeUS) || $bpeUS || $bpeUS || '</w>' || $bpeUS"
+
+  /** The train chain: w0..wN, p0..p(N-1), b0..b(N-1). */
+  private def bpeTrainCtes: Seq[String] = {
+    val us = bpeUS
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT ${bpePack("word")} AS w, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0
+         |  GROUP BY word)""".stripMargin
+    w0 +: (0 until bpeNumMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(n) AS BIGINT) AS c
+           |  FROM (SELECT string_split(trim(w, $us), $us||$us) AS syms, n FROM w$i),
+           |       UNNEST(range(1, len(syms))) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS MATERIALIZED (
+           |  SELECT l, r, c FROM p$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1)""".stripMargin,
+        s"""w${i + 1} AS MATERIALIZED (
+           |  SELECT CASE WHEN b.l IS NULL THEN w
+           |         ELSE replace(w, $us||b.l||$us||$us||b.r||$us, $us||b.l||b.r||$us) END AS w, n
+           |  FROM w$i LEFT JOIN b$i b ON TRUE)""".stripMargin)
+    }
+  }
+
+  private def bpeMergesOracle: String = {
+    val union = (0 until bpeNumMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", """ +
+        s"l||r AS merged, c AS support FROM b$i").mkString("\nUNION ALL ")
+    "WITH " + bpeTrainCtes.mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
+
+  /** Encode replay: the trained b_i scalars applied in rank order to
+    * the DISTINCT-WORD table (e0..eN), then per-word token stats join
+    * back to per-(doc, word) occurrence counts — the corpus is never
+    * string-rewritten, mirroring the engine's broadcast-encode shape. */
+  private def bpeEncodeOracle: String = {
+    val us = bpeUS
+    val n = bpeNumMerges
+    val e0 =
+      s"""e0 AS MATERIALIZED (
+         |  SELECT DISTINCT word, ${bpePack("word")} AS w
+         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0)""".stripMargin
+    val apply = (0 until n).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (
+         |  SELECT word, CASE WHEN b.l IS NULL THEN w
+         |         ELSE replace(w, $us||b.l||$us||$us||b.r||$us, $us||b.l||b.r||$us) END AS w
+         |  FROM e$i LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    val tail =
+      s"""stats AS (
+         |  SELECT word, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(toks, t -> t LIKE '%</w>')) AS BIGINT) AS n_w,
+         |    CAST(list_sum(list_transform(toks,
+         |      t -> len(regexp_replace(t, '</w>$$', '')))) AS BIGINT) AS n_c
+         |  FROM (SELECT word, string_split(trim(w, $us), $us||$us) AS toks FROM e$n)),
+         |docwords AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(k*n_tok) AS BIGINT) AS n_bpe_tokens,
+         |         CAST(SUM(k*n_w) AS BIGINT) AS n_words,
+         |         CAST(SUM(k*n_c) AS BIGINT) AS n_chars
+         |  FROM docwords JOIN stats USING(word) GROUP BY doc_id),
+         |truth AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wt,
+         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS ct
+         |  FROM documents)""".stripMargin
+    "WITH " + (bpeTrainCtes ++ (e0 +: apply) :+ tail).mkString(",\n") +
+      """
+        |SELECT doc_id, n_bpe_tokens, n_words, n_chars,
+        |  (n_words = wt AND n_chars = ct) AS lossless
+        |FROM perdoc JOIN truth USING(doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
     * oracle and the q42 connected-components oracle. Mirrors the
@@ -928,6 +1035,10 @@ object SparkEntry {
         |GROUP BY 1
         |HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
+    // BPE pair: deterministic integer state, replayed by the unrolled
+    // 40-stage trainer/encoder CTE chains (see bpeMergesOracle)
+    "ml_bpe_merges" -> bpeMergesOracle,
+    "ml_bpe_encode" -> bpeEncodeOracle,
     "q19_ngram_jaccard" -> jaccardOracle,
     "q135_allpairs_jaccard" -> jaccardOracle,
     "q181_allpairs_realvocab" -> realVocabJaccardOracle,
