@@ -583,6 +583,107 @@ object CorpusIncrement {
     spark.read.parquet(dir).orderBy("doc_id")
   }
 
+  // ---- right-to-erasure for the composed root ---------------------
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Rewrite one committed part dir minus the doomed doc_ids, with
+    * the tmp+swap discipline (write retained to `<dir>.purge_tmp`,
+    * delete the original, rename tmp into place). Crash recovery is
+    * re-running [[purge]]: a stale tmp next to a live dir is a
+    * pre-swap crash (discard tmp, redo); a tmp with NO live dir is a
+    * mid-swap crash (finish the rename first). Sidecar files the
+    * Spark write would drop (`_PARAMS`) are carried across the swap.
+    * Returns the number of rows removed. */
+  private def rewriteMinus(
+      spark: SparkSession, dir: String, doomed: DataFrame): Long = {
+    val f = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".purge_tmp")
+    if (!f.exists() && tmp.exists()) {
+      require(tmp.renameTo(f), s"purge recovery rename failed: $tmp")
+    } else if (tmp.exists()) deleteRecursively(tmp)
+    if (!f.exists()) return 0L
+    val current = spark.read.parquet(dir)
+    val retained = current
+      .join(broadcast(doomed), Seq("doc_id"), "left_anti")
+    val removed = current.count() - retained.count()
+    if (removed == 0L) return 0L
+    retained.write.mode("overwrite").parquet(tmp.getPath)
+    val params = new java.io.File(f, "_PARAMS")
+    if (params.exists())
+      java.nio.file.Files.copy(params.toPath,
+        new java.io.File(tmp, "_PARAMS").toPath)
+    deleteRecursively(f)
+    require(tmp.renameTo(f), s"purge swap rename failed: $tmp -> $f")
+    removed
+  }
+
+  /** Right-to-erasure across the WHOLE composed root: one call
+    * removes every row keyed by the given documents from every state
+    * the root holds —
+    *
+    *  - derived dedup state: the docs' prefix fingerprints leave the
+    *    key table and the bloom REBUILDS from survivors
+    *    ([[DedupLedger.purge]]; a key shared with a surviving
+    *    duplicate is also unlearned — conservative: the ledger
+    *    re-learns it at that text's next occurrence);
+    *  - near-dup state: the docs' minhash signatures
+    *    ([[MinhashLedger.purge]]);
+    *  - per-doc rows in every committed part: kept/batch_N,
+    *    stage/exact/batch_N, stage/near/batch_N, and every committed
+    *    training-shard artifact shards/v_* — each rewritten in place
+    *    via the tmp+swap discipline above (re-running purge after a
+    *    crash converges).
+    *
+    * What deliberately REMAINS, because it holds no per-doc rows:
+    * monitor/monitor_hist/sketch state and ref counts (aggregate
+    * counts and KLL blobs), bpe/v_* merge tables (aggregate token
+    * statistics), and `first_partner` doc_id REFERENCES in surviving
+    * docs' near-flag rows (opaque ids, not purged-doc content).
+    *
+    * HARD CONTRACT (the [[NgramLedger.purge]] discipline): `docs`
+    * must carry the SAME text the docs were ingested with and the
+    * SAME `prefixTokens` the root was driven with — the dedup key is
+    * recomputed from caller text. Inner-ledger purges truncate their
+    * own snapshots; root as-of reads cannot resurrect purged rows
+    * because the parts are rewritten under their committed names.
+    * Idempotent per doc (registry-guarded ledgers subtract nothing on
+    * a second call; part rewrites find nothing to remove). Returns
+    * the number of per-doc rows removed across kept/stage/shard
+    * parts. */
+  def purge(
+      spark: SparkSession, root: String, docs: DataFrame,
+      prefixTokens: Int = 5): Long = {
+    val m = readManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"no corpus-increment root at $root"))
+    val scrubbed = scrub(docs)
+    val doomed = scrubbed.select("doc_id").distinct()
+      .localCheckpoint(true)
+    DedupLedger.purge(spark, dedupState(root),
+      scrubbed.select(
+        DedupLedger.keyOf(col("text"), prefixTokens).as("__k")))
+    MinhashLedger.purge(spark, minhashState(root), doomed)
+    var removed = 0L
+    for (p <- m.keyParts;
+         dir <- Seq(keptDir(root, p), s"${exactOut(root)}/$p",
+           s"${nearOut(root)}/$p"))
+      removed += rewriteMinus(spark, dir, doomed)
+    val shardsRoot = new java.io.File(root, "shards")
+    if (shardsRoot.exists()) {
+      val dirs = Option(shardsRoot.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && !d.getName.endsWith(".purge_tmp"))
+      for (d <- dirs) removed += rewriteMinus(spark, d.getPath, doomed)
+    }
+    removed
+  }
+
   /** Age-based retention for the WHOLE composed root — the ledgers'
     * `vacuum(keepVersions)` contract lifted to the refresh: vacuums
     * the three inner ledgers (keys + blooms, signatures, sketches) AND

@@ -368,6 +368,38 @@ object IndexLedger {
       ix.lastBatchId)))
   }
 
+  /** Erasure for the per-vector index state (the [[DedupLedger
+    * .purge]] contract lifted to codes): drop the given vec_ids' code
+    * rows so the purged vectors can never appear in a shortlist
+    * again. Rewrites the retained codes as one part (the compact
+    * shape); manifest rename is the commit; as-of reads older than
+    * the purge are refused (snapshot truncation). The centroid frame
+    * is `nlist` aggregate directions (kilobytes, no per-vector rows)
+    * — it may keep statistical influence from purged vectors until
+    * the next [[refresh]], which re-fits from SURVIVING codes only.
+    * Returns the number of code rows removed. */
+  def purge(
+      spark: SparkSession, statePath: String,
+      vecIds: DataFrame): Long = {
+    val ix = readIx(statePath)
+    val doomed = vecIds
+      .select(col(vecIds.columns.head).cast("long").as("vec_id"))
+      .distinct()
+    val current = codes(spark, statePath)
+    val retained =
+      current.join(broadcast(doomed), Seq("vec_id"), "left_anti")
+    val removed = current.count() - retained.count()
+    if (removed == 0L) return 0L
+    val next = ix.version + 1
+    retained.write.mode("overwrite")
+      .parquet(codesDir(statePath, DedupLedger.partName(next)))
+    DedupLedger.writeManifest(statePath, manifestOf(ix.copy(
+      version = next,
+      codeParts = Seq(DedupLedger.partName(next)))))
+    DedupLedger.truncateSnapshots(statePath, next)
+    removed
+  }
+
   /** Age-based retention for code parts + centroid versions — see
     * [[DedupLedger.vacuumState]]. A centroid version survives while
     * ANY surviving manifest points at it. */

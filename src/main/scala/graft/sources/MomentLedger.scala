@@ -219,6 +219,48 @@ object MomentLedger {
       .orderBy("component")
   }
 
+  /** Erasure for the aggregate moment state: subtract the given
+    * vectors' contribution (one [[MomentMatrixAggregator]] pass over
+    * the purge set, then the associative fold with negated signs).
+    * `n` is exactly restored; the double sums are exact up to float
+    * CANCELLATION — the same addition-order caveat [[absorb]] already
+    * carries (MomentLedgerSpec pins the 1e-9 relative bound).
+    *
+    * HARD CONTRACT (the [[NgramLedger.purge]] text-identity analog):
+    * the rows must carry the vectors EXACTLY as absorbed — the ledger
+    * keeps no per-vector state to check against, so a drifted vector
+    * silently skews the moments. Dimension drift and n-underflow fail
+    * loudly. As-of reads older than the purge are refused (snapshot
+    * truncation). Returns the number of vectors subtracted. */
+  def purge(
+      spark: SparkSession, statePath: String, vectors: DataFrame,
+      vecCol: String = "embedding"): Long = {
+    val m = readManifest(statePath).getOrElse(
+      throw new IllegalStateException(s"no ledger at $statePath"))
+    val cur = readState(spark, statePath, m.keyParts.last)
+    val b = batchMoments(vectors, vecCol)
+    if (b.n == 0L) return 0L
+    require(b.n <= cur.n,
+      s"purge of ${b.n} vectors exceeds ledger n=${cur.n} at $statePath")
+    require(cur.sums.length == b.sums.length,
+      s"dimension drift: ledger d=${cur.sums.length}, " +
+        s"purge d=${b.sums.length}")
+    val merged = Moments(cur.n - b.n,
+      cur.sums.zip(b.sums).map { case (x, y) => x - y },
+      cur.diag.zip(b.diag).map { case (x, y) => x - y },
+      cur.pairs.zip(b.pairs).map { case ((i, j, x), (i2, j2, y)) =>
+        require(i == i2 && j == j2); (i, j, x - y)
+      })
+    val next = m.version + 1
+    writeState(spark, statePath, partName(next), merged)
+    // lastBatchId survives: erasure must not loosen the stream sink's
+    // replay guard
+    writeManifest(statePath,
+      Manifest(next, Seq(partName(next)), m.lastBatchId))
+    DedupLedger.truncateSnapshots(statePath, next)
+    b.n
+  }
+
   /** Age-based retention for the per-version moment tables — see
     * [[DedupLedger.vacuumState]]. */
   def vacuum(statePath: String, keepVersions: Int): Long =

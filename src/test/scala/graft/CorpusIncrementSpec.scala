@@ -404,4 +404,85 @@ class CorpusIncrementSpec extends SparkSpec {
     assert(CorpusIncrement.vacuum(root, keepVersions = 1) == 0L)
     assert(rowSet(CorpusIncrement.kept(spark, root)) == keptBefore)
   }
+
+  test("right-to-erasure end-to-end: one purge call removes the docs' " +
+    "fingerprints, signatures, and every kept/stage/shard row across " +
+    "the composed root; survivors are untouched; a second purge is a " +
+    "no-op; and the purged text is NEW AGAIN to a later increment") {
+    import graft.sources.MinhashLedger
+    val (corpusDir, b1Dir, b2Dir, base) = fixture("erase")
+    val corpus = spark.read.parquet(corpusDir)
+    val (b1, b2) = (spark.read.parquet(b1Dir), spark.read.parquet(b2Dir))
+    val root = s"$base/erase"
+    CorpusIncrement.init(spark, root, corpus)
+    CorpusIncrement.increment(spark, root, b1, 0L)
+    CorpusIncrement.increment(spark, root, b2, 1L)
+    val textAll = corpus.unionByName(b1).unionByName(b2)
+    val shards = CorpusIncrement.trainingShards(
+      spark, root, textAll, nShards = 4, budget = 60L)
+
+    // victims: two b1 docs that made it into BOTH the kept ledger and
+    // the committed shard artifact (so every assertion is
+    // non-vacuous), away from the planted twin family (%41) so the
+    // re-ingest at the end is not near-dup-dropped by a twin
+    val b1Ids = b1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val victimIds = shards.select("doc_id").collect()
+      .map(_.getLong(0)).filter(id => b1Ids(id) && id % 41 != 0)
+      .sorted.take(2).toSeq
+    assert(victimIds.size == 2, "fixture must yield two victims")
+    val victims = b1.filter($"doc_id".isin(victimIds: _*))
+      .localCheckpoint(true)
+
+    val dedupSt = CorpusIncrement.dedupState(root)
+    val minhashSt = CorpusIncrement.minhashState(root)
+    val victimKeys = CorpusIncrement.scrub(victims)
+      .select(DedupLedger.keyOf($"text", 5).as("__k"))
+      .collect().map(_.getString(0)).toSet
+    def liveKeys: Set[String] = DedupLedger.keys(spark, dedupSt)
+      .collect().map(_.getString(0)).toSet
+    def liveSigIds: Set[Long] = MinhashLedger
+      .signatures(spark, minhashSt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def perDocIds(dir: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(victimKeys.subsetOf(liveKeys))
+    assert(victimIds.toSet.subsetOf(liveSigIds))
+    val keptBefore = rowSet(CorpusIncrement.kept(spark, root))
+    val keysBefore = liveKeys
+    val sigsBefore = liveSigIds
+    val exactBefore = perDocIds(s"$root/stage/exact")
+    val nearBefore = perDocIds(s"$root/stage/near")
+    val shardsBefore = rowSet(shards)
+
+    val removed = CorpusIncrement.purge(spark, root, victims)
+    assert(removed >= 2L, s"expected kept+stage+shard rows, got $removed")
+
+    // 1. derived states: fingerprints and signatures gone, the
+    //    survivors' untouched
+    assert(liveKeys == keysBefore -- victimKeys)
+    assert(liveSigIds == sigsBefore -- victimIds)
+    // 2. no per-doc row survives anywhere in the root
+    val vSet = victimIds.toSet
+    assert(perDocIds(s"$root/stage/exact") == exactBefore -- vSet)
+    assert(perDocIds(s"$root/stage/near") == nearBefore -- vSet)
+    assert((perDocIds(s"$root/kept") & vSet).isEmpty)
+    val shardsAfter = CorpusIncrement.trainingShards(
+      spark, root, textAll.limit(0), nShards = 4, budget = 60L)
+    assert(shardsAfter.filter($"doc_id".isin(victimIds: _*)).isEmpty)
+    // 3. survivors byte-identical (kept ledger and shard artifact)
+    val victimStr = victimIds.map(_.toString).toSet
+    assert(rowSet(CorpusIncrement.kept(spark, root))
+      == keptBefore.filterNot(r => victimStr(r.split('|').head)))
+    assert(rowSet(shardsAfter)
+      == shardsBefore.filterNot(r => victimStr(r.split('|').head)))
+    // 4. idempotent: a second purge subtracts nothing
+    assert(CorpusIncrement.purge(spark, root, victims) == 0L)
+    assert(liveKeys == keysBefore -- victimKeys)
+    // 5. erasure semantics: the SAME text re-delivered later is new
+    //    again — the dedup ledger unlearned it, so it is KEPT
+    val kept2 = CorpusIncrement.increment(spark, root, victims, 2L)
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet
+      == vSet, "purged docs must survive a re-ingest")
+  }
 }

@@ -224,4 +224,44 @@ class IndexLedgerSpec extends SparkSpec {
     // and serving still works against the refreshed state
     assert(IndexLedger.topK(spark, state, queries10).count() > 0)
   }
+
+  test("purge: the vec_ids' code rows leave the index, survivors and " +
+    "their shortlists are untouched, older as-of reads refuse, a " +
+    "second purge is a no-op, and re-absorbing the purged vectors " +
+    "re-indexes them") {
+    val (seedDir, b1Dir, _, state) = fixture("purge")
+    val seed = spark.read.parquet(seedDir)
+    val b1 = spark.read.parquet(b1Dir)
+    IndexLedger.init(spark, state, seed)
+    IndexLedger.absorb(spark, state, b1).collect()
+    val vPre = DedupLedger.readManifest(state).get.version
+    val doomedIds = b1.select("vec_id").as[Long].collect().sorted
+      .take(5).toSeq
+    val doomed = doomedIds.toDF("vec_id")
+    val allBefore = IndexLedger.codes(spark, state)
+      .select("vec_id").as[Long].collect().toSet
+
+    val removed = IndexLedger.purge(spark, state, doomed)
+    assert(removed == 5L)
+    val after = IndexLedger.codes(spark, state)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == allBefore -- doomedIds)
+    // purged vectors can never appear in a shortlist again; the
+    // queries still serve from surviving state
+    val served = IndexLedger.topK(spark, state, queries10, k = 10)
+    assert(served.count() > 0)
+    assert(served.filter($"cid".isin(doomedIds: _*)).isEmpty)
+    // time-travel past the purge refuses (snapshot truncation)
+    intercept[Exception] {
+      IndexLedger.codes(spark, state, asOfVersion = vPre).collect()
+    }
+    // idempotent
+    assert(IndexLedger.purge(spark, state, doomed) == 0L)
+    // erasure semantics: re-absorbing the purged vectors re-indexes
+    // them (they are new again)
+    IndexLedger.absorb(spark, state,
+      b1.filter($"vec_id".isin(doomedIds: _*))).collect()
+    assert(IndexLedger.codes(spark, state)
+      .select("vec_id").as[Long].collect().toSet == allBefore)
+  }
 }

@@ -143,4 +143,38 @@ class MomentLedgerSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("purge subtracts the vectors' contribution: n exact, state " +
+    "within 1e-9 of a rebuilt-without ledger, older as-of refused, " +
+    "n-underflow refused") {
+    val emb = tables.embeddings
+    val cut = emb.agg(
+      percentile_approx(col("vec_id"), lit(0.5), lit(10000)))
+      .head().getLong(0)
+    val (keep, drop) =
+      (emb.filter(col("vec_id") <= cut), emb.filter(col("vec_id") > cut))
+    val state = java.nio.file.Files
+      .createTempDirectory("momentledger_purge").toString
+    MomentLedger.init(spark, state)
+    MomentLedger.absorb(spark, state, emb)
+    val vPre = DedupLedger.readManifest(state).get.version
+
+    val removed = MomentLedger.purge(spark, state, drop)
+    assert(removed == drop.count())
+    val after = MomentLedger.moments(spark, state)
+    val (n0, sums0, diag0) = oneShot(keep)
+    assert(after.n == n0)
+    sums0.zip(after.sums).foreach { case (a, b) =>
+      assert(relErr(a, b) < 1e-9, s"purged sum drift $a vs $b") }
+    diag0.zip(after.diag).foreach { case (a, b) =>
+      assert(relErr(a, b) < 1e-9, s"purged diag drift $a vs $b") }
+    // the pre-purge state is unreadable (snapshot truncation)
+    intercept[Exception] {
+      MomentLedger.moments(spark, state, asOfVersion = vPre)
+    }
+    // subtracting more vectors than the ledger holds fails loudly
+    intercept[IllegalArgumentException] {
+      MomentLedger.purge(spark, state, emb)
+    }
+  }
 }

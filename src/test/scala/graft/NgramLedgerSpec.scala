@@ -196,4 +196,50 @@ class NgramLedgerSpec extends SparkSpec {
       NgramLedger.dfTable(spark, state, 1L).count()
     }
   }
+
+  test("re-absorbing a registered doc_id is a per-doc no-op (the " +
+    "additivity/erasure guard): dfs never double-count, and a purge " +
+    "after the replay still leaves the exact rebuilt-without state") {
+    val docs = tables.documents
+    val (b1, b2) = (docs.filter($"doc_id" < 25),
+      docs.filter($"doc_id" >= 25 && $"doc_id" < 50))
+    val state = tmp("reabsorb")
+    NgramLedger.init(spark, state, empty)
+    NgramLedger.absorb(spark, state, b1).count()
+    val afterB1 = dfMap(NgramLedger.dfTable(spark, state))
+    // replay b1 (plus overlap inside a mixed batch): only b2 may add
+    NgramLedger.absorb(spark, state, b1).count()
+    assert(dfMap(NgramLedger.dfTable(spark, state)) == afterB1,
+      "a full re-absorb must not change the df table")
+    NgramLedger.absorb(spark, state, b1.unionByName(b2)).count()
+    val twin = tmp("reabsorb_twin")
+    NgramLedger.init(spark, twin, empty)
+    NgramLedger.absorb(spark, twin, b1.unionByName(b2)).count()
+    assert(dfMap(NgramLedger.dfTable(spark, state))
+      == dfMap(NgramLedger.dfTable(spark, twin)),
+      "overlapping absorbs must equal the disjoint-union state")
+    // and erasure stays exact despite the replays
+    assert(NgramLedger.purge(spark, state, b1) > 0)
+    val ref = tmp("reabsorb_ref")
+    NgramLedger.init(spark, ref, empty)
+    NgramLedger.absorb(spark, ref, b2).count()
+    assert(dfMap(NgramLedger.dfTable(spark, state))
+      == dfMap(NgramLedger.dfTable(spark, ref)))
+  }
+
+  test("shingle width is pinned at init: an absorb or purge with a " +
+    "different n refuses loudly instead of corrupting counts") {
+    val state = tmp("pinned")
+    NgramLedger.init(spark, state, tables.documents.limit(10), n = 3)
+    val more = tables.documents.filter($"doc_id" >= 10).limit(5)
+    val e = intercept[IllegalArgumentException] {
+      NgramLedger.absorb(spark, state, more, n = 2)
+    }
+    assert(e.getMessage.contains("refusing"))
+    intercept[IllegalArgumentException] {
+      NgramLedger.purge(spark, state, tables.documents.limit(10), n = 5)
+    }
+    // the pinned width still works
+    NgramLedger.absorb(spark, state, more, n = 3).count()
+  }
 }
