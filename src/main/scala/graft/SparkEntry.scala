@@ -369,6 +369,23 @@ object SparkEntry {
     // determinism, and the repetitive-vs-prose ordering
     "q203_compression_ratio" ->
       q(t => TextAnalysis.compressionRatio(t.documents)),
+    // q204: per-language tokenizer fertility off the trained merges —
+    // deterministic integer state, full hash oracle (BPE-replay CTEs)
+    "q204_tokenizer_fertility" ->
+      q(t => Bpe.tokenizerFertility(t.documents)),
+    // q205: contamination SPANS (gaps-and-islands over matched gram
+    // positions) against deterministic benchmark excerpts — the
+    // planted positives must flag with full-length spans
+    "q205_contamination_spans" ->
+      q(t => Dedup.contaminationSpans(t.documents)),
+    // q206: sequence→document provenance — the inverse packing lookup
+    // (loss-spike forensics), probe set seq_id % 20 == 0
+    "q206_seq_provenance" ->
+      q(t => TextAnalysis.seqProvenance(t.documents)),
+    // q207: canary/secret-leak audit — rare-but-cross-source grams,
+    // fingerprint-aggregated then string-recovered for the tiny set
+    "q207_canary_spans" ->
+      q(t => Dedup.canarySpans(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -511,8 +528,9 @@ object SparkEntry {
   /** Encode replay: the trained b_i scalars applied in rank order to
     * the DISTINCT-WORD table (e0..eN), then per-word token stats join
     * back to per-(doc, word) occurrence counts — the corpus is never
-    * string-rewritten, mirroring the engine's broadcast-encode shape. */
-  private def bpeEncodeOracle: String = {
+    * string-rewritten, mirroring the engine's broadcast-encode shape.
+    * Shared by ml_bpe_encode and q204 (one chain, no gate desync). */
+  private def bpeEncodeCtes: Seq[String] = {
     val us = bpeUS
     val n = bpeNumMerges
     val e0 =
@@ -549,12 +567,29 @@ object SparkEntry {
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wt,
          |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS ct
          |  FROM documents)""".stripMargin
-    "WITH " + (bpeTrainCtes ++ (e0 +: apply) :+ tail).mkString(",\n") +
+    bpeTrainCtes ++ (e0 +: apply) :+ tail
+  }
+
+  private def bpeEncodeOracle: String =
+    "WITH " + bpeEncodeCtes.mkString(",\n") +
       """
         |SELECT doc_id, n_bpe_tokens, n_words, n_chars,
         |  (n_words = wt AND n_chars = ct) AS lossless
         |FROM perdoc JOIN truth USING(doc_id) ORDER BY doc_id""".stripMargin
-  }
+
+  /** q204 fertility replay: the encode chain folded per language. */
+  private def bpeFertilityOracle: String =
+    "WITH " + bpeEncodeCtes.mkString(",\n") +
+      """
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE)
+        |    / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility,
+        |  ROUND(CAST(SUM(perdoc.n_chars) AS DOUBLE)
+        |    / CAST(SUM(n_bpe_tokens) AS DOUBLE), 4) AS chars_per_token
+        |FROM perdoc JOIN documents USING(doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
     * oracle and the q42 connected-components oracle. Mirrors the
@@ -1039,6 +1074,72 @@ object SparkEntry {
     // 40-stage trainer/encoder CTE chains (see bpeMergesOracle)
     "ml_bpe_merges" -> bpeMergesOracle,
     "ml_bpe_encode" -> bpeEncodeOracle,
+    "q204_tokenizer_fertility" -> bpeFertilityOracle,
+    // q205: islands of consecutive matched gram positions vs the
+    // deterministic benchmark excerpts (tokens 11..40 of %97 docs)
+    "q205_contamination_spans" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cpos AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS g
+        |  FROM t0, UNNEST(range(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |bt AS (SELECT doc_id AS bench_id, t[11:40] AS bt FROM t0
+        |       WHERE doc_id % 97 = 0 AND len(t) >= 40),
+        |bg AS (
+        |  SELECT DISTINCT bench_id,
+        |    unnest(list_distinct(
+        |      [array_to_string(bt[i:i+3],' ') for i in range(1, len(bt)-2)])) AS g
+        |  FROM bt),
+        |hit AS (
+        |  SELECT c.doc_id, b.bench_id, c.pos,
+        |    c.pos - ROW_NUMBER() OVER (
+        |      PARTITION BY c.doc_id, b.bench_id ORDER BY c.pos) AS island
+        |  FROM cpos c JOIN bg b USING (g)),
+        |runs AS (
+        |  SELECT doc_id, bench_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM hit GROUP BY 1, 2, 3)
+        |SELECT doc_id, bench_id,
+        |  CAST(SUM(run_len) AS BIGINT) AS shared_positions,
+        |  CAST(MAX(run_len) AS BIGINT) AS max_run,
+        |  CAST(MAX(run_len) + 3 AS BIGINT) AS max_span_tokens,
+        |  CAST(CASE WHEN MAX(run_len) + 3 >= 16 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS flagged
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q206: the inverse packing lookup off the SAME prefix-sum chain
+    // as q184/q187 (packingCtes — desync-safe), probe seq_id % 20
+    "q206_seq_provenance" ->
+      ("WITH " + packingCtes + ",\n" +
+      """d AS (SELECT doc_id, n_tokens, cum,
+        |        CAST(cum - n_tokens AS BIGINT) AS gs,
+        |        CAST((cum - n_tokens) // 512 AS BIGINT) AS s0,
+        |        CAST((cum - 1) // 512 AS BIGINT) AS e
+        |      FROM c),
+        |x AS (SELECT doc_id, cum, gs,
+        |        unnest(generate_series(s0, e)) AS seq_id
+        |      FROM d)
+        |SELECT seq_id, doc_id,
+        |  CAST(greatest(gs, seq_id*512) - seq_id*512 AS BIGINT) AS seq_off,
+        |  CAST(greatest(gs, seq_id*512) - gs AS BIGINT) AS doc_off,
+        |  CAST(least(cum, (seq_id+1)*512) - greatest(gs, seq_id*512)
+        |    AS BIGINT) AS n_tok
+        |FROM x WHERE seq_id % 20 = 0
+        |ORDER BY seq_id, doc_id""".stripMargin),
+    // q207: rare-but-cross-source grams (canary/secret-leak audit)
+    "q207_canary_spans" ->
+      """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, g FROM (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(
+        |      [array_to_string(t[i:i+3],' ') for i in range(1, len(t)-2)])) AS g
+        |  FROM t0 WHERE len(t) >= 4))
+        |SELECT g AS gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM sh GROUP BY g
+        |HAVING count(DISTINCT doc_id) <= 3 AND count(DISTINCT source) >= 2
+        |ORDER BY gram""".stripMargin,
     "q19_ngram_jaccard" -> jaccardOracle,
     "q135_allpairs_jaccard" -> jaccardOracle,
     "q181_allpairs_realvocab" -> realVocabJaccardOracle,

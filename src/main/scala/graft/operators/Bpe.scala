@@ -184,6 +184,39 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** q204 — tokenizer FERTILITY by language: the per-language
+    * tokens-per-word and chars-per-token table every multilingual
+    * tokenizer evaluation publishes (fertility ≈ how many BPE tokens
+    * a word costs; a tokenizer trained on skewed language mix taxes
+    * under-represented languages with high fertility — the metric
+    * that decision is audited by). Trains the standard 40 merges on
+    * the whole corpus, encodes every document ([[encodeAccounting]]'s
+    * broadcast-merge pass), joins the per-doc accounting back to the
+    * documents' language tags, and folds to |langs| rows of exact
+    * integer sums plus two rounded ratios.
+    *
+    * Deterministic integer state end-to-end → FULL hash oracle (the
+    * round-12 BPE-replay CTEs extended by one join + aggregate).
+    * Scale: the encode is one embarrassingly-parallel pass, the fold
+    * one |langs|-group hash-agg. */
+  def tokenizerFertility(
+      documents: DataFrame, numMerges: Int = 40): DataFrame =
+    encodeAccounting(documents, train(documents, numMerges))
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double")
+          / col("n_words").cast("double"), 4).as("fertility"),
+        round(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+
   /** ml_bpe_merges — the declared rows-only artifact: 40 merges
     * trained on the documents corpus, in rank order. Deterministic
     * (argmax ties break lexicographically), but iterative — outside

@@ -767,6 +767,99 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** q205 — contamination SPAN detection: [[decontaminationPairs]]
+    * upgraded from shared-shingle COUNTS to the span rule the GPT-3/
+    * PaLM decontamination appendices actually apply — a document is
+    * contaminated when a LONG CONTIGUOUS RUN of its n-gram positions
+    * matches a benchmark document, not when scattered grams collide
+    * (tiny-vocabulary corpora collide constantly; contiguous spans
+    * don't). The benchmark side is built deterministically so the
+    * oracle reproduces it: each doc_id % benchMod == 0 document
+    * contributes its tokens [excerptStart, excerptStart+excerptLen)
+    * as a benchmark "question" — the planted positive every such doc
+    * must flag against itself with a full-length span.
+    *
+    * Per (corpus doc, bench doc) pair with any gram hit: total
+    * matched positions, the longest island of CONSECUTIVE positions
+    * (classic gaps-and-islands: pos − row_number per pair), its token
+    * span (run + n − 1), and the ≥ flagSpanTokens flag.
+    *
+    * Scale posture: the benchmark gram index is eval-set-sized →
+    * broadcast; the corpus side streams its positional shingle
+    * explode map-side (8-byte fingerprints, the Broder tradeoff);
+    * the island window partitions by (doc_id, bench_id) — hit pairs,
+    * high cardinality, bounded by the excerpt gram count per pair. */
+  def contaminationSpans(
+      documents: DataFrame, n: Int = 4, benchMod: Int = 97,
+      excerptStart: Int = 11, excerptLen: Int = 30,
+      flagSpanTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val cpos = documents
+      .select(col("doc_id"),
+        posexplode(shingles(col("text"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+    val bench = documents
+      .filter(col("doc_id") % benchMod === 0)
+      .filter(size(toks) >= excerptStart + excerptLen - 1)
+      .select(col("doc_id").as("bench_id"),
+        concat_ws(" ",
+          slice(toks, excerptStart, excerptLen)).as("bt"))
+      .select(col("bench_id"),
+        explode(array_distinct(shingles(col("bt"), n))).as("gram"))
+      .select(col("bench_id"), xxhash64(col("gram")).as("g"))
+    val hits = cpos.join(broadcast(bench), "g")
+    val w = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+    val runs = hits
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "bench_id", "island")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("doc_id", "bench_id")
+      .agg(sum("run_len").as("shared_positions"),
+        max("run_len").as("max_run"))
+      .select(col("doc_id"), col("bench_id"), col("shared_positions"),
+        col("max_run"),
+        (col("max_run") + lit(n - 1).cast("long")).as("max_span_tokens"),
+        when(col("max_run") + lit(n - 1).cast("long")
+          >= flagSpanTokens, 1L).otherwise(0L).as("flagged"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** q207 — canary / secret-leak audit: the RARE-but-CROSS-SOURCE
+    * n-gram sweep (training-data canary extraction, the Carlini
+    * secret-sharer audit shape): a gram that occurs in at most
+    * maxDocs documents yet spans at least minSources distinct sources
+    * is the signature of a leaked secret, a planted canary, or
+    * cross-source template contamination — high-df boilerplate and
+    * within-source repetition are both excluded by construction.
+    *
+    * Scale posture (two-phase, the q17 discipline): the frequency
+    * stats aggregate on 8-byte xxhash64 fingerprints — the corpus-
+    * sized shuffle never carries gram STRINGS; the surviving rare set
+    * is tiny by definition, so recovering the human-readable gram is
+    * a broadcast join back against the index (same 2⁻⁶⁴ collision
+    * caveat as every fingerprint join here). */
+  def canarySpans(
+      documents: DataFrame, n: Int = 4, maxDocs: Int = 3,
+      minSources: Int = 2): DataFrame = {
+    val idx = documents
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), n))).as("gram"))
+      .withColumn("g", xxhash64(col("gram")))
+    val rare = idx.groupBy("g").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") <= maxDocs &&
+        col("n_sources") >= minSources)
+    idx.join(broadcast(rare), "g")
+      .select(col("gram"), col("n_docs"), col("n_sources"),
+        col("min_doc"), col("max_doc"))
+      .dropDuplicates("gram")
+      .orderBy("gram")
+  }
+
   /** q129 — cross-split contamination audit: the fraction of each TEST
     * document's distinct shingles that also occur anywhere in the
     * TRAIN split (q46's content-hash split rule) — the "did my test

@@ -1295,6 +1295,44 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** q206 — sequence→document PROVENANCE: the inverse packing lookup
+    * every loss-spike forensics session runs ("training step k read
+    * sequences [a, b) — which documents were in them, at which
+    * offsets?"). For a deterministic probe set of sequence ids
+    * (seq_id % probeMod == 0, so the oracle reproduces it), emit one
+    * row per (sequence, contributing document): the token offset of
+    * the document's fragment inside the sequence (`seq_off`), the
+    * offset of that fragment inside the DOCUMENT (`doc_off` — where
+    * to start reading the source text), and the fragment length.
+    *
+    * Same machinery as [[packComposition]] (the q184/q187 global
+    * prefix sum — shared so the three packing gates cannot
+    * desynchronize): each doc explodes to its spanned sequences, the
+    * probe filter prunes BEFORE the exchange, and every column is
+    * exact integer interval arithmetic. At 100 TB the probe set is a
+    * handful of sequences: the filter cuts the exploded frame to
+    * ~|probe| · (docs per sequence) rows. */
+  def seqProvenance(
+      documents: DataFrame, seqLen: Long = 512L,
+      probeMod: Long = 20L, salt: String = "shard"): DataFrame = {
+    require(probeMod > 0, "seqProvenance: probeMod must be positive")
+    val spans = sequencePacking(documents, seqLen, salt)
+      .withColumn("gstart",
+        col("start_seq") * seqLen + col("seq_offset"))
+      .withColumn("gend", col("gstart") + col("n_tokens"))
+      .withColumn("seq_id",
+        explode(sequence(col("start_seq"), col("end_seq"))))
+      .filter(pmod(col("seq_id"), lit(probeMod)) === 0)
+    spans.select(col("seq_id"), col("doc_id"),
+        (greatest(col("gstart"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("seq_off"),
+        (greatest(col("gstart"), col("seq_id") * seqLen)
+          - col("gstart")).as("doc_off"),
+        (least(col("gend"), (col("seq_id") + 1L) * seqLen)
+          - greatest(col("gstart"), col("seq_id") * seqLen)).as("n_tok"))
+      .orderBy("seq_id", "doc_id")
+  }
+
   /** q191 — the corpus DATASHEET: the per-(lang, source) summary table
     * every dataset card / "Datasheets for Datasets" release publishes,
     * computed in one pass over the corpus — doc and exact-duplicate

@@ -139,4 +139,34 @@ class BpeSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("tokenizerFertility: per-language sums equal a driver-side " +
+    "fold of the per-doc encode accounting, ratios exact at 4 dp, " +
+    "fertility >= 1 everywhere") {
+    val docs = tables.documents
+    val got = Bpe.tokenizerFertility(docs).collect()
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Bpe.mlBpeEncode(docs).collect()
+      .map(r => (langOf(r.getAs[Long]("doc_id")),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_chars")))
+    val want = perDoc.groupBy(_._1).map { case (l, rs) =>
+      l -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(_._4).sum)
+    }
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (nd, nw, nt, nc) = want(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_bpe_tokens") == nt)
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val fert = r.getAs[Double]("fertility")
+      assert(fert == r4(nt.toDouble / nw))
+      assert(fert >= 1.0, "a word costs at least one token")
+      assert(r.getAs[Double]("chars_per_token") == r4(nc.toDouble / nt))
+    }
+  }
 }

@@ -318,6 +318,73 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminationPairs(docs, n = 4).count() == 0)
   }
 
+  test("contaminationSpans: contiguous islands flag, scattered hits " +
+    "don't — crafted exact values, and the fixture's planted " +
+    "excerpt positives all flag with full-length spans") {
+    import spark.implicits._
+    val ex = (1 to 30).map(i => s"e$i")
+    val filler = (1 to 10).map(i => s"f$i")
+    val docs = Seq(
+      // benchmark doc (0 % 97 == 0, 40 tokens): excerpt = e1..e30
+      (0L, (filler ++ ex).mkString(" ")),
+      // 20-token contiguous copy of the excerpt prefix → run 17,
+      // span 20, flagged at the 16-token bar
+      (1L, ("n1 n2 n3 " + ex.take(20).mkString(" ") + " n4 n5")),
+      // two SCATTERED 4-token chunks → two runs of 1, span 4, clean
+      (2L, "m1 e3 e4 e5 e6 m2 m3 e12 e13 e14 e15 m4"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (0L, 0L, 27L, 27L, 30L, 1L),   // the planted self positive
+      (1L, 0L, 17L, 17L, 20L, 1L),   // contiguous copy flags
+      (2L, 0L, 2L, 1L, 4L, 0L)))     // scattered hits stay clean
+    // fixture-wide: every benchmark doc with a full-length excerpt
+    // must flag against ITSELF with the maximal 30-token span
+    val fx = Dedup.contaminationSpans(tables.documents)
+    val benchIds = tables.documents
+      .filter(col("doc_id") % 97 === 0 &&
+        size(split(col("text"), " ")) >= 40)
+      .select("doc_id").as[Long].collect().toSet
+    val selfRows = fx.filter(col("doc_id") === col("bench_id"))
+      .collect()
+    assert(selfRows.map(_.getLong(0)).toSet == benchIds)
+    selfRows.foreach { r =>
+      assert(r.getAs[Long]("max_span_tokens") == 30L)
+      assert(r.getAs[Long]("flagged") == 1L)
+    }
+  }
+
+  test("canarySpans: rare cross-source grams surface; within-source " +
+    "repeats and common grams don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "srcA", "x1 x2 c1 c2 c3 c4 x3 x4"),   // canary, source A
+      (20L, "srcB", "y1 c1 c2 c3 c4 y2 y3 y4"),   // canary, source B
+      (30L, "srcC", "z1 d1 d2 d3 d4 z2 z3 z4"),   // within-source pair
+      (40L, "srcC", "w1 d1 d2 d3 d4 w2 w3 w4"),
+      // a gram in 4 docs across 4 sources: too common for maxDocs=3
+      (50L, "srcA", "p1 p2 p3 p4 q1 q2 q3 q4"),
+      (51L, "srcB", "p1 p2 p3 p4 r1 r2 r3 r4"),
+      (52L, "srcC", "p1 p2 p3 p4 s1 s2 s3 s4"),
+      (53L, "srcD", "p1 p2 p3 p4 t1 t2 t3 t4"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.canarySpans(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("c1 c2 c3 c4", 2L, 2L, 10L, 20L)))
+    // fixture-wide invariants: rarity and spread bounds hold on every
+    // emitted row
+    Dedup.canarySpans(tables.documents).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 3L)
+      assert(r.getAs[Long]("n_sources") >= 2L)
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+    }
+  }
+
   test("crossSplitContamination: bounds, split coverage, degenerate splits") {
     import spark.implicits._
     val c = Dedup.crossSplitContamination(tables.documents).collect()

@@ -130,6 +130,9 @@ class PlanAuditSpec extends SparkSpec {
     "q95_decontamination" -> ("benchmark shingle index: the doc_id%97 " +
       "slice is the fixture proxy for a FIXED eval set (MBs against " +
       "100 TB); documented in decontaminationPairs"),
+    "q205_contamination_spans" -> ("benchmark excerpt gram index: the " +
+      "same doc_id%97 eval-set proxy bound as q95; documented in " +
+      "contaminationSpans"),
     "q26_cosine_topk" -> ("query batch: corpus-sampled in the " +
       "fixture; a serving query batch is bounded by the caller"),
     "q77_sql_vector" -> "query batch (same serving-batch bound as q26)",

@@ -590,6 +590,43 @@ class TextSpec extends SparkSpec {
       && r.getAs[Double]("cross_pair_frac") == 0.0) >= 2)
   }
 
+  test("seqProvenance: the inverse packing lookup agrees with a " +
+    "driver-side replay — exact offsets, full probe-sequence " +
+    "coverage, fragments inside their documents") {
+    val L = 512L
+    val packed = TextAnalysis.sequencePacking(tables.documents, L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq"),
+        r.getAs[Long]("seq_offset")))
+    val expect = packed.flatMap { case (id, n, s0, e, off) =>
+      val gs = s0 * L + off
+      (s0 to e).filter(_ % 20 == 0).map { s =>
+        val a = math.max(gs, s * L)
+        (s, id, a - s * L, a - gs, math.min(gs + n, (s + 1) * L) - a)
+      }
+    }.toSet
+    val got = TextAnalysis.seqProvenance(tables.documents, L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // per probed sequence: fragments tile the sequence exactly (the
+    // final sequence may be partial), offsets in range, fragments
+    // inside their documents
+    val byDoc = packed.map(p => p._1 -> p._2).toMap
+    val lastSeq = packed.map(_._4).max
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val tot = rows.toSeq.map(_._5).sum
+      if (s < lastSeq) assert(tot == L, s"probe seq $s covers $tot")
+      rows.foreach { case (_, id, seqOff, docOff, nTok) =>
+        assert(seqOff >= 0 && seqOff < L && nTok > 0)
+        assert(docOff >= 0 && docOff + nTok <= byDoc(id))
+      }
+    }
+  }
+
   test("qualityBudgetCuration: greedy maximality, min-kept score >= " +
     "max-dropped score, and exact equal-token phase splits") {
     val got = TextAnalysis
