@@ -386,6 +386,16 @@ object SparkEntry {
     // fingerprint-aggregated then string-recovered for the tiny set
     "q207_canary_spans" ->
       q(t => Dedup.canarySpans(t.documents)),
+    // q208: l-diversity (homogeneity-attack audit) over the q165
+    // release with the acctbal band as the sensitive attribute
+    "q208_l_diversity" -> q(Constraints.q208),
+    // q209: largest-remainder stratified holdout — exact budget,
+    // all-integer allocation, md5-ranked within-stratum selection
+    "q209_stratified_holdout" ->
+      q(t => TextAnalysis.stratifiedHoldout(t.documents)),
+    // q210: gram novelty curve per arrival decile (crawl saturation)
+    "q210_gram_novelty" ->
+      q(t => TextAnalysis.gramNoveltyCurve(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1124,6 +1134,77 @@ object SparkEntry {
         |    AS BIGINT) AS n_tok
         |FROM x WHERE seq_id % 20 = 0
         |ORDER BY seq_id, doc_id""".stripMargin),
+    // q208: l-diversity over the q165 release, acctbal-band sensitive
+    "q208_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT cls.c_nationkey, cls.c_mktsegment,
+        |  CAST(ANY_VALUE(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+        |    4) + 0.0 AS sens_entropy,
+        |  CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS below_l
+        |FROM cls JOIN tot USING (c_nationkey, c_mktsegment)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q209: largest-remainder allocation then md5-ranked selection
+    "q209_stratified_holdout" ->
+      """WITH s AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n FROM s),
+        |q0 AS (SELECT lang, source, n,
+        |         CAST((100 * n) // tot_n AS BIGINT) AS base,
+        |         CAST((100 * n) % tot_n AS BIGINT) AS rem
+        |       FROM s, t),
+        |k AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS K FROM q0),
+        |qr AS (SELECT *, ROW_NUMBER() OVER (
+        |         ORDER BY rem DESC, lang, source) AS srank FROM q0),
+        |quota AS (SELECT lang, source,
+        |            CAST(base + CASE WHEN srank <= K THEN 1 ELSE 0 END
+        |              AS BIGINT) AS quota
+        |          FROM qr, k),
+        |d AS (SELECT doc_id, lang, source,
+        |        CAST(concat('0x', substr(md5(
+        |          CAST(doc_id AS VARCHAR) || ':holdout'), 1, 8))
+        |          AS BIGINT) AS h
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang, source,
+        |        ROW_NUMBER() OVER (PARTITION BY lang, source
+        |          ORDER BY h, doc_id) AS rn
+        |      FROM d)
+        |SELECT r.doc_id, r.lang, r.source,
+        |  CAST(rn AS BIGINT) AS stratum_rank,
+        |  CAST(CASE WHEN rn <= quota THEN 1 ELSE 0 END AS BIGINT)
+        |    AS holdout
+        |FROM r JOIN quota USING (lang, source)
+        |ORDER BY doc_id""".stripMargin,
+    // q210: first-occurrence decile per gram, per-decile novelty
+    "q210_gram_novelty" ->
+      ("""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS t
+        |            FROM documents),
+        |mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+        |sh AS (SELECT doc_id, unnest($DUCKSH) AS g
+        |       FROM t0 WHERE len(t) >= 3),
+        |per AS (SELECT DISTINCT
+        |          LEAST((doc_id * 10) // (m + 1), 9) AS decile, g
+        |        FROM sh, mx),
+        |firstd AS (SELECT g, CAST(MIN(decile) AS BIGINT) AS fd
+        |           FROM per GROUP BY g)
+        |SELECT CAST(p.decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+        |  CAST(SUM(CASE WHEN f.fd = p.decile THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_grams,
+        |  ROUND(CAST(SUM(CASE WHEN f.fd = p.decile THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM per p JOIN firstd f USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("$DUCKSH", duckShingles)),
     // q207: rare-but-cross-source grams (canary/secret-leak audit)
     "q207_canary_spans" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t

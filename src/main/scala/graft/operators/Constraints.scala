@@ -146,4 +146,50 @@ object Constraints {
     * is the dataset's k. */
   def q165(t: graft.Tables): DataFrame =
     kAnonymity(t.customer, Seq("c_nationkey", "c_mktsegment"))
+
+  // ---- q208: l-diversity audit ------------------------------------
+
+  /** l-diversity audit (Machanavajjhala et al.) — k-anonymity's
+    * necessary companion: a large equivalence class is still a leak
+    * if everyone in it shares the SENSITIVE value (the homogeneity
+    * attack q165's size histogram cannot see). Per QI class: row
+    * count, the number of DISTINCT sensitive values (distinct
+    * l-diversity — the class's l), the base-2 entropy of the
+    * sensitive distribution (entropy l-diversity: a class passes
+    * "entropy l" iff entropy ≥ log2 l), and the below-lBar flag.
+    *
+    * Scale: one (QI, sensitive) hash-agg, one QI re-agg, one
+    * broadcast join of the |classes|-row totals — the q165 posture
+    * with one extra aggregate level; no windows, nothing
+    * driver-side. Entropy follows the q198 convention (log2, 4 dp,
+    * −0.0 folded). */
+  def lDiversity(
+      df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      lBar: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    val qi = qiCols.map(col)
+    val cls = df.groupBy(qi :+ sensitive.as("__sens"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val tot = cls.groupBy(qi: _*).agg(sum("__c").as("__n"))
+    cls.join(broadcast(tot), qiCols)
+      .groupBy(qi: _*)
+      .agg(first(col("__n")).as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        (round(-sum((col("__c").cast("double") / col("__n"))
+          * log2(col("__c").cast("double") / col("__n"))), 4)
+          + lit(0.0)).as("sens_entropy"))
+      .select(qi ++ Seq(col("n_rows").cast("long").as("n_rows"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        col("sens_entropy"),
+        when(col("l_distinct") < lBar, 1L).otherwise(0L)
+          .as("below_l")): _*)
+      .orderBy(qi: _*)
+  }
+
+  /** q208 — the declared audit: q165's release (QI = c_nationkey,
+    * c_mktsegment) with the account-balance band
+    * floor(c_acctbal / 2000) as the sensitive attribute. */
+  def q208(t: graft.Tables): DataFrame =
+    lDiversity(t.customer, Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 2000.0).cast("long"))
 }

@@ -1295,6 +1295,92 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** q209 — stratified eval holdout with EXACT budget: allocate a
+    * `budget`-document holdout across (lang, source) strata by the
+    * largest-remainder (Hamilton) method — base quota
+    * `budget·n_s div N` per stratum plus one extra for the K strata
+    * with the largest remainders (K = budget − Σ base; remainder ties
+    * break on the stratum key), then select exactly quota docs per
+    * stratum in the deterministic md5 order. The allocation sums to
+    * EXACTLY the budget (the property proportional rounding lacks)
+    * and every step is integer arithmetic — full hash oracle.
+    *
+    * Scale: the stratum frame is |langs×sources| rows; its remainder
+    * ranking rides [[GlobalRank.cumSum]] (no unpartitioned window,
+    * even over the small frame — the audit discipline), quotas
+    * broadcast, and the per-stratum doc rank is
+    * [[GlobalRank.cumSumBy]] over the md5 key (the q185 form). */
+  def stratifiedHoldout(
+      documents: DataFrame, budget: Long = 100L,
+      salt: String = "holdout"): DataFrame = {
+    require(budget > 0, "stratifiedHoldout: budget must be positive")
+    val strata = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+    val total = strata.agg(sum("n").as("__N"))
+    val q0 = strata.crossJoin(broadcast(total))
+      .withColumn("base", expr(s"($budget * n) div __N"))
+      .withColumn("rem", expr(s"($budget * n) % __N"))
+    val kRow = q0.agg((lit(budget) - sum("base")).as("__K"))
+    // remainder rank: largest remainder first, stratum key breaking
+    // ties — a |strata|-row frame, still ranked the no-window way
+    val ranked = GlobalRank.cumSum(
+      q0, -col("rem"), concat_ws("|", col("lang"), col("source")),
+      lit(1L), "srank")
+    val quotas = ranked.crossJoin(broadcast(kRow))
+      .select(col("lang"), col("source"),
+        (col("base") + when(col("srank") <= col("__K"), 1L)
+          .otherwise(0L)).as("quota"))
+    val h = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val rankedDocs = GlobalRank.cumSumBy(
+      documents.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("hkey", h),
+      Seq("lang", "source"), col("hkey"), col("doc_id"),
+      Seq((lit(1L), "rn")))
+    rankedDocs.join(broadcast(quotas), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rn").as("stratum_rank"),
+        when(col("rn") <= col("quota"), 1L).otherwise(0L).as("holdout"))
+      .orderBy("doc_id")
+  }
+
+  /** q210 — gram NOVELTY curve: is the crawl saturating? Chunk the
+    * corpus into 10 deciles in doc_id (arrival) order and report, per
+    * decile, how many distinct 3-gram types it contains and what
+    * fraction of them are NEW — first seen in that decile. The
+    * gram-level companion to q126's token vocabulary growth: token
+    * vocab saturates long before PHRASE novelty does, and a flat
+    * near-zero tail here is the "stop crawling this source" signal.
+    *
+    * Scale: grams travel as 8-byte xxhash64 fingerprints (the Broder
+    * tradeoff, string-exact up to 2⁻⁶⁴ collisions); two hash-aggs
+    * (distinct (decile, g), then min-decile per g) and a fingerprint
+    * join — linear in shingle volume, output exactly 10 rows. */
+  def gramNoveltyCurve(
+      documents: DataFrame, deciles: Int = 10): DataFrame = {
+    val mx = documents.agg(max("doc_id").as("__m"))
+    val per = documents
+      .select(col("doc_id"), explode(array_distinct(
+        Dedup.shingles(col("text"), 3))).as("gram"))
+      .crossJoin(broadcast(mx))
+      .select(
+        least(expr(s"(doc_id * $deciles) div (__m + 1)"),
+          lit(deciles - 1).cast("long")).as("decile"),
+        xxhash64(col("gram")).as("g"))
+      .distinct()
+    val firstSeen = per.groupBy("g").agg(min("decile").as("fd"))
+    per.join(firstSeen, "g")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(when(col("fd") === col("decile"), 1L).otherwise(0L))
+          .as("new_grams"))
+      .select(col("decile"), col("distinct_grams"), col("new_grams"),
+        round(col("new_grams").cast("double")
+          / col("distinct_grams").cast("double"), 4).as("novelty"))
+      .orderBy("decile")
+  }
+
   /** q206 — sequence→document PROVENANCE: the inverse packing lookup
     * every loss-spike forensics session runs ("training step k read
     * sequences [a, b) — which documents were in them, at which

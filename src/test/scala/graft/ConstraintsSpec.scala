@@ -81,6 +81,36 @@ class ConstraintsSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 0.001)
   }
 
+  test("lDiversity: crafted classes — a homogeneous class flags " +
+    "despite its size, a diverse one passes; entropy exact at 4 dp") {
+    // QI zip: class A = 4 rows ALL sensitive value 1 (the homogeneity
+    // attack k-anonymity misses: k=4 but l=1); class B = 4 rows over
+    // 4 distinct values (l=4, entropy = log2 4 = 2); class C = 2+1
+    // split (entropy = -(2/3 log2 2/3 + 1/3 log2 1/3) = 0.9183)
+    val t = Seq(
+      ("A", 1), ("A", 1), ("A", 1), ("A", 1),
+      ("B", 1), ("B", 2), ("B", 3), ("B", 4),
+      ("C", 1), ("C", 1), ("C", 2))
+      .toDF("zip", "sens")
+    val rows = Constraints.lDiversity(t, Seq("zip"), col("sens"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(rows("A") == ((4L, 1L, 0.0, 1L)))
+    assert(rows("B") == ((4L, 4L, 2.0, 0L)))
+    assert(rows("C") == ((3L, 2L, 0.9183, 1L)))
+    // fixture q208: every class's l is at least 1, entropy bounds its
+    // log2(l), and flags agree with l_distinct < 3
+    Constraints.q208(tables).collect().foreach { r =>
+      val (l, e, f) = (r.getAs[Long]("l_distinct"),
+        r.getAs[Double]("sens_entropy"), r.getAs[Long]("below_l"))
+      assert(l >= 1L)
+      assert(e <= math.log(l.toDouble) / math.log(2.0) + 5e-5,
+        s"entropy $e exceeds log2($l) beyond 4-dp rounding slack")
+      assert(f == (if (l < 3) 1L else 0L))
+    }
+  }
+
   test("q159 on the fixture: nine rows; the discount bound AND the " +
     "line-number uniqueness fail (a genuine fixture finding — " +
     "(l_orderkey, l_linenumber) collides in ~24% of rows); the rest " +

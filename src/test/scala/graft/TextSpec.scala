@@ -590,6 +590,71 @@ class TextSpec extends SparkSpec {
       && r.getAs[Double]("cross_pair_frac") == 0.0) >= 2)
   }
 
+  test("stratifiedHoldout: the allocation sums to EXACTLY the budget, " +
+    "matches a driver-side largest-remainder replay per stratum, and " +
+    "selection follows the md5 order") {
+    val B = 100L
+    val rows = TextAnalysis.stratifiedHoldout(tables.documents, B)
+      .collect()
+    assert(rows.map(_.getAs[Long]("holdout")).sum == B,
+      "largest remainder must hit the budget exactly")
+    // driver replay of the Hamilton allocation
+    val sizes = rows.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    val n = sizes.values.sum
+    val base = sizes.view.mapValues(s => B * s / n).toMap
+    val k = B - base.values.sum
+    val extras = sizes.toSeq
+      .map { case (st, s) => (st, B * s % n) }
+      .sortBy { case ((l, src), rem) => (-rem, l, src) }
+      .take(k.toInt).map(_._1).toSet
+    val quota = sizes.keys
+      .map(st => st -> (base(st) + (if (extras(st)) 1L else 0L))).toMap
+    val picked = rows.filter(_.getAs[Long]("holdout") == 1L)
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    quota.filter(_._2 > 0).foreach { case (st, q) =>
+      assert(picked.getOrElse(st, 0L) == q, s"stratum $st quota $q") }
+    // within a stratum, every held-out doc's md5 key precedes every
+    // non-held-out doc's (the deterministic selection order)
+    def h(id: Long) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$id:holdout").substring(0, 8), 16)
+    rows.groupBy(r => (r.getString(1), r.getString(2)))
+      .foreach { case (_, rs) =>
+        val in = rs.filter(_.getAs[Long]("holdout") == 1L)
+          .map(r => (h(r.getLong(0)), r.getLong(0)))
+        val out = rs.filter(_.getAs[Long]("holdout") == 0L)
+          .map(r => (h(r.getLong(0)), r.getLong(0)))
+        if (in.nonEmpty && out.nonEmpty)
+          assert(implicitly[Ordering[(Long, Long)]].lt(in.max, out.min),
+            s"holdout selection out of md5 order: ${in.max} !< ${out.min}")
+      }
+  }
+
+  test("gramNoveltyCurve: decile 0 is all-new, novelty bounded, and " +
+    "new-gram counts conserve the corpus gram vocabulary") {
+    val rows = TextAnalysis.gramNoveltyCurve(tables.documents)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val first = rows.minBy(_.getAs[Long]("decile"))
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the first decile's grams are all first occurrences")
+    rows.foreach { r =>
+      val (d, ng, nov) = (r.getAs[Long]("distinct_grams"),
+        r.getAs[Long]("new_grams"), r.getAs[Double]("novelty"))
+      assert(ng >= 0 && ng <= d)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // conservation: sum of new grams == the corpus's distinct gram
+    // vocabulary (each gram is new exactly once)
+    val vocab = tables.documents
+      .select(explode(array_distinct(
+        graft.operators.Dedup.shingles(col("text"), 3))).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("new_grams")).sum == vocab)
+  }
+
   test("seqProvenance: the inverse packing lookup agrees with a " +
     "driver-side replay — exact offsets, full probe-sequence " +
     "coverage, fragments inside their documents") {
