@@ -396,6 +396,10 @@ object SparkEntry {
     // q210: gram novelty curve per arrival decile (crawl saturation)
     "q210_gram_novelty" ->
       q(t => TextAnalysis.gramNoveltyCurve(t.documents)),
+    // q211: within-doc n-gram loop score (degeneration signal);
+    // loops planted at doc_id % 31 — the q202 planting convention
+    "q211_gram_loops" ->
+      q(t => TextAnalysis.gramLoopScore(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1205,6 +1209,33 @@ object SparkEntry {
         |FROM per p JOIN firstd f USING (g)
         |GROUP BY 1 ORDER BY 1""".stripMargin
         .replace("$DUCKSH", duckShingles)),
+    // q211: loop score over the planted-loop corpus (first 8 tokens
+    // appended x3 for doc_id % 31); argmax gram = min among maximal
+    "q211_gram_loops" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN
+        |      text || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
+        |           || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
+        |           || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, string_split(text,' ') AS t FROM t0),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+3],' ') AS g
+        |      FROM t1, UNNEST(range(1, len(t)-2)) AS u(i)
+        |      WHERE len(t) >= 4),
+        |counts AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_positions,
+        |               CAST(MAX(c) AS BIGINT) AS max_rep
+        |        FROM counts GROUP BY 1)
+        |SELECT t.doc_id, t.n_positions, t.max_rep,
+        |  MIN(c.g) AS loop_gram,
+        |  ROUND(CAST(t.max_rep AS DOUBLE) / t.n_positions, 4) AS loop_frac,
+        |  CAST(CASE WHEN t.max_rep >= 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS loop_flag
+        |FROM tot t JOIN counts c
+        |  ON t.doc_id = c.doc_id AND c.c = t.max_rep
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // q207: rare-but-cross-source grams (canary/secret-leak audit)
     "q207_canary_spans" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t

@@ -1381,6 +1381,54 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** q211 — n-gram LOOP score: the within-document degeneration
+    * signal (model-generated or templated text loops — the same
+    * 4-gram recurring many times inside ONE document; q94's
+    * repetition ratios see token-level echo, this sees PHRASE loops).
+    * Per document: total gram positions, the highest repeat count of
+    * any single gram, that gram (lexicographic min among maximal — a
+    * deterministic argmax), the loop fraction, and the ≥ flagRep
+    * flag. Because the synthetic fixture's prose never repeats a
+    * 4-gram more than twice, loops are PLANTED deterministically
+    * (doc_id % plantMod gets its own first 8 tokens appended three
+    * times — the q202 scale-covariant planting convention), so the
+    * flag class is non-vacuous at every scale and the oracle
+    * reproduces it.
+    *
+    * Scale: one doc-keyed hash-agg over (doc_id, fingerprint) with a
+    * min-gram carry (one gram string per distinct (doc, gram) in the
+    * partial buffers — the output IS per-doc argmax strings, so some
+    * string movement is inherent; q207 shows the string-free form),
+    * then a per-doc max join. */
+  def gramLoopScore(
+      documents: DataFrame, n: Int = 4, plantMod: Int = 31,
+      flagRep: Long = 3L): DataFrame = {
+    val t = split(col("text"), " ")
+    val block = concat_ws(" ", slice(t, 1, 8))
+    val planted = documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(plantMod)) === 0,
+        concat_ws(" ", col("text"), block, block, block))
+        .otherwise(col("text")).as("text"))
+    val counts = planted
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .groupBy(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .agg(count(lit(1)).as("c"), min("gram").as("gname"))
+    val tot = counts.groupBy("doc_id")
+      .agg(sum("c").as("n_positions"), max("c").as("max_rep"))
+    counts.join(tot, "doc_id")
+      .filter(col("c") === col("max_rep"))
+      .groupBy("doc_id", "n_positions", "max_rep")
+      .agg(min("gname").as("loop_gram"))
+      .select(col("doc_id"), col("n_positions"), col("max_rep"),
+        col("loop_gram"),
+        round(col("max_rep").cast("double")
+          / col("n_positions").cast("double"), 4).as("loop_frac"),
+        when(col("max_rep") >= flagRep, 1L).otherwise(0L)
+          .as("loop_flag"))
+      .orderBy("doc_id")
+  }
+
   /** q206 — sequence→document PROVENANCE: the inverse packing lookup
     * every loss-spike forensics session runs ("training step k read
     * sequences [a, b) — which documents were in them, at which

@@ -148,7 +148,10 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate (same serving-batch bound as q26)"),
     "q185_epoch_mixture" -> ("quota frame: |strata| rows (the q149 " +
       "bound); the strata-rank join hides the Aggregate shape from " +
-      "the static audit"))
+      "the static audit"),
+    "q209_stratified_holdout" -> ("quota frame: |strata| rows (the " +
+      "q185 class); the GlobalRank remainder-rank join hides the " +
+      "Aggregate shape from the static audit"))
 
   // Low-card-window exemptions: SQL window-SURFACE parity demos
   // (rank/dense_rank/ntile/lag/lead, rows-frames) that deliberately

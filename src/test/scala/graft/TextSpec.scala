@@ -655,6 +655,32 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("new_grams")).sum == vocab)
   }
 
+  test("gramLoopScore: crafted loop and echo score exactly; every " +
+    "planted fixture doc flags") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // doc 0 (0 % 31 == 0) gets its first 8 tokens appended x3 by the
+    // operator itself: "a b c d" then recurs 1 + 3 = 4 times; doc 1
+    // has a natural echo ("p q r s" twice) below the flag bar
+    val docs = Seq(
+      (0L, "a b c d e f g h x y"),
+      (1L, "p q r s p q r s t"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gramLoopScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got(0L) == ((31L, 4L, "a b c d", 0.129, 1L)))
+    assert(got(1L) == ((6L, 2L, "p q r s", 0.3333, 0L)))
+    // fixture-wide: every planted doc flags with the planted repeat
+    val fx = TextAnalysis.gramLoopScore(tables.documents).collect()
+    val plantedRows = fx.filter(_.getLong(0) % 31 == 0)
+    assert(plantedRows.nonEmpty)
+    plantedRows.foreach { r =>
+      assert(r.getAs[Long]("max_rep") >= 4L)
+      assert(r.getAs[Long]("loop_flag") == 1L)
+    }
+  }
+
   test("seqProvenance: the inverse packing lookup agrees with a " +
     "driver-side replay — exact offsets, full probe-sequence " +
     "coverage, fragments inside their documents") {
