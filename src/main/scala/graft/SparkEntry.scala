@@ -400,6 +400,32 @@ object SparkEntry {
     // loops planted at doc_id % 31 — the q202 planting convention
     "q211_gram_loops" ->
       q(t => TextAnalysis.gramLoopScore(t.documents)),
+    // q212: character-entropy quality signal (the hashable twin of
+    // q203's deflate ratio); repetitive docs planted at doc_id % 29
+    "q212_char_entropy" ->
+      q(t => TextAnalysis.charEntropy(t.documents)),
+    // q213: BPE round-trip — decode(encode(x)) == x, per doc, md5-gated
+    "q213_bpe_roundtrip" ->
+      q(t => Bpe.bpeRoundtrip(t.documents)),
+    // q214: JSONL ingest round trip with corrupt-record isolation;
+    // malformed lines planted at doc_id % 23
+    "q214_jsonl_roundtrip" ->
+      q(t => graft.sources.Formats.jsonlRoundtrip(t.spark, t.documents)),
+    // q215: per-language quality-threshold calibration (bottom decile
+    // per lang, integer-exact, GlobalRank — no per-lang window)
+    "q215_lang_quality" ->
+      q(t => TextAnalysis.langQualityCalibration(t.documents)),
+    // q216: encoding-artifact (mojibake) audit; three artifact classes
+    // planted on coprime keys %37/%41/%43
+    "q216_mojibake_audit" ->
+      q(t => TextAnalysis.mojibakeAudit(t.documents)),
+    // q217: data-budget ("data wall") forecast off the shared q127
+    // temperature-quota chain — exhaustion horizons per stratum
+    "q217_data_budget" ->
+      q(t => TextAnalysis.dataBudgetForecast(t.documents)),
+    // q218: ORC write→read round trip folded to the q02 shape
+    "q218_orc_roundtrip" ->
+      q(t => graft.sources.Formats.orcRoundtrip(t.spark, t)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1236,6 +1262,125 @@ object SparkEntry {
         |FROM tot t JOIN counts c
         |  ON t.doc_id = c.doc_id AND c.c = t.max_rep
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // q212: non-space character histogram → entropy + dominant-char
+    // flag (exact cross-multiplication); planting replayed at % 29
+    "q212_char_entropy" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 0 THEN
+        |      text || ' ' || repeat(substr(text, 1, 1), length(text))
+        |    ELSE text END AS text
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |       FROM t0),
+        |counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM ch WHERE ch <> '' AND ch <> ' ' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_x,
+        |               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |               CAST(MAX(c) AS BIGINT) AS max_rep
+        |        FROM counts GROUP BY 1)
+        |SELECT t.doc_id, t.n_chars_x, t.n_distinct, t.max_rep,
+        |  ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n_chars_x)
+        |    * log2(CAST(c.c AS DOUBLE) / t.n_chars_x)), 4) + 0.0
+        |    AS char_entropy,
+        |  CAST(CASE WHEN t.max_rep * 4 >= t.n_chars_x THEN 1 ELSE 0 END
+        |    AS BIGINT) AS repetitive_flag
+        |FROM counts c JOIN tot t USING (doc_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // q213: decode∘encode is the identity on the (already whitespace-
+    // normalized) fixture text — the oracle states the invariant; the
+    // engine earns it through the actual encode→decode passes
+    "q213_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  md5(text) AS decoded_md5,
+        |  md5(text) AS orig_md5,
+        |  CAST(1 AS BIGINT) AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q214: the JSONL round trip restores every good line exactly and
+    // routes the % 23 planted corrupt lines with recovered ids
+    "q214_jsonl_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS corrupt,
+        |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 23 = 0 THEN NULL
+        |       ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+        |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE md5(text) END
+        |    AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q215: within-language rank by the integer quality proxy, bottom
+    // decile flagged — all integer arithmetic
+    "q215_lang_quality" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST((n_chars * 1000) // len(string_split(text, ' '))
+        |      AS BIGINT) AS iscore
+        |  FROM documents),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY iscore, doc_id) AS lang_rank,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM d)
+        |SELECT doc_id, lang, n_tokens, iscore,
+        |  CAST(lang_rank AS BIGINT) AS lang_rank,
+        |  CAST(n_lang AS BIGINT) AS n_lang,
+        |  CAST(CASE WHEN lang_rank * 10 <= n_lang + 9 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS low_decile
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q216: planting replayed on the three coprime keys; counts via
+    // the length-difference idiom (chr(65533)=U+FFFD, chr(195)=Ã,
+    // chr(7)=BEL; chr(169)/chr(168) complete the mojibake run)
+    "q216_mojibake_audit" ->
+      """WITH t0 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 37 = 0
+        |      THEN ' ' || repeat(chr(65533), 5) ELSE '' END ||
+        |    CASE WHEN doc_id % 41 = 0
+        |      THEN ' ' || chr(195) || chr(169) || chr(195) || chr(168)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 43 = 0
+        |      THEN ' ' || repeat(chr(7), 3) ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_p,
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
+        |      AS BIGINT) AS n_replacement,
+        |    CAST(length(text) - length(replace(text, chr(195), ''))
+        |      AS BIGINT) AS n_mojibake,
+        |    CAST(length(text) - length(replace(text, chr(7), ''))
+        |      AS BIGINT) AS n_control
+        |  FROM t0)
+        |SELECT doc_id, n_chars_p, n_replacement, n_mojibake, n_control,
+        |  CAST(CASE WHEN n_replacement + n_mojibake + n_control > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS artifact_flag,
+        |  ROUND(CAST(n_chars_p - n_replacement - n_mojibake - n_control
+        |      AS DOUBLE) / n_chars_p, 4) AS clean_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // q217: exhaustion horizons off the SHARED q127 quota chain
+    "q217_data_budget" ->
+      (s"""WITH ${quotaCtesOver("documents", "m")},
+        |mtok AS (SELECT lang, source,
+        |           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |             AS n_tokens
+        |         FROM documents GROUP BY 1, 2)
+        |SELECT q.lang, q.source, q.n_docs, k.n_tokens, q.quota,
+        |  CASE WHEN q.quota = 0 THEN NULL
+        |       ELSE CAST(q.n_docs // q.quota AS BIGINT) END
+        |    AS epochs_full,
+        |  CAST(CASE WHEN q.quota > q.n_docs THEN 1 ELSE 0 END AS BIGINT)
+        |    AS overdraw_flag
+        |FROM mq q JOIN mtok k USING (lang, source)
+        |ORDER BY 1, 2""".stripMargin),
+    // q218: the ORC round trip must reproduce the parquet aggregate
+    "q218_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+        |         AS revenue,
+        |       ROUND(AVG(l_tax), 4) AS avg_tax
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // q207: rare-but-cross-source grams (canary/secret-leak audit)
     "q207_canary_spans" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t

@@ -217,6 +217,85 @@ object Bpe {
           .as("chars_per_token"))
       .orderBy("lang")
 
+  /** [[encodeTokens]] with an explicit within-document POSITION — the
+    * shape a decoder (or any order-sensitive consumer: packing,
+    * provenance, attention-mask builders) needs. Same broadcast-merge
+    * embarrassingly-parallel pass; the position counter is local to
+    * each document's iterator, so no window or shuffle is added. */
+  def encodeTokensPos(
+      df: DataFrame, merges: Seq[Merge],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        var pos = -1L
+        text.split("\\s+").filter(_.nonEmpty).iterator.flatMap { w =>
+          encodeWord(w, bc.value).iterator.map { t =>
+            pos += 1L; (id, pos, t)
+          }
+        }
+      }
+      .toDF(idCol, "pos", "token")
+  }
+
+  /** Decode a token frame (doc_id, pos, token) back to text: tokens
+    * re-ordered by position within each document, concatenated, and
+    * the `</w>` end-of-word markers turned back into spaces. The
+    * inverse of [[encodeTokensPos]] — BPE is open-vocabulary, so this
+    * must be EXACT on whitespace-normalized input.
+    *
+    * Scale: one doc-keyed hash-agg whose per-group state is the
+    * document's own token list (inherent for decode — the output IS
+    * the document); `array_sort` on (pos, token) structs keeps the
+    * fold deterministic without a window or a secondary shuffle. */
+  def decodeTokens(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tokens
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token"))))
+        .as("__ts"))
+      .select(col(idCol),
+        regexp_replace(
+          concat_ws("", transform(col("__ts"), t => t.getField("token"))),
+          "</w>", " ").as("decoded_raw"))
+      .select(col(idCol), rtrim(col("decoded_raw")).as("decoded"))
+
+  /** q213 — tokenizer ROUND-TRIP audit: the decode side of the BPE
+    * pair, closing the loop q156/q183's committed token artifacts
+    * depend on ("can every stored token sequence reconstruct its
+    * source document byte-for-byte?"). Trains the standard 40 merges,
+    * encodes every document WITH positions, decodes from the encoded
+    * frame alone (two independent passes — the decoder never sees the
+    * source text), and emits per document the word count, the md5 of
+    * the decoded text, and the md5 of the whitespace-normalized
+    * original. Because decode∘encode is the identity on normalized
+    * text, the DuckDB oracle states the invariant directly from
+    * `documents` — a FULL hash oracle over the engine's actual
+    * encode→decode path with no BPE replay needed: any encoder drift,
+    * dropped token, ordering bug, or marker mishandling lands in
+    * `decoded_md5` and fails the gate.
+    *
+    * Scale: encode is the broadcast-merge parallel pass; decode is
+    * one doc-keyed agg whose state is the document itself (inherent);
+    * the md5 comparison joins on doc_id — all linear, no driver data
+    * path. */
+  def bpeRoundtrip(
+      documents: DataFrame, numMerges: Int = 40): DataFrame = {
+    val merges = train(documents, numMerges)
+    val decoded = decodeTokens(encodeTokensPos(documents, merges))
+    val truth = documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+      md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("orig_md5"))
+    decoded.join(truth, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        md5(col("decoded")).as("decoded_md5"), col("orig_md5"),
+        when(md5(col("decoded")) === col("orig_md5"), 1L).otherwise(0L)
+          .as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** ml_bpe_merges — the declared rows-only artifact: 40 merges
     * trained on the documents corpus, in rank order. Deterministic
     * (argmax ties break lexicographically), but iterative — outside

@@ -733,6 +733,39 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** q217 — data-BUDGET forecast (the "data wall" table): for each
+    * (lang, source) stratum under the q127 temperature mixture, how
+    * long does the stratum last? `epochs_full` = whole sampling units
+    * the stratum sustains before its documents must repeat
+    * (n_docs div quota — the Chinchilla-style exhaustion horizon that
+    * decides whether a mixture is trainable for the planned token
+    * budget or silently becomes a repeat-heavy regime), plus the
+    * stratum's exact token mass and an `overdraw_flag` for strata
+    * whose per-unit quota already exceeds their size (repeats begin
+    * INSIDE the first unit). Shares [[temperatureMixture]]'s
+    * allocation chain verbatim — one definition, both gates, no
+    * desync — so every derived column is exact integer arithmetic on
+    * the same quotas q127 publishes.
+    *
+    * Scale: the allocation is the q127 GlobalRank chain; the token
+    * mass is one (lang, source) hash-agg; the final join is
+    * |strata| × |strata| broadcast — nothing here rescans the corpus
+    * beyond the two aggregates. */
+  def dataBudgetForecast(
+      documents: DataFrame, budget: Long = 100000L): DataFrame = {
+    val quotas = temperatureMixture(documents, budget)
+    val toks = documents.groupBy("lang", "source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    quotas.join(broadcast(toks), Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_tokens"), col("quota"),
+        when(col("quota") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_docs div quota")).as("epochs_full"),
+        when(col("quota") > col("n_docs"), 1L).otherwise(0L)
+          .as("overdraw_flag"))
+      .orderBy("lang", "source")
+  }
+
   /** q149 — mixture materialization: SELECT the exact documents that
     * fill [[temperatureMixture]]'s per-stratum quotas — the step that
     * turns a mixture PLAN into a training corpus. Each (lang, source)
@@ -1773,6 +1806,140 @@ object TextAnalysis {
       struct(col("h"), col("doc_id")), lit(1L), "global_pos")
       .select(col("doc_id"), col("source"), col("rank_in_source"),
         col("n_src"), col("stride_key"), col("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** q212 — CHARACTER-entropy quality signal: per document, the
+    * Shannon entropy (base 2) of the non-space character distribution
+    * plus the dominant-character repeat count — the classic low-cost
+    * repetitiveness filter (CCNet/Gopher lineage) that catches
+    * character-level degeneration (`aaaa…`, ASCII-art, base64 walls)
+    * which token-level heuristics (q94) and even 4-gram loops (q211)
+    * cannot see, and the EXACT-arithmetic twin of q203's
+    * compression-ratio signal (deflate is JVM-zlib-specific →
+    * rows-only; this gate is engine-portable integers + one rounded
+    * log-sum → FULL hash oracle). The repetitive flag is an exact
+    * integer cross-multiplication (dominant char ≥ 1/4 of non-space
+    * chars), never a float compare. Because the synthetic prose is
+    * character-diverse at every sf, flagged docs are PLANTED
+    * (doc_id % plantMod gets its own first character repeated
+    * length(text) times appended — the q202 scale-covariant
+    * convention), so the flag class is non-vacuous and the oracle
+    * reproduces the planting.
+    *
+    * Scale: one doc-keyed hash-agg over (doc_id, char) — partial
+    * aggregation collapses each partition's contribution to ≤
+    * |alphabet| rows per doc before the exchange, so the shuffle
+    * carries the per-doc character HISTOGRAM, never the text; the
+    * entropy fold is a second ≤|alphabet|-wide agg. Linear in corpus
+    * bytes, the same class as the shingle family. */
+  def charEntropy(
+      documents: DataFrame, plantMod: Int = 29): DataFrame = {
+    val planted = documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(plantMod)) === 0,
+        concat(col("text"), lit(" "),
+          expr("repeat(substr(text, 1, 1), length(text))")))
+        .otherwise(col("text")).as("text"))
+    val counts = planted
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "" && col("ch") =!= " ")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("doc_id").agg(
+      sum("c").as("n_chars_x"), count(lit(1)).as("n_distinct"),
+      max("c").as("max_rep"))
+    counts.join(tot, "doc_id")
+      .groupBy("doc_id", "n_chars_x", "n_distinct", "max_rep")
+      .agg((round(-sum((col("c") / col("n_chars_x"))
+          * log2(col("c") / col("n_chars_x"))), 4) + 0.0)
+        .as("char_entropy"))
+      .select(col("doc_id"), col("n_chars_x"), col("n_distinct"),
+        col("max_rep"), col("char_entropy"),
+        when(col("max_rep") * 4 >= col("n_chars_x"), 1L).otherwise(0L)
+          .as("repetitive_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** q216 — ENCODING-artifact (mojibake) audit: per document, exact
+    * counts of the three artifact classes every web-crawl cleaning
+    * pass screens for — U+FFFD replacement characters (decoder
+    * failures), the `Ã` lead byte of UTF-8-read-as-Latin-1 mojibake,
+    * and C0 control characters (here BEL) — plus the clean-character
+    * ratio and an exact integer artifact flag. The stock fixture is
+    * pure ASCII prose (artifact-free by construction), so each class
+    * is PLANTED on its own modular key (q202 convention: %37 → five
+    * replacement chars, %41 → a mojibake `Ã©Ã¨` run, %43 → three BEL
+    * controls; keys coprime, so docs can carry multiple classes and
+    * the planting is scale-covariant). Counts are computed by the
+    * length-difference idiom (`length(text) − length(replace(text,
+    * marker, ''))`) — pure codegen'd string functions, identical
+    * semantics in DuckDB, no regex engine portability hazard.
+    *
+    * Scale: a single map-side projection riding the scan — no
+    * shuffle, no explode; the cheapest quality-filter class there is
+    * (the reason production pipelines run encoding screens FIRST,
+    * before any tokenization). */
+  def mojibakeAudit(documents: DataFrame): DataFrame = {
+    val repl = "\ufffd" // replacement character U+FFFD
+    val moji = "\u00c3" // the Latin-1 mojibake lead byte
+    val ctrl = "\u0007" // BEL, the C0 control class
+    val planted = documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(37)) === 0,
+          lit(" " + repl * 5)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(41)) === 0,
+          lit(" " + moji + "\u00a9" + moji + "\u00a8")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(43)) === 0,
+          lit(" " + ctrl * 3)).otherwise(lit(""))).as("text"))
+    def occurrences(marker: String): Column =
+      (length(col("text"))
+        - length(regexp_replace(col("text"), lit(java.util.regex.Pattern
+            .quote(marker)), lit("")))).cast("long")
+    planted.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_p"),
+        occurrences(repl).as("n_replacement"),
+        occurrences(moji).as("n_mojibake"),
+        occurrences(ctrl).as("n_control"))
+      .select(col("doc_id"), col("n_chars_p"), col("n_replacement"),
+        col("n_mojibake"), col("n_control"),
+        when(col("n_replacement") + col("n_mojibake")
+          + col("n_control") > 0, 1L).otherwise(0L).as("artifact_flag"),
+        round((col("n_chars_p") - col("n_replacement")
+            - col("n_mojibake") - col("n_control")).cast("double")
+          / col("n_chars_p").cast("double"), 4).as("clean_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q215 — per-LANGUAGE quality-threshold calibration: rank every
+    * document WITHIN its language by an exact integer quality proxy
+    * (chars-per-token × 1000, the fertility-style score whose extremes
+    * flag token-soup and run-on garbage) and flag the bottom decile of
+    * each language. A single global threshold miscalibrates across
+    * languages (German's long compounds score high, Chinese
+    * transliteration low) — per-language quantile gating is how
+    * production filters (CCNet's per-language LM buckets) actually
+    * ship. Everything is integer-exact: the proxy is an integer
+    * division, the within-language rank and the decile cut
+    * `rank ≤ ⌈n_lang/10⌉` are integer arithmetic.
+    *
+    * Scale: `lang` is exactly the low-cardinality partition key the
+    * PlanAudit window-hazard class exists for — the rank rides
+    * [[GlobalRank.cumSumBy]] (256-way bucketed, no
+    * `Window.partitionBy(lang)` sorting n/|langs| rows in one task);
+    * per-language sizes join back as a |langs|-row broadcast. */
+  def langQualityCalibration(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"),
+      (col("n_chars") * 1000L).cast("long").as("__num"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("iscore", expr("__num div n_tokens"))
+      .drop("__num")
+    val ranked = GlobalRank.cumSumBy(base, Seq("lang"), col("iscore"),
+      col("doc_id"), Seq((lit(1L), "lang_rank")))
+    val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(sizes), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("iscore"), col("lang_rank"), col("n_lang"),
+        when(col("lang_rank") * 10L <= col("n_lang") + 9L, 1L)
+          .otherwise(0L).as("low_decile"))
       .orderBy("doc_id")
   }
 }

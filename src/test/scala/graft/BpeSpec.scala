@@ -169,4 +169,39 @@ class BpeSpec extends SparkSpec {
       assert(r.getAs[Double]("chars_per_token") == r4(nc.toDouble / nt))
     }
   }
+
+  test("decodeTokens: reconstructs from a shuffled positional token " +
+    "frame — order comes from pos, not input order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // positions deliberately out of input order
+    val toks = Seq((1L, 3L, "rld</w>"), (1L, 0L, "he"), (1L, 1L, "llo</w>"),
+      (1L, 2L, "wo"), (2L, 0L, "x</w>"))
+      .toDF("doc_id", "pos", "token")
+    val got = Bpe.decodeTokens(toks).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "x")
+  }
+
+  test("bpeRoundtrip: decode∘encode is the identity corpus-wide — " +
+    "every fixture doc reconstructs to its exact md5") {
+    val spark2 = spark
+    import spark2.implicits._
+    // crafted: multi-merge words + singletons
+    val docs = Seq((1L, "low lower lowest low"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val crafted = Bpe.bpeRoundtrip(docs, numMerges = 10).collect()
+    crafted.foreach { r =>
+      assert(r.getAs[Long]("roundtrip_ok") == 1L, s"doc ${r.getLong(0)}")
+      assert(r.getAs[String]("decoded_md5") == r.getAs[String]("orig_md5"))
+    }
+    assert(crafted.map(r => r.getLong(0) -> r.getAs[Long]("n_words"))
+      .toMap == Map(1L -> 4L, 2L -> 3L))
+    // fixture-wide at the declared 40 merges
+    val fx = Bpe.bpeRoundtrip(tables.documents).collect()
+    assert(fx.length == tables.documents.count())
+    fx.foreach(r =>
+      assert(r.getAs[Long]("roundtrip_ok") == 1L, s"doc ${r.getLong(0)}"))
+  }
 }

@@ -563,4 +563,66 @@ class IoSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 99 && back.filter(col("id") === 5L).isEmpty)
   }
+
+  test("jsonlRoundtrip: hostile text survives JSON escaping; corrupt " +
+    "lines route with recovered ids; fixture counts are exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // quotes, backslashes, tabs, newlines, unicode — the characters a
+    // naive line writer corrupts
+    val hostile = "say \"hi\" \\ twice\nand\taé more"
+    val docs = Seq(
+      (0L, "gone", "xx", "s1", 4L), // 0 % 23 == 0 -> planted corrupt
+      (1L, hostile, "en", "s1", hostile.length.toLong),
+      (2L, "plain text", "de", "s2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.sources.Formats.jsonlRoundtrip(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("corrupt") == 1L)
+    assert(got(0L).isNullAt(2) && got(0L).isNullAt(5)) // lang, text_md5
+    assert(got(1L).getAs[Long]("corrupt") == 0L)
+    val wantMd5 = docs.filter(col("doc_id") === 1L)
+      .select(md5(col("text"))).head.getString(0)
+    assert(got(1L).getAs[String]("text_md5") == wantMd5)
+    assert(got(1L).getAs[String]("lang") == "en" &&
+      got(1L).getAs[Long]("n_chars") == hostile.length.toLong)
+    // fixture-wide: one output row per input line, corrupt set exact
+    val fx = graft.sources.Formats.jsonlRoundtrip(spark, tables.documents)
+      .collect()
+    assert(fx.length == tables.documents.count())
+    fx.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("corrupt") == (if (id % 23 == 0) 1L else 0L))
+      assert(r.isNullAt(5) == (id % 23 == 0))
+    }
+  }
+
+  test("orcRoundtrip: ORC write→read preserves schema and rows; the " +
+    "range predicate reaches the ORC scan as a pushed filter") {
+    val dir = Files.createTempDirectory("orc-spec").toString + "/li"
+    val src = tables.lineitem.select("l_orderkey", "l_quantity",
+      "l_returnflag")
+    src.write.mode("overwrite").orc(dir)
+    val back = Readers.orc(spark, dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    // pushdown: the filter must appear in the ORC scan node
+    val plan = back.filter(col("l_quantity") >= 25.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,25.0)"),
+      s"no pushed filter in:\n$plan")
+    // the declared gate's aggregate equals the parquet-side compute
+    val viaOrc = graft.sources.Formats.orcRoundtrip(spark, tables)
+      .collect().toSeq
+    val direct = tables.lineitem.filter(col("l_quantity") >= 25.0)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"),
+        round(avg("l_tax"), 4).as("avg_tax"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(viaOrc == direct)
+  }
 }

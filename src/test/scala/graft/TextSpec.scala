@@ -1052,4 +1052,124 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("dataBudgetForecast: exact quotas and horizons; a quota-0 " +
+    "stratum reports a NULL horizon, not a crash or a zero") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // budget 2: weights 2e6/1e6/1e6 (sqrt of 4/1/1 docs), tw 4e6 ->
+    // base 1/0/0, leftover 1 goes to the lexicographically first of
+    // the tied remainders (b) -> quotas a=1, b=1, c=0
+    val docs = ((1L to 4L).map(i => (i, "t t", "a", "s1")) ++
+      Seq((10L, "x", "b", "s2"), (11L, "y", "c", "s3")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.dataBudgetForecast(docs, budget = 2L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(6))).toMap
+    assert(got("a") == ((4L, 8L, 1L, 4L, 0L)))
+    assert(got("b") == ((1L, 1L, 1L, 1L, 0L)))
+    assert(got("c") == ((1L, 1L, 0L, -1L, 0L)))
+    // fixture-wide: quotas still sum exactly to the default budget,
+    // and every horizon is consistent with its quota
+    val fx = TextAnalysis.dataBudgetForecast(tables.documents).collect()
+    assert(fx.map(_.getAs[Long]("quota")).sum == 100000L)
+    fx.foreach { r =>
+      val (n, q) = (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"))
+      if (q > 0) assert(r.getAs[Long]("epochs_full") == n / q)
+      else assert(r.isNullAt(5))
+      assert(r.getAs[Long]("overdraw_flag") == (if (q > n) 1L else 0L))
+    }
+  }
+
+  test("charEntropy: crafted histograms score exactly; planted fixture " +
+    "docs flag, natural docs don't") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // doc 1: "aaab bb" -> non-space a:3 b:3, H = 1.0 exactly, flag
+    // (3*4 >= 6); doc 2: six distinct chars, H = log2 6, no flag;
+    // doc 29 (29 % 29 == 0) planted: "x y z" + "xxxxx" -> x:6 y:1 z:1,
+    // H = -(0.75 log2 0.75 + 2 * 0.125 log2 0.125) = 1.0613
+    val docs = Seq((1L, "aaab bb"), (2L, "ab cd ef"), (29L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got(1L) == ((6L, 2L, 3L, 1.0, 1L)))
+    assert(got(2L) == ((6L, 6L, 1L, 2.585, 0L)))
+    assert(got(29L) == ((8L, 3L, 6L, 1.0613, 1L)))
+    // fixture-wide: every planted doc flags, no natural doc does, and
+    // the non-space char mass is conserved against a direct count
+    val fx = TextAnalysis.charEntropy(tables.documents).collect()
+    fx.foreach { r =>
+      val planted = r.getLong(0) % 29 == 0
+      assert(r.getAs[Long]("repetitive_flag") == (if (planted) 1L else 0L),
+        s"doc ${r.getLong(0)} planted=$planted")
+      assert(r.getAs[Double]("char_entropy") > 0.0)
+    }
+    val direct = tables.documents.select(
+      sum(length(regexp_replace(col("text"), " ", "")) +
+        when(pmod(col("doc_id"), lit(29)) === 0, length(col("text")))
+          .otherwise(lit(0L))).cast("long")).head.getLong(0)
+    assert(fx.map(_.getAs[Long]("n_chars_x")).sum == direct)
+  }
+
+  test("mojibakeAudit: each planted class counts exactly, multi-class " +
+    "doc 0 carries all three, natural docs are clean") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // doc 0 hits all three plants (0 mod anything == 0):
+    // "hi" + " " + 5 repl + " " + "Ã©Ã¨" + " " + 3 BEL = 17 chars
+    val docs = Seq((0L, "hi"), (1L, "ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.mojibakeAudit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got(0L) == ((17L, 5L, 2L, 3L, 1L, 0.4118)))
+    assert(got(1L) == ((2L, 0L, 0L, 0L, 0L, 1.0)))
+    // fixture-wide: flags appear exactly on the planted keys
+    val fx = TextAnalysis.mojibakeAudit(tables.documents).collect()
+    fx.foreach { r =>
+      val id = r.getLong(0)
+      val planted = id % 37 == 0 || id % 41 == 0 || id % 43 == 0
+      assert(r.getAs[Long]("artifact_flag") == (if (planted) 1L else 0L))
+      assert(r.getAs[Long]("n_replacement") ==
+        (if (id % 37 == 0) 5L else 0L))
+      assert(r.getAs[Long]("n_mojibake") == (if (id % 41 == 0) 2L else 0L))
+      assert(r.getAs[Long]("n_control") == (if (id % 43 == 0) 3L else 0L))
+    }
+  }
+
+  test("langQualityCalibration: ranks are the within-language integer " +
+    "order, the decile cut is exact, ties break by doc_id") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // lang a: 12 docs, iscore = 1000 * n_chars (one token each) ->
+    // ceil(12/10) = 2 flagged; docs 100/101 tie on iscore 5000 and
+    // must rank by doc_id. lang b: 5 docs -> exactly 1 flagged.
+    val a = (1L to 10L).map(i => (i, "w", "a", i + 10L)) ++
+      Seq((100L, "w", "a", 5L), (101L, "w", "a", 5L))
+    val b = (200L to 204L).map(i => (i, "w w", "b", 2L * i))
+    val docs = (a ++ b).toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextAnalysis.langQualityCalibration(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // ties: 100 ranks 1, 101 ranks 2 (doc_id tiebreak), both flagged
+    assert(got(100L) == (("a", 5000L, 1L, 12L, 1L)))
+    assert(got(101L) == (("a", 5000L, 2L, 12L, 1L)))
+    assert(got(1L) == (("a", 11000L, 3L, 12L, 0L)))
+    // lang b: smallest iscore (doc 200) is the single flagged doc
+    assert(got(200L)._5 == 1L && got(201L)._5 == 0L)
+    assert((200L to 204L).map(got(_)._3).toSeq == (1L to 5L))
+    // fixture-wide: per-language flagged count == ceil(n_lang / 10)
+    val fx = TextAnalysis.langQualityCalibration(tables.documents)
+      .collect()
+    fx.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val n = rows.length
+      val flagged = rows.count(_.getAs[Long]("low_decile") == 1L)
+      assert(flagged == (n + 9) / 10, s"lang $lang: $flagged of $n")
+      assert(rows.map(_.getAs[Long]("lang_rank")).sorted.toSeq ==
+        (1L to n.toLong))
+    }
+  }
 }
