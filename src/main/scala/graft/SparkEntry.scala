@@ -54,6 +54,14 @@ object SparkEntry {
     "q34_top_tokens" -> q(t => TextAnalysis.topTokens(t.documents)),
     "q35_embed_near_dup" -> q(t =>
       Similarity.embeddingNearDupsPortable(t.embeddings)),
+    // q219: q35's LSH cosine pairs restricted to cross-language pairs
+    // (translation-dup detection; the lang side joins AFTER the bands)
+    "q219_crosslingual_neardup" -> q { t =>
+      import org.apache.spark.sql.functions.col
+      Similarity.crossLingualNearDups(
+        t.embeddings,
+        t.documents.select(col("doc_id").as("vec_id"), col("lang")))
+    },
     "q36_rollup" -> q(Relational.q36),
     "q37_distinct_agg" -> q(Relational.q37),
     "q38_json_extract" -> q(Relational.q38),
@@ -426,6 +434,10 @@ object SparkEntry {
     // q218: ORC write→read round trip folded to the q02 shape
     "q218_orc_roundtrip" ->
       q(t => graft.sources.Formats.orcRoundtrip(t.spark, t)),
+    // q220: pairwise Pearson agreement between the four shipped
+    // quality signals (q212/q23/q211) — the filter-redundancy table
+    "q220_signal_agreement" ->
+      q(t => TextAnalysis.signalAgreement(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -747,6 +759,54 @@ object SparkEntry {
       |      (sqrt(list_sum(list_transform(range(1,65), k -> x.e[k]*x.e[k]))) *
       |       sqrt(list_sum(list_transform(range(1,65), k -> y.e[k]*y.e[k])))), 6) AS cos
       |  FROM cand JOIN v x ON x.vec_id = vi JOIN v y ON y.vec_id = vj)""".stripMargin
+
+  /** Shared q212/q220 CTE chain: the planted-corpus non-space char
+    * histogram through `enttot` (per-doc n/max) and the per-doc
+    * entropy row `entv` (doc_id, n_chars_x, n_distinct, max_rep,
+    * char_entropy) — one def so the entropy gate and the
+    * signal-agreement gate cannot desynchronize. */
+  private def charEntropyCtes: String =
+    """entt0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 29 = 0 THEN
+      |      text || ' ' || repeat(substr(text, 1, 1), length(text))
+      |    ELSE text END AS text
+      |  FROM documents),
+      |entch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |          FROM entt0),
+      |entc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |         FROM entch WHERE ch <> '' AND ch <> ' ' GROUP BY 1, 2),
+      |enttot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_x,
+      |                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |                  CAST(MAX(c) AS BIGINT) AS max_rep
+      |           FROM entc GROUP BY 1),
+      |entv AS (SELECT t.doc_id, t.n_chars_x, t.n_distinct, t.max_rep,
+      |    ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n_chars_x)
+      |      * log2(CAST(c.c AS DOUBLE) / t.n_chars_x)), 4) + 0.0
+      |      AS char_entropy
+      |  FROM entc c JOIN enttot t USING (doc_id)
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Shared q211/q220 CTE chain: the planted-loop corpus through the
+    * per-doc gram totals `lptot` (doc_id, n_positions, max_rep) and
+    * the gram counts `lpcounts` — one def, both gates. */
+  private def gramLoopCtes: String =
+    """lpt0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 31 = 0 THEN
+      |      text || ' ' ||
+      |      array_to_string(string_split(text,' ')[1:8], ' ') || ' ' ||
+      |      array_to_string(string_split(text,' ')[1:8], ' ') || ' ' ||
+      |      array_to_string(string_split(text,' ')[1:8], ' ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |lpt1 AS (SELECT doc_id, string_split(text,' ') AS t FROM lpt0),
+      |lpg AS (SELECT doc_id, array_to_string(t[i:i+3],' ') AS g
+      |        FROM lpt1, UNNEST(range(1, len(t)-2)) AS u(i)
+      |        WHERE len(t) >= 4),
+      |lpcounts AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      |             FROM lpg GROUP BY 1, 2),
+      |lptot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_positions,
+      |                 CAST(MAX(c) AS BIGINT) AS max_rep
+      |          FROM lpcounts GROUP BY 1)""".stripMargin
 
   /** Shared q156/q198 CTE prefix: the shard assignment through `s`
     * (one def so the shard writer's gate and the homogeneity audit's
@@ -1236,56 +1296,27 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin
         .replace("$DUCKSH", duckShingles)),
     // q211: loop score over the planted-loop corpus (first 8 tokens
-    // appended x3 for doc_id % 31); argmax gram = min among maximal
+    // appended x3 for doc_id % 31); argmax gram = min among maximal;
+    // the per-doc chain is the SHARED gramLoopCtes (q220 reuses it)
     "q211_gram_loops" ->
-      """WITH t0 AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 31 = 0 THEN
-        |      text || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
-        |           || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
-        |           || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
-        |    ELSE text END AS text
-        |  FROM documents),
-        |t1 AS (SELECT doc_id, string_split(text,' ') AS t FROM t0),
-        |g AS (SELECT doc_id, array_to_string(t[i:i+3],' ') AS g
-        |      FROM t1, UNNEST(range(1, len(t)-2)) AS u(i)
-        |      WHERE len(t) >= 4),
-        |counts AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
-        |           FROM g GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_positions,
-        |               CAST(MAX(c) AS BIGINT) AS max_rep
-        |        FROM counts GROUP BY 1)
+      (s"""WITH $gramLoopCtes
         |SELECT t.doc_id, t.n_positions, t.max_rep,
         |  MIN(c.g) AS loop_gram,
         |  ROUND(CAST(t.max_rep AS DOUBLE) / t.n_positions, 4) AS loop_frac,
         |  CAST(CASE WHEN t.max_rep >= 3 THEN 1 ELSE 0 END AS BIGINT)
         |    AS loop_flag
-        |FROM tot t JOIN counts c
+        |FROM lptot t JOIN lpcounts c
         |  ON t.doc_id = c.doc_id AND c.c = t.max_rep
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     // q212: non-space character histogram → entropy + dominant-char
-    // flag (exact cross-multiplication); planting replayed at % 29
+    // flag (exact cross-multiplication); planting replayed at % 29;
+    // the per-doc chain is the SHARED charEntropyCtes (q220 reuses it)
     "q212_char_entropy" ->
-      """WITH t0 AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 29 = 0 THEN
-        |      text || ' ' || repeat(substr(text, 1, 1), length(text))
-        |    ELSE text END AS text
-        |  FROM documents),
-        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |       FROM t0),
-        |counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
-        |           FROM ch WHERE ch <> '' AND ch <> ' ' GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_x,
-        |               CAST(COUNT(*) AS BIGINT) AS n_distinct,
-        |               CAST(MAX(c) AS BIGINT) AS max_rep
-        |        FROM counts GROUP BY 1)
-        |SELECT t.doc_id, t.n_chars_x, t.n_distinct, t.max_rep,
-        |  ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n_chars_x)
-        |    * log2(CAST(c.c AS DOUBLE) / t.n_chars_x)), 4) + 0.0
-        |    AS char_entropy,
-        |  CAST(CASE WHEN t.max_rep * 4 >= t.n_chars_x THEN 1 ELSE 0 END
+      (s"""WITH $charEntropyCtes
+        |SELECT doc_id, n_chars_x, n_distinct, max_rep, char_entropy,
+        |  CAST(CASE WHEN max_rep * 4 >= n_chars_x THEN 1 ELSE 0 END
         |    AS BIGINT) AS repetitive_flag
-        |FROM counts c JOIN tot t USING (doc_id)
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+        |FROM entv ORDER BY doc_id""".stripMargin),
     // q213: decode∘encode is the identity on the (already whitespace-
     // normalized) fixture text — the oracle states the invariant; the
     // engine earns it through the actual encode→decode passes
@@ -1371,6 +1402,46 @@ object SparkEntry {
         |    AS overdraw_flag
         |FROM mq q JOIN mtok k USING (lang, source)
         |ORDER BY 1, 2""".stripMargin),
+    // q220: corr over the SHARED per-doc signal chains (charEntropyCtes
+    // + gramLoopCtes + the q23 ratio expressions) — inputs identical to
+    // the signals' own gates, 6 dp absorbs aggregation order (q59 class)
+    "q220_signal_agreement" ->
+      (s"""WITH $charEntropyCtes,
+        |$gramLoopCtes,
+        |qsig AS (SELECT doc_id,
+        |    ROUND(CAST(n_chars AS DOUBLE)/len(string_split(text,' ')), 4)
+        |      AS chars_per_token,
+        |    ROUND(CAST(len(list_filter(string_split(text,' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |      / len(string_split(text,' ')), 4) AS stopword_ratio
+        |  FROM documents),
+        |lsig AS (SELECT doc_id,
+        |    ROUND(CAST(max_rep AS DOUBLE)/n_positions, 4) AS loop_frac
+        |  FROM lptot),
+        |j AS (SELECT e.char_entropy, q.chars_per_token,
+        |             q.stopword_ratio, l.loop_frac
+        |      FROM entv e JOIN qsig q USING (doc_id)
+        |                  JOIN lsig l USING (doc_id)),
+        |cm AS (SELECT
+        |  corr(char_entropy, chars_per_token) AS c1,
+        |  corr(char_entropy, loop_frac) AS c2,
+        |  corr(char_entropy, stopword_ratio) AS c3,
+        |  corr(chars_per_token, loop_frac) AS c4,
+        |  corr(chars_per_token, stopword_ratio) AS c5,
+        |  corr(loop_frac, stopword_ratio) AS c6
+        |FROM j)
+        |SELECT 'char_entropy' AS x, 'chars_per_token' AS y,
+        |       ROUND(c1, 6) AS r FROM cm
+        |UNION ALL SELECT 'char_entropy', 'loop_frac', ROUND(c2, 6) FROM cm
+        |UNION ALL SELECT 'char_entropy', 'stopword_ratio', ROUND(c3, 6)
+        |  FROM cm
+        |UNION ALL SELECT 'chars_per_token', 'loop_frac', ROUND(c4, 6)
+        |  FROM cm
+        |UNION ALL SELECT 'chars_per_token', 'stopword_ratio', ROUND(c5, 6)
+        |  FROM cm
+        |UNION ALL SELECT 'loop_frac', 'stopword_ratio', ROUND(c6, 6)
+        |  FROM cm
+        |ORDER BY x, y""".stripMargin),
     // q218: the ORC round trip must reproduce the parquet aggregate
     "q218_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
@@ -1988,6 +2059,16 @@ object SparkEntry {
     "q35_embed_near_dup" ->
       s"""WITH $embedPairCtes
         |SELECT vec_i, vec_j, cos FROM scored WHERE cos >= 0.4
+        |ORDER BY vec_i, vec_j""".stripMargin,
+    // q219: the SAME scored CTE (shared embedPairCtes — the two gates
+    // cannot desync) joined to both sides' language tags
+    "q219_crosslingual_neardup" ->
+      s"""WITH $embedPairCtes
+        |SELECT vec_i, vec_j, di.lang AS lang_i, dj.lang AS lang_j, cos
+        |FROM scored
+        |  JOIN documents di ON di.doc_id = vec_i
+        |  JOIN documents dj ON dj.doc_id = vec_j
+        |WHERE cos >= 0.4 AND di.lang <> dj.lang
         |ORDER BY vec_i, vec_j""".stripMargin,
     "q36_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -281,6 +281,44 @@ object Similarity {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** q219 — CROSS-LINGUAL near-dup pairs (translation-duplicate
+    * detection): the q35 portable-LSH cosine pairs restricted to pairs
+    * whose documents carry DIFFERENT language tags — the signal that
+    * catches machine-translated copies and parallel-corpus bleed,
+    * which every shingle/token dedup (q19/q135) is blind to by
+    * construction (different surface forms) and same-language semantic
+    * dedup (q100) deliberately keeps. Mined cross-lingual pairs are
+    * also exactly the web-parallel-corpus shape (WikiMatrix/CCMatrix).
+    *
+    * Scale: the language frame is a 2-narrow-column side joined AFTER
+    * the LSH band filter — it rides the (already pruned) pair frame,
+    * never the corpus×corpus space; everything upstream is q35's
+    * banded self-join. The lang filter cannot be pushed below the
+    * band join (it needs both sides), which is the right order: bands
+    * prune ~99% first. The DECLARED gate pins the oracle-portable
+    * 16-bit/4-band signature, whose within-bucket candidate count
+    * grows ~n²/2¹⁶ as density rises (measured 1.7 exponent at
+    * sf0.1→sf1 — the fixed-bit LSH density cost, same contract as
+    * q35); the knob a 100 TB caller turns is `bits`/`bands`
+    * (signature width — candidates fall ~2^Δrows per widened band),
+    * or the IVF/SQ8 ANN family for recall-bounded budgets. */
+  def crossLingualNearDups(
+      embeddings: DataFrame, docLangs: DataFrame,
+      dim: Int = 64, minCos: Double = 0.4,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs =
+      embeddingNearDupsPortable(embeddings, dim, minCos, bits, bands)
+    val li = docLangs.select(col("vec_id").as("vec_i"),
+      col("lang").as("lang_i"))
+    val lj = docLangs.select(col("vec_id").as("vec_j"),
+      col("lang").as("lang_j"))
+    pairs.join(li, "vec_i").join(lj, "vec_j")
+      .filter(col("lang_i") =!= col("lang_j"))
+      .select(col("vec_i"), col("vec_j"), col("lang_i"), col("lang_j"),
+        col("cos"))
+      .orderBy("vec_i", "vec_j")
+  }
+
   /** IVF (inverted-file) approximate NN — the other standard ANN scale
     * path besides LSH: a seeded k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest

@@ -766,6 +766,45 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** q220 — quality-signal AGREEMENT matrix: the pairwise Pearson
+    * correlations between the four shipped per-document quality
+    * signals (q212 character entropy, q23 chars-per-token and
+    * stopword ratio, q211 loop fraction) — the datasheet table that
+    * answers "are my filters measuring different things, or paying
+    * for the same signal four times?" (highly correlated filters can
+    * collapse to the cheapest one; anti-correlated ones partition the
+    * failure modes). Signals enter EXACTLY as their own gates emit
+    * them (same functions, same rounding, planting included), so the
+    * corr inputs are cross-engine identical and only the aggregation
+    * order varies — 6 dp rounding absorbs it (the q59 corr class).
+    *
+    * Scale: three doc-keyed signal passes (each linear, each already
+    * individually gated) joined on doc_id, folded by Spark's
+    * merge-able corr aggregator to ONE row — the join is the only
+    * exchange beyond the signals' own. */
+  def signalAgreement(documents: DataFrame): DataFrame = {
+    val ent = charEntropy(documents).select("doc_id", "char_entropy")
+    val qs = qualityScore(documents)
+      .select(col("doc_id"), col("chars_per_token"),
+        col("stopword_ratio"))
+    val loop = gramLoopScore(documents).select("doc_id", "loop_frac")
+    val joined = ent.join(qs, "doc_id").join(loop, "doc_id")
+    val cols =
+      Seq("char_entropy", "chars_per_token", "loop_frac",
+        "stopword_ratio")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) =>
+      round(corr(x, y), 6).as(s"__${x}__$y")
+    }
+    val stackArgs = pairs
+      .map { case (x, y) => s"'$x', '$y', `__${x}__$y`" }.mkString(", ")
+    joined.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (x, y, r)")
+      .orderBy("x", "y")
+  }
+
   /** q149 — mixture materialization: SELECT the exact documents that
     * fill [[temperatureMixture]]'s per-stratum quotas — the step that
     * turns a mixture PLAN into a training corpus. Each (lang, source)

@@ -57,30 +57,60 @@ object Formats {
       corruptMod: Int = 23): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_jsonl_").toString + "/docs"
-    documents
-      .select(
-        when(pmod(col("doc_id"), lit(corruptMod)) === 0,
-          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
-            lit(",\"text\":\"truncated")))
-          .otherwise(to_json(struct(col("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars"))))
-          .as("value"))
-      .write.mode("overwrite").text(dir)
-    val back = spark.read
+    writeJsonl(documents, dir, corruptMod)
+    routeCorrupt(spark.read
       .schema(docSchema.add(StructField("_corrupt", StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(dir)
-    back.select(
-        coalesce(col("doc_id"),
-          regexp_extract(col("_corrupt"), "\"doc_id\":(\\d+)", 1)
-            .cast("long")).as("doc_id"),
-        when(col("_corrupt").isNotNull, 1L).otherwise(0L).as("corrupt"),
-        col("lang"), col("source"), col("n_chars"),
-        when(col("_corrupt").isNull, md5(col("text")))
-          .otherwise(lit(null).cast("string")).as("text_md5"))
+      .json(dir))
       .orderBy("doc_id")
   }
+
+  /** The q214 writer half: one JSON line per document via `to_json`,
+    * with lines for `doc_id % corruptMod == 0` deterministically
+    * truncated into malformed JSON (no corruption when
+    * `corruptMod == 0`). */
+  def writeJsonl(
+      documents: DataFrame, dir: String, corruptMod: Int = 23): Unit = {
+    val good = to_json(struct(col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars")))
+    documents
+      .select(
+        (if (corruptMod == 0) good
+         else when(pmod(col("doc_id"), lit(corruptMod)) === 0,
+           concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+             lit(",\"text\":\"truncated")))
+           .otherwise(good)).as("value"))
+      .write.mode("overwrite").text(dir)
+  }
+
+  /** The q214 routing half, shared by the batch and STREAMING readers
+    * (one body, so batch==stream parity is a property, not a hope):
+    * good rows keep their parsed fields plus md5(text); corrupt rows
+    * carry nulls plus the regexp-recovered doc_id. No sort here —
+    * streaming plans cannot sort; the batch gate adds its own. */
+  def routeCorrupt(back: DataFrame): DataFrame =
+    back.select(
+      coalesce(col("doc_id"),
+        regexp_extract(col("_corrupt"), "\"doc_id\":(\\d+)", 1)
+          .cast("long")).as("doc_id"),
+      when(col("_corrupt").isNotNull, 1L).otherwise(0L).as("corrupt"),
+      col("lang"), col("source"), col("n_chars"),
+      when(col("_corrupt").isNull, md5(col("text")))
+        .otherwise(lit(null).cast("string")).as("text_md5"))
+
+  /** Streaming twin of the q214 front door: `readStream` over a JSONL
+    * directory with the SAME explicit schema, PERMISSIVE corrupt
+    * routing, and [[routeCorrupt]] body — the shape a continuously
+    * arriving corpus dump is ingested with (new files appear, the
+    * stream absorbs them; corrupt lines route, never kill the job).
+    * StreamingSpec asserts stream == batch on the same directory. */
+  def jsonlStream(spark: SparkSession, dir: String): DataFrame =
+    routeCorrupt(spark.readStream
+      .schema(docSchema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir))
 
   /** q218 — ORC round trip with predicate pushdown: lineitem is
     * written through the [[Writers.orc]] sink (zstd — the codec a

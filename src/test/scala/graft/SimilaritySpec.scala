@@ -495,4 +495,36 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("crossLingualNearDups: exactly the q35 pairs whose documents " +
+    "carry different language tags — crafted and fixture-wide") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two identical vectors across languages (must surface), a third
+    // identical one in the SAME language as the first (pair 1-3 must
+    // be filtered, pair 2-3 kept)
+    val v = Array.tabulate(64)(i => (if (i % 7 == 0) 1.0f else 0.1f))
+    val emb = Seq((1L, v.toSeq, 0), (2L, v.toSeq, 0), (3L, v.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val langs = Seq((1L, "en"), (2L, "de"), (3L, "en"))
+      .toDF("vec_id", "lang")
+    val got = Similarity.crossLingualNearDups(emb, langs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSet == Set((1L, 2L, "en", "de"), (2L, 3L, "de", "en")))
+    // fixture-wide: q219 == q35 ∩ cross-lang (driver referee)
+    val langMap = tables.documents
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q35 = Similarity.embeddingNearDupsPortable(tables.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = q35.filter { case (i, j) => langMap(i) != langMap(j) }
+      .toSet
+    val fx = Similarity.crossLingualNearDups(
+      tables.embeddings,
+      tables.documents.select(col("doc_id").as("vec_id"), col("lang")))
+      .collect()
+    assert(fx.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    fx.foreach(r => assert(r.getString(2) != r.getString(3)))
+  }
 }

@@ -578,6 +578,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("JSONL ingest front door: stream == batch on the same directory, " +
+    "corrupt lines route in both") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl-stream").toString + "/docs"
+    graft.sources.Formats.writeJsonl(tables.documents, dir)
+    val q = graft.sources.Formats.jsonlStream(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_in")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getString(5)))
+    val got = spark.table("jsonl_in").collect().map(key).toSet
+    val want = graft.sources.Formats
+      .jsonlRoundtrip(spark, tables.documents).collect().map(key).toSet
+    assert(got == want)
+    assert(got.exists(_._2 == 1L) && got.exists(_._2 == 0L))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val doubled = tables.events.unionAll(tables.events)
     val dir2 = java.nio.file.Files

@@ -1053,6 +1053,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("signalAgreement: all six pairs present, r in [-1,1], and the " +
+    "matrix matches a driver-side Pearson referee on the same signals") {
+    val rows = TextAnalysis.signalAgreement(tables.documents).collect()
+    assert(rows.length == 6)
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0, r.toString))
+    // referee: collect the per-doc signals and compute Pearson directly
+    val ent = TextAnalysis.charEntropy(tables.documents).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("char_entropy")).toMap
+    val qs = TextAnalysis.qualityScore(tables.documents).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("chars_per_token"),
+        r.getAs[Double]("stopword_ratio"))).toMap
+    val loop = TextAnalysis.gramLoopScore(tables.documents).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("loop_frac")).toMap
+    val ids = ent.keySet & qs.keySet & loop.keySet
+    val sig = Map(
+      "char_entropy" -> ids.toSeq.sorted.map(ent),
+      "chars_per_token" -> ids.toSeq.sorted.map(qs(_)._1),
+      "stopword_ratio" -> ids.toSeq.sorted.map(qs(_)._2),
+      "loop_frac" -> ids.toSeq.sorted.map(loop))
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    rows.foreach { r =>
+      val want = pearson(sig(r.getString(0)), sig(r.getString(1)))
+      assert(math.abs(r.getDouble(2) - want) < 1e-5,
+        s"${r.getString(0)}~${r.getString(1)}: ${r.getDouble(2)} vs $want")
+    }
+  }
+
   test("dataBudgetForecast: exact quotas and horizons; a quota-0 " +
     "stratum reports a NULL horizon, not a crash or a zero") {
     val spark2 = tables.documents.sparkSession
