@@ -438,6 +438,17 @@ object SparkEntry {
     // quality signals (q212/q23/q211) — the filter-redundancy table
     "q220_signal_agreement" ->
       q(t => TextAnalysis.signalAgreement(t.documents)),
+    // q221: top-1000 vocabulary coverage — per-source OOV token/type
+    // rates (the audit before freezing any fixed-vocab tokenizer)
+    "q221_oov_rate" -> q(t => TextAnalysis.oovRate(t.documents)),
+    // q222: within-cluster entropy spread over the q42 components —
+    // the boilerplate-wrapper cluster class, all-integer gate
+    "q222_cluster_quality" ->
+      q(t => TextAnalysis.clusterQualitySpread(t.documents)),
+    // q223: per-source quality-drift JSD over 64 fixed entropy
+    // buckets — the q197 machinery on the q212 signal
+    "q223_entropy_drift" ->
+      q(t => TextAnalysis.entropyDrift(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1442,6 +1453,86 @@ object SparkEntry {
         |UNION ALL SELECT 'loop_frac', 'stopword_ratio', ROUND(c6, 6)
         |  FROM cm
         |ORDER BY x, y""".stripMargin),
+    // q221: top-V vocab by (count desc, token), per-source OOV rates
+    "q221_oov_rate" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM tok WHERE t <> '' GROUP BY t),
+        |v AS (SELECT t FROM (
+        |        SELECT t, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk
+        |        FROM cnt) WHERE rk <= 1000),
+        |tag AS (SELECT source, tok.t,
+        |          CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |        FROM tok LEFT JOIN v ON tok.t = v.t WHERE tok.t <> ''),
+        |tokside AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |                   CAST(SUM(oov) AS BIGINT) AS oov_tokens
+        |            FROM tag GROUP BY source),
+        |typeside AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |                    CAST(SUM(oov) AS BIGINT) AS oov_types
+        |             FROM (SELECT source, t, MAX(oov) AS oov
+        |                   FROM tag GROUP BY 1, 2)
+        |             GROUP BY source)
+        |SELECT s.source, s.n_tokens, s.oov_tokens, y.n_types,
+        |  y.oov_types,
+        |  ROUND(CAST(s.oov_tokens AS DOUBLE) / s.n_tokens, 4)
+        |    AS oov_token_rate,
+        |  ROUND(CAST(y.oov_types AS DOUBLE) / y.n_types, 4)
+        |    AS oov_type_rate
+        |FROM tokside s JOIN typeside y USING (source)
+        |ORDER BY source""".stripMargin,
+    // q222: q42's component closure + the SHARED charEntropyCtes —
+    // integer-scaled entropy spread per cluster
+    "q222_cluster_quality" ->
+      (s"""WITH RECURSIVE $minhashCtes,
+        |pairs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+        |und(a, b) AS (SELECT doc_i, doc_j FROM pairs
+        |              UNION SELECT doc_j, doc_i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |         FROM reach GROUP BY a),
+        |$charEntropyCtes,
+        |ei AS (SELECT doc_id,
+        |         CAST(ROUND(char_entropy * 10000) AS BIGINT) AS ent_i
+        |       FROM entv)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(ent_i) AS BIGINT) AS min_ent_i,
+        |  CAST(MAX(ent_i) AS BIGINT) AS max_ent_i,
+        |  CAST(MAX(ent_i) - MIN(ent_i) AS BIGINT) AS spread_i,
+        |  CAST(CASE WHEN MAX(ent_i) - MIN(ent_i) >= 5000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS divergent_flag
+        |FROM comp JOIN ei USING (doc_id)
+        |GROUP BY component ORDER BY component""".stripMargin),
+    // q223: the q197 JSD fold over 64 fixed entropy buckets
+    "q223_entropy_drift" ->
+      (s"""WITH $charEntropyCtes,
+        |ei AS (SELECT doc_id,
+        |         CAST(ROUND(char_entropy * 10000) AS BIGINT) AS ent_i
+        |       FROM entv),
+        |ds AS (SELECT d.source, LEAST(e.ent_i // 1250, 63) AS bucket
+        |       FROM ei e JOIN documents d USING (doc_id)),
+        |per AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM ds GROUP BY source, bucket),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+        |       FROM per GROUP BY source),
+        |co AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc
+        |       FROM per GROUP BY bucket),
+        |ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot FROM co),
+        |j AS (SELECT per.source,
+        |        CAST(c AS DOUBLE) / tot AS p,
+        |        CAST(cc AS DOUBLE) / ctot AS q
+        |      FROM per JOIN st USING (source)
+        |        JOIN co USING (bucket), ct)
+        |SELECT j.source, st.tot AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  ROUND(SUM(0.5 * p * log2(2 * p / (p + q))
+        |          + 0.5 * q * log2(2 * q / (p + q)))
+        |    + 0.5 * (1.0 - SUM(q)), 4) + 0.0 AS jsd_vs_corpus
+        |FROM j JOIN st ON st.source = j.source
+        |GROUP BY j.source, st.tot ORDER BY j.source""".stripMargin),
     // q218: the ORC round trip must reproduce the parquet aggregate
     "q218_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

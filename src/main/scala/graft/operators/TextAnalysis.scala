@@ -805,6 +805,127 @@ object TextAnalysis {
       .orderBy("x", "y")
   }
 
+  /** q221 — OOV-rate table: build the top-V corpus vocabulary (count
+    * desc, token-string tie-break — fully deterministic) and report,
+    * per source, the token and TYPE out-of-vocabulary rates — the
+    * vocabulary-coverage audit run before freezing any fixed-vocab
+    * tokenizer ("which sources does a V-token vocab tax?"; the
+    * per-source companion to q204's fertility, which measures the
+    * same risk AFTER choosing BPE). All counts exact integers, rates
+    * single 4 dp divisions.
+    *
+    * Scale: one token hash-agg (corpus-linear), the vocabulary rank
+    * via [[GlobalRank.rowNumber]] (|vocab| can reach 10⁸ on a web
+    * corpus — no unpartitioned window), and a token-keyed LEFT join
+    * back (no broadcast hint: the vocab side is corpus-derived, so
+    * the planner/AQE decides — the PlanAudit broadcast rule by
+    * construction). */
+  def oovRate(documents: DataFrame, vocabSize: Long = 1000L): DataFrame = {
+    val toks = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val vocab = GlobalRank.rowNumber(counts, -col("n"), col("tok"), "rk")
+      .filter(col("rk") <= vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    val tagged = toks.join(vocab, Seq("tok"), "left")
+      .select(col("source"), col("tok"),
+        when(col("in_vocab").isNull, 1L).otherwise(0L).as("oov"))
+    val tokenSide = tagged.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("oov").as("oov_tokens"))
+    val typeSide = tagged.groupBy("source", "tok")
+      .agg(max("oov").as("oov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("oov").as("oov_types"))
+    tokenSide.join(typeSide, "source")
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        col("n_types"), col("oov_types"),
+        round(col("oov_tokens").cast("double")
+          / col("n_tokens").cast("double"), 4).as("oov_token_rate"),
+        round(col("oov_types").cast("double")
+          / col("n_types").cast("double"), 4).as("oov_type_rate"))
+      .orderBy("source")
+  }
+
+  /** q222 — near-dup cluster QUALITY spread: for every q42 minhash
+    * component, the within-cluster spread of the q212 character
+    * entropy — clusters whose members disagree on quality are the
+    * "boilerplate wrapper" class (one clean article + N
+    * template-wrapped copies), exactly the clusters where canonical
+    * selection (q85) changes training data quality and a blind
+    * keep-first dedup destroys it. The spread and flag are EXACT
+    * integers: the gate-proven 4 dp entropy is scaled to
+    * `round(ent·10⁴)` BIGINT before min/max, so no float comparison
+    * anywhere.
+    *
+    * Scale: the component frame is q42's O(log² n) star chain; the
+    * entropy join is doc-keyed; the fold is one component-keyed
+    * hash-agg with O(1) state. */
+  def clusterQualitySpread(
+      documents: DataFrame, flagSpread: Long = 5000L): DataFrame = {
+    val ent = charEntropy(documents).select(col("doc_id"),
+      round(col("char_entropy") * 10000).cast("long").as("ent_i"))
+    Dedup.nearDupComponents(documents).join(ent, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ent_i").as("min_ent_i"), max("ent_i").as("max_ent_i"))
+      .select(col("component"), col("n_docs"), col("min_ent_i"),
+        col("max_ent_i"),
+        (col("max_ent_i") - col("min_ent_i")).as("spread_i"),
+        when(col("max_ent_i") - col("min_ent_i") >= flagSpread, 1L)
+          .otherwise(0L).as("divergent_flag"))
+      .orderBy("component")
+  }
+
+  /** q223 — QUALITY-drift histogram JSD: each source's distribution
+    * of per-document character entropy (the q212 signal, scaled to
+    * 64 fixed buckets over [0, 8) bits) against the corpus
+    * distribution, as a Jensen–Shannon divergence — the quality-drift
+    * twin of q197's token-histogram drift (vocabulary drift and
+    * quality drift move independently: a source can keep its
+    * vocabulary while its extraction quality degrades — this is the
+    * signal that catches a broken HTML-stripper upstream). Same
+    * fixed-state posture and tail-mass closed form as q197: 64 longs
+    * per source, never a corpus rescan once histograms are kept.
+    *
+    * Scale: the entropy pass is q212's; the fold is a
+    * (source, bucket) hash-agg whose frame is ≤ 64·|sources| rows. */
+  def entropyDrift(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val ent = charEntropy(documents).select(col("doc_id"),
+      round(col("char_entropy") * 10000).cast("long").as("ent_i"))
+    val docSrc = documents.select(col("doc_id"), col("source"))
+    val perSrc = ent.join(docSrc, "doc_id")
+      .withColumn("bucket",
+        least(expr(s"ent_i div ${80000L / buckets}"),
+          lit(buckets.toLong - 1L)))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy("source").agg(sum("c").as("tot"))
+    val corpus = perSrc.groupBy("bucket").agg(sum("c").as("cc"))
+    val corpusTot = corpus.agg(sum("cc").as("ctot"))
+    val joined = perSrc
+      .join(broadcast(srcTot), "source")
+      .join(corpus, "bucket")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"),
+        (col("cc").cast("double") / col("ctot").cast("double")).as("q"))
+    joined.groupBy("source")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("q")).as("sq"),
+        sum(lit(0.5) * col("p")
+            * log2(lit(2) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q")
+            * log2(lit(2) * col("q") / (col("p") + col("q"))))
+          .as("core"))
+      .join(broadcast(srcTot), "source")
+      .select(col("source"), col("tot").as("n_docs"),
+        col("n_buckets"),
+        (round(col("core")
+          + lit(0.5) * (lit(1.0) - col("sq")), 4) + lit(0.0))
+          .as("jsd_vs_corpus"))
+      .orderBy("source")
+  }
+
   /** q149 — mixture materialization: SELECT the exact documents that
     * fill [[temperatureMixture]]'s per-stratum quotas — the step that
     * turns a mixture PLAN into a training corpus. Each (lang, source)

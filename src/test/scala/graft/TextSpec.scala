@@ -1053,6 +1053,115 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("oovRate: crafted vocab cutoff is deterministic at the tie " +
+    "boundary; fixture agrees with a driver-side replay") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // counts: a=3, b=1, c=1 — top-2 takes a then b (token tie-break),
+    // c is OOV
+    val docs = Seq((1L, "a a b", "x", "s1"), (2L, "a c", "x", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got("s1") == ((3L, 0L, 2L, 0L, 0.0, 0.0)))
+    assert(got("s2") == ((2L, 1L, 2L, 1L, 0.5, 0.5)))
+    // fixture: driver replay of the top-1000 cutoff and both rates
+    val toks = tables.documents.collect().flatMap(r =>
+      r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(3), t)))
+    val cnt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = cnt.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(1000).map(_._1).toSet
+    val fx = TextAnalysis.oovRate(tables.documents).collect()
+    fx.foreach { r =>
+      val src = r.getString(0)
+      val mine = toks.filter(_._1 == src).map(_._2)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.count(!vocab(_)).toLong)
+      assert(r.getLong(3) == mine.distinct.length.toLong)
+      assert(r.getLong(4) == mine.distinct.count(!vocab(_)).toLong)
+    }
+  }
+
+  test("clusterQualitySpread: a planted-entropy member makes its " +
+    "cluster divergent; fixture agrees with a component-join replay") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // docs 29 and 30 share one text -> one minhash component; doc 29
+    // is ALSO the q212 planting key, so its entropy drops and the
+    // cluster's spread is exactly ent(30) - ent(29)
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((29L, t), (30L, t), (40L, "other words entirely " +
+      "different from the pair above obviously"))
+      .toDF("doc_id", "text")
+    val ents = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getAs[Double]("char_entropy") * 10000)).toMap
+    val got = TextAnalysis.clusterQualitySpread(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == math.min(ents(29L), ents(30L)))
+    assert(r.getLong(3) == math.max(ents(29L), ents(30L)))
+    assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    assert(r.getLong(4) > 0L, "planted member must create spread")
+    // fixture-wide: exact agreement with a driver-side component join
+    val comp = graft.operators.Dedup.nearDupComponents(tables.documents)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+    val fent = TextAnalysis.charEntropy(tables.documents).collect()
+      .map(r2 => r2.getLong(0) ->
+        math.round(r2.getAs[Double]("char_entropy") * 10000)).toMap
+    val want = comp.groupBy(_._2).map { case (c, ms) =>
+      val es = ms.map(m => fent(m._1))
+      c -> (ms.length.toLong, es.min, es.max)
+    }
+    val fx = TextAnalysis.clusterQualitySpread(tables.documents)
+      .collect()
+    assert(fx.map(_.getLong(0)).toSet == want.keySet)
+    fx.foreach { r2 =>
+      val (n, lo, hi) = want(r2.getLong(0))
+      assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) ==
+        ((n, lo, hi)))
+      assert(r2.getLong(5) == (if (hi - lo >= 5000) 1L else 0L))
+    }
+  }
+
+  test("entropyDrift: per-source JSD matches a driver-side histogram " +
+    "replay; bounds hold") {
+    val rows = TextAnalysis.entropyDrift(tables.documents).collect()
+    val ent = TextAnalysis.charEntropy(tables.documents).collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getAs[Double]("char_entropy") * 10000)).toMap
+    val src = tables.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bucketed = src.map { case (id, s) =>
+      (s, math.min(ent(id) / 1250, 63L))
+    }
+    val per = bucketed.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val corpus = bucketed.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val ctot = bucketed.length.toDouble
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val tot = bucketed.count(_._1 == s).toDouble
+      assert(r.getLong(1) == tot.toLong)
+      val jsd = per.collect { case ((`s`, b), c) =>
+        val p = c / tot
+        val q = corpus(b) / ctot
+        0.5 * p * (math.log(2 * p / (p + q)) / math.log(2)) +
+          0.5 * q * (math.log(2 * q / (p + q)) / math.log(2))
+      }.sum + 0.5 * (1.0 - per.collect {
+        case ((`s`, b), _) => corpus(b) / ctot
+      }.sum)
+      assert(math.abs(r.getDouble(3) - jsd) < 1e-3,
+        s"$s: ${r.getDouble(3)} vs $jsd")
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
   test("signalAgreement: all six pairs present, r in [-1,1], and the " +
     "matrix matches a driver-side Pearson referee on the same signals") {
     val rows = TextAnalysis.signalAgreement(tables.documents).collect()
