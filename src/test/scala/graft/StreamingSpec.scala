@@ -578,6 +578,71 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming MG heavy hitters: superset guarantee and lower " +
+    "bounds hold on the batch path AND across micro-batches (RocksDB); " +
+    "state stays bounded") {
+    import graft.streaming.TwsHeavyHitters
+    val spark2 = spark
+    import spark2.implicits._
+    val C = 50
+    val toks = tables.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val hitters = exact.collect {
+      case (t, n) if n * C > total => t
+    }.toSet
+    assert(hitters.nonEmpty, "fixture must have at least one hitter")
+    // streaming path FIRST: three micro-batches through RocksDB state
+    // (this also spins up the StateStoreCoordinator the batch-mode
+    // TransformWithStateExec below needs)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = toks.as[String].collect()
+    val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val q = TwsHeavyHitters.heavyHitterCandidates(
+          spark, mem.toDF().toDF("token")).toDF()
+        .writeStream.format("memory").queryName("mg_cands")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val rows = spark.table("mg_cands").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      // final state per bucket = the rows carrying its max `seen`
+      val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val mx = rs.map(_._4).max; rs.filter(_._4 == mx).toSeq
+      }
+      assert(hitters.subsetOf(fin.map(_._2).toSet),
+        s"missing: ${hitters -- fin.map(_._2).toSet}")
+      fin.foreach(c => assert(c._3 <= exact(c._2), c.toString))
+      fin.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.map(_._2).distinct.length <= C)
+      }
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+    // batch path: the same body, state evaluated once per bucket
+    val cand = TwsHeavyHitters.heavyHitterCandidates(spark, toks)
+      .collect()
+    assert(hitters.subsetOf(cand.map(_.token).toSet))
+    cand.foreach(c => assert(c.lb <= exact(c.token), c.toString))
+    cand.groupBy(_.bucket).foreach { case (_, rs) =>
+      assert(rs.map(_.token).distinct.length <= C)
+    }
+  }
+
   test("JSONL ingest front door: stream == batch on the same directory, " +
     "corrupt lines route in both") {
     val dir = java.nio.file.Files
