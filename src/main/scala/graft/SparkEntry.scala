@@ -449,6 +449,11 @@ object SparkEntry {
     // buckets — the q197 machinery on the q212 signal
     "q223_entropy_drift" ->
       q(t => TextAnalysis.entropyDrift(t.documents)),
+    // q224: the per-doc curation manifest — keep/drop + reason under
+    // a fixed precedence, composing the gated q155/q17/q42+q85/q95/
+    // q63 stages; exact dups planted at %17 + 1e8 (q202 convention)
+    "q224_curation_manifest" ->
+      q(t => Curation.curationManifest(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1533,6 +1538,81 @@ object SparkEntry {
         |    + 0.5 * (1.0 - SUM(q)), 4) + 0.0 AS jsd_vs_corpus
         |FROM j JOIN st ON st.source = j.source
         |GROUP BY j.source, st.tot ORDER BY j.source""".stripMargin),
+    // q224: the manifest replayed stage-by-stage over the planted
+    // frame (minhashCtesOver runs the SHARED chain over mdocs; the
+    // q17/q63/q95/q155 class CTEs mirror their own oracles verbatim)
+    "q224_curation_manifest" ->
+      (s"""WITH RECURSIVE mdocs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |${minhashCtesOver("mdocs")},
+        |prs AS (SELECT doc_i, doc_j FROM est WHERE est_jac >= 0.5),
+        |und(a, b) AS (SELECT doc_i, doc_j FROM prs
+        |              UNION SELECT doc_j, doc_i FROM prs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |         FROM reach GROUP BY a),
+        |cl AS (SELECT c.component, c.doc_id, d.n_chars
+        |       FROM comp c JOIN mdocs d ON d.doc_id = c.doc_id),
+        |rkd AS (SELECT component, doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY component
+        |            ORDER BY n_chars DESC, doc_id) AS rk
+        |        FROM cl),
+        |canon AS (SELECT component, doc_id AS canonical_doc
+        |          FROM rkd WHERE rk = 1),
+        |nd AS (SELECT c.doc_id FROM comp c JOIN canon USING (component)
+        |       WHERE c.doc_id <> canon.canonical_doc),
+        |bl AS (SELECT doc_id FROM mdocs
+        |       WHERE list_min(list_intersect(
+        |         regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+        |         ['dup'])) IS NOT NULL),
+        |xk AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        |       FROM mdocs GROUP BY 1),
+        |xd AS (SELECT d.doc_id FROM mdocs d
+        |       JOIN xk ON md5(d.text) = xk.h
+        |       WHERE d.doc_id <> xk.keeper),
+        |ct0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM mdocs),
+        |ctsh AS (SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(t[i:i+3], ' ')
+        |            for i in range(1, len(t)-2)])) AS g
+        |         FROM ct0 WHERE len(t) >= 4),
+        |ctp AS (SELECT c.doc_id FROM ctsh c JOIN ctsh b ON c.g = b.g
+        |        WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+        |        GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 1),
+        |ctd AS (SELECT DISTINCT doc_id FROM ctp),
+        |qsc AS (SELECT doc_id, lang,
+        |          CAST(len(list_filter(t, x -> x IN ('the','a','of','and')))
+        |            AS DOUBLE) / len(t) AS sw
+        |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |              FROM mdocs)),
+        |qth AS (SELECT lang, quantile_disc(sw, 0.75) AS p75
+        |        FROM qsc GROUP BY lang),
+        |qf AS (SELECT s.doc_id FROM qsc s JOIN qth USING (lang)
+        |       WHERE s.sw >= qth.p75)
+        |SELECT d.doc_id, d.lang, d.source,
+        |  CASE WHEN bl.doc_id IS NOT NULL THEN 'blocklist'
+        |       WHEN xd.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+        |       WHEN ctd.doc_id IS NOT NULL THEN 'contaminated'
+        |       WHEN qf.doc_id IS NOT NULL THEN 'quality'
+        |       ELSE 'keep' END AS reason,
+        |  CAST(CASE WHEN bl.doc_id IS NULL AND xd.doc_id IS NULL
+        |    AND nd.doc_id IS NULL AND d.doc_id % 97 <> 0
+        |    AND ctd.doc_id IS NULL AND qf.doc_id IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM mdocs d
+        |LEFT JOIN bl ON bl.doc_id = d.doc_id
+        |LEFT JOIN xd ON xd.doc_id = d.doc_id
+        |LEFT JOIN nd ON nd.doc_id = d.doc_id
+        |LEFT JOIN ctd ON ctd.doc_id = d.doc_id
+        |LEFT JOIN qf ON qf.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // q218: the ORC round trip must reproduce the parquet aggregate
     "q218_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

@@ -151,7 +151,10 @@ class PlanAuditSpec extends SparkSpec {
       "the static audit"),
     "q209_stratified_holdout" -> ("quota frame: |strata| rows (the " +
       "q185 class); the GlobalRank remainder-rank join hides the " +
-      "Aggregate shape from the static audit"))
+      "Aggregate shape from the static audit"),
+    "q224_curation_manifest" -> ("benchmark shingle index inside the " +
+      "composed decontamination stage: the same doc_id%97 eval-set " +
+      "proxy bound as q95; documented in decontaminationPairs"))
 
   // Low-card-window exemptions: SQL window-SURFACE parity demos
   // (rank/dense_rank/ntile/lag/lead, rows-frames) that deliberately
