@@ -454,6 +454,22 @@ object SparkEntry {
     // q63 stages; exact dups planted at %17 + 1e8 (q202 convention)
     "q224_curation_manifest" ->
       q(t => Curation.curationManifest(t.documents)),
+    // q225: TF-IDF keyword extraction — top-3 per doc, all-integer
+    // ranking on tf·idf6 (one ln per distinct df, scaled to BIGINT)
+    "q225_tfidf_keywords" ->
+      q(t => TextAnalysis.tfidfKeywords(t.documents)),
+    // q226: Zipf-law OLS fit PER SOURCE over the top-100 ranks (q87's
+    // global row, per source) — rank via cumSumBy (source is the
+    // low-cardinality hazard key)
+    "q226_zipf_fit" -> q(t => TextAnalysis.zipfFitBySource(t.documents)),
+    // q227: interpolated Kneser–Ney held-out LM score — the smoothing
+    // q68's self-scored MLE cannot exercise (unseen mass is real here)
+    "q227_kneser_ney" -> q(t => TextAnalysis.knScore(t.documents)),
+    // q228: magic-byte format audit — real PNG/JPEG/WAV signatures
+    // planted at %5, declared metadata at %4 (coprime ⇒ every
+    // mismatch class populated); the sniff reads bytes, not the key
+    "q228_media_sniff" ->
+      q(t => Multimodal.mediaSniff(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1623,6 +1639,125 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity >= 25
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // q225: smoothed TF-IDF top-3 — the idf is scaled ONCE to BIGINT
+    // (idf6) and ranking compares the exact product tf·idf6, so the
+    // only float is one ln per distinct df (the q59 class minimized)
+    "q225_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |              AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tk WHERE len(token) > 0 GROUP BY doc_id, token),
+        |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |idf AS (SELECT token, df,
+        |          CAST(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |            * 1000000.0) AS BIGINT) AS idf6
+        |        FROM dfx, nd),
+        |sc AS (SELECT t.doc_id, t.token, t.tf, i.df,
+        |         t.tf * i.idf6 AS score_scaled
+        |       FROM tf t JOIN idf i USING (token)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score_scaled DESC, token) AS rk FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df,
+        |  CAST(score_scaled AS BIGINT) AS score_scaled
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // q226: Zipf OLS over the top-100 per-source ranks; ranking keys
+    // are exact integers, the six OLS sums round at 6 dp (q59 class)
+    "q226_zipf_fit" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' '))
+        |              AS token FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM tk WHERE len(token) > 0 GROUP BY source, token),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |          CAST(SUM(n) AS BIGINT) AS n_tokens
+        |        FROM c GROUP BY source),
+        |r AS (SELECT source, token, n, ROW_NUMBER() OVER
+        |        (PARTITION BY source ORDER BY n DESC, token) AS rk
+        |      FROM c),
+        |p AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+        |        ln(CAST(n AS DOUBLE)) AS y
+        |      FROM r WHERE rk <= 100),
+        |s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS m,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+        |        SUM(x*y) AS sxy, SUM(y*y) AS syy
+        |      FROM p GROUP BY source)
+        |SELECT s.source, t.n_types, t.n_tokens,
+        |  CAST(m AS BIGINT) AS m_points,
+        |  CASE WHEN m*sxx - sx*sx > 0 THEN
+        |    ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) END AS zipf_slope,
+        |  CASE WHEN m*sxx - sx*sx > 0 THEN
+        |    ROUND((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6)
+        |  END AS intercept,
+        |  CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN
+        |    ROUND((m*sxy - sx*sy) * (m*sxy - sx*sy)
+        |      / ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6) END AS r2
+        |FROM s JOIN tot t USING (source) ORDER BY s.source""".stripMargin,
+    // q227: interpolated Kneser–Ney (D=0.75) trained on %7≠0, scored
+    // on the held-out %7=0 docs — unseen counts are exact integers,
+    // the mean ln P rounds at 4 dp (the q68 float class)
+    "q227_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+        |           AS bg
+        |       FROM toks WHERE len(t) >= 2),
+        |cxy AS (SELECT string_split(bg, ' ')[1] AS x,
+        |          string_split(bg, ' ')[2] AS y,
+        |          CAST(COUNT(*) AS BIGINT) AS cxy
+        |        FROM bg WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+        |ctx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx,
+        |          CAST(COUNT(*) AS BIGINT) AS n1f
+        |        FROM cxy GROUP BY x),
+        |cont AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n1r
+        |         FROM cxy GROUP BY y),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM cxy),
+        |hb AS (SELECT doc_id, string_split(bg, ' ')[1] AS x,
+        |         string_split(bg, ' ')[2] AS y
+        |       FROM bg WHERE doc_id % 7 = 0),
+        |sc AS (SELECT h.doc_id, c.cxy, k.cx, k.n1f,
+        |         COALESCE(CAST(o.n1r AS DOUBLE) / n1all,
+        |           1.0 / (n1all + 1)) AS pcont
+        |       FROM hb h
+        |       LEFT JOIN cxy c ON c.x = h.x AND c.y = h.y
+        |       LEFT JOIN ctx k ON k.x = h.x
+        |       LEFT JOIN cont o ON o.y = h.y
+        |       CROSS JOIN n1),
+        |pr AS (SELECT doc_id, cxy, cx,
+        |         CASE WHEN cx IS NOT NULL THEN
+        |           (CASE WHEN cxy IS NOT NULL
+        |              THEN (cxy - 0.75) / cx ELSE 0.0 END)
+        |             + 0.75 * n1f / cx * pcont
+        |         ELSE pcont END AS p
+        |       FROM sc)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN cx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen_ctx,
+        |  CAST(SUM(CASE WHEN cxy IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen_bigram,
+        |  ROUND(AVG(ln(p)), 4) AS avg_logprob
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q228: the oracle replays BOTH plantings (declared %4, signature
+    // %5 with its header length); the engine must EARN sniffed from
+    // the actual payload bytes — MultimodalSpec feeds it contradicting
+    // content to prove the sniff is content-based
+    "q228_media_sniff" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS tb,
+        |    CASE doc_id % 4 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'audio/wav'
+        |      ELSE 'application/octet-stream' END AS declared,
+        |    CASE doc_id % 5 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'audio/wav'
+        |      ELSE 'application/octet-stream' END AS sniffed,
+        |    CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12
+        |      ELSE 0 END AS hb
+        |  FROM documents)
+        |SELECT doc_id, CAST(hb + tb AS BIGINT) AS n_bytes, declared,
+        |  sniffed,
+        |  CAST(CASE WHEN declared = sniffed THEN 1 ELSE 0 END AS BIGINT)
+        |    AS match_flag
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q207: rare-but-cross-source grams (canary/secret-leak audit)
     "q207_canary_spans" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t

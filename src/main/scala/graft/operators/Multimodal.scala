@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -281,4 +281,68 @@ object Multimodal {
         md5(col("frame")).as("frame_hash"))
       .filter(col("frame_bytes") > 0)
       .orderBy("doc_id", "frame_no")
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0d, 0x0a, 0x1a, 0x0a)
+  private val JpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte,
+    0xff.toByte, 0xe0.toByte)
+  private val WavMagic: Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII")
+
+  /** Content-based media-type sniff of a binary payload column: PNG
+    * (8-byte signature), JPEG (FF D8 FF), WAV (RIFF....WAVE), else
+    * octet-stream. Pure codegen (`substring` on binary + hex string
+    * compares) — the dispatch primitive every decode kernel needs
+    * before touching a codec. */
+  def sniffType(media: Column): Column = {
+    val hx = hex(substring(media, 1, 12))
+    when(hx.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(hx.startsWith("FFD8FF"), "image/jpeg")
+      .when(hx.startsWith("52494646")
+        && substring(hx, 17, 8) === "57415645", "audio/wav")
+      .otherwise("application/octet-stream")
+  }
+
+  /** q228 — magic-byte format audit: the declared-vs-actual media-type
+    * table an ingest pipeline materializes before routing payloads to
+    * decoders (mis-labeled blobs crash codecs and poison multimodal
+    * batches; auditing CONTENT against metadata is the fix). Payloads
+    * carry REAL format signatures — the PNG/JPEG/WAV magic prefixes
+    * planted by `doc_id % 5` (0→PNG, 1→JPEG, 2→WAV, else headerless)
+    * ahead of the UTF-8 text bytes — while the DECLARED type replays
+    * `doc_id % 4`; the moduli are coprime, so every (declared,
+    * sniffed) mismatch class is populated at every scale factor (the
+    * q202 planting convention; the oracle replays both keys). The
+    * sniff itself reads the bytes ([[sniffType]]), not the key —
+    * MultimodalSpec feeds it payloads whose CONTENT contradicts the
+    * planting to prove it.
+    *
+    * The fixture's text is lowercase-ASCII prose, so a headerless
+    * payload can never collide with a signature (PNG's 0x89 and
+    * JPEG's 0xFF are non-ASCII lead bytes; WAV would need literal
+    * uppercase "RIFF"/"WAVE" at exact offsets).
+    *
+    * Scale: one map-side projection riding the scan — no shuffle, no
+    * explode, binary column pruned for queries that skip it (the
+    * q216 mojibake class, on bytes instead of characters). */
+  def mediaSniff(documents: DataFrame): DataFrame = {
+    val media = documents.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(PngMagic))
+          .when(pmod(col("doc_id"), lit(5)) === 1, lit(JpegMagic))
+          .when(pmod(col("doc_id"), lit(5)) === 2, lit(WavMagic))
+          .otherwise(lit(Array.empty[Byte])),
+        encode(col("text"), "UTF-8")).as("media"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "image/jpeg")
+        .when(pmod(col("doc_id"), lit(4)) === 2, "audio/wav")
+        .otherwise("application/octet-stream").as("declared"))
+    media.select(col("doc_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        col("declared"), sniffType(col("media")).as("sniffed"))
+      .withColumn("match_flag",
+        when(col("declared") === col("sniffed"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
 }

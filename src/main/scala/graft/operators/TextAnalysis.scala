@@ -2102,4 +2102,153 @@ object TextAnalysis {
           .otherwise(0L).as("low_decile"))
       .orderBy("doc_id")
   }
+
+  /** q225 — TF-IDF keyword extraction: the top-`k` highest-scoring
+    * tokens of every document under the classic smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn formulation) — the
+    * per-document keyword/topic hint a curation UI or a cheap topic
+    * clusterer attaches to every training document. The GATE is
+    * all-integer: the per-df idf is scaled once to a BIGINT
+    * (`idf6 = round(idf·10⁶)`, one ln per DISTINCT df value — the q59
+    * float class at its smallest possible surface) and ranking
+    * compares the exact integer product `tf·idf6` with a token-string
+    * tie-break, so rank order can never be flipped by a last-ulp
+    * logarithm.
+    *
+    * Scale: one (doc, token) hash-agg (tf), one token hash-agg (df),
+    * a token-keyed join back (corpus-derived df side — no broadcast
+    * hint, AQE decides), and a doc_id-partitioned top-k window
+    * (doc_id is the HIGH-cardinality key, the window class that
+    * partitions with the corpus; per-doc groups are bounded by the
+    * doc's distinct-token count). */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"),
+        round((log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+          * 1000000.0).cast("long").as("idf6"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_scaled").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score_scaled", col("tf") * col("idf6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        col("df"), col("score_scaled"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** q226 — Zipf-law fit PER SOURCE: rank each source's tokens by
+    * frequency (count desc, token tie-break) and fit
+    * `ln(freq) = slope·ln(rank) + intercept` by ordinary least squares
+    * over the top-`topN` ranks, reporting slope/intercept/r² — the
+    * per-source datasheet twin of [[zipfFit]] (q87's single corpus
+    * row): the row that flags WHICH source is template-heavy or
+    * synthetic (natural text sits near slope ≈ −1; machine-generated
+    * or boilerplate-dominated sources flatten or cliff). The ranking
+    * key is exact-integer (count, token) so the regression's INPUT
+    * set is deterministic; only the six OLS sums are float, each over
+    * ≤ topN values, rounded at 6 dp (the q59/q220 corr class) — and
+    * unlike q87 the closed-form sums avoid `regr_*` aggregate
+    * implementation differences entirely.
+    *
+    * Scale: one (source, token) hash-agg; the within-source rank
+    * rides [[GlobalRank.cumSumBy]] (`source` is the LOW-cardinality
+    * hazard key — never `Window.partitionBy(source)` over a
+    * corpus-growing token frame, where q87's global `limit(k)` trick
+    * has no per-group equivalent); the fold is ≤ topN·|sources| rows. */
+  def zipfFitBySource(documents: DataFrame, topN: Int = 100): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("source").agg(
+      count(lit(1)).as("n_types"), sum("n").as("n_tokens"))
+    val ranked = GlobalRank.cumSumBy(counts, Seq("source"),
+      -col("n"), col("token"), Seq((lit(1L), "rk")))
+      .filter(col("rk") <= topN)
+    val x = log(col("rk").cast("double"))
+    val y = log(col("n").cast("double"))
+    val sums = ranked.groupBy("source").agg(
+      count(lit(1)).cast("double").as("m"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val dx = col("m") * col("sxx") - col("sx") * col("sx")
+    val dy = col("m") * col("syy") - col("sy") * col("sy")
+    val cv = col("m") * col("sxy") - col("sx") * col("sy")
+    sums.join(broadcast(totals), "source")
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("m").cast("long").as("m_points"),
+        when(dx > 0, round(cv / dx, 6)).as("zipf_slope"),
+        when(dx > 0, round((col("sy") - cv / dx * col("sx")) / col("m"), 6))
+          .as("intercept"),
+        when(dx > 0 && dy > 0, round(cv * cv / (dx * dy), 6)).as("r2"))
+      .orderBy("source")
+  }
+
+  /** q227 — interpolated Kneser–Ney held-out LM score: the smoothing
+    * companion of q68 (whose MLE model assigns probability ZERO to
+    * any bigram it never saw — q68 only stays finite because it
+    * scores the corpus under itself). Here the model trains on
+    * `doc_id % holdMod != 0` and scores the HELD-OUT docs, so unseen
+    * contexts and unseen bigrams actually occur and the smoothing is
+    * load-bearing:
+    *
+    *   P(y|x) = (c(xy) − D)/c(x·) + D·N1+(x·)/c(x·) · Pcont(y)
+    *   Pcont(y) = N1+(·y)/N1+(··),  unseen y → 1/(N1+(··)+1)
+    *   unseen context x → P(y|x) = Pcont(y)
+    *
+    * with D = 0.75 (c(xy) ≥ 1 > D keeps the main term nonnegative
+    * without a clamp). Emits per held-out doc: bigram count, unseen-
+    * context and unseen-bigram counts (exact integers — the bulk of
+    * the gate) and the mean ln P (4 dp, the q68 float class).
+    *
+    * Scale: the model is two token-keyed hash-aggs over the train
+    * split; scoring joins the held-out bigram stream to the three
+    * count tables on token keys (never a pair blowup) plus one 1-row
+    * broadcast for N1+(··). */
+  def knScore(
+      documents: DataFrame,
+      holdMod: Int = 7,
+      discount: Double = 0.75): DataFrame = {
+    val toksDf = Spread(documents)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2)," +
+          " i -> struct(t[i] as x, t[i+1] as y))")).as("b"))
+      .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+    val cxy = bigrams(toksDf.filter(pmod(col("doc_id"), lit(holdMod)) =!= 0))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val ctx = cxy.groupBy("x")
+      .agg(sum("cxy").as("cx"), count(lit(1)).as("n1f"))
+    val cont = cxy.groupBy("y").agg(count(lit(1)).as("n1r"))
+    val n1all = cxy.agg(count(lit(1)).as("n1all"))
+    val pcont = coalesce(
+      col("n1r").cast("double") / col("n1all"),
+      lit(1.0) / (col("n1all") + 1))
+    val p = when(col("cx").isNotNull,
+      when(col("cxy").isNotNull,
+        (col("cxy") - lit(discount)) / col("cx")).otherwise(lit(0.0))
+        + lit(discount) * col("n1f") / col("cx") * pcont)
+      .otherwise(pcont)
+    bigrams(toksDf.filter(pmod(col("doc_id"), lit(holdMod)) === 0))
+      .join(cxy, Seq("x", "y"), "left")
+      .join(ctx, Seq("x"), "left")
+      .join(cont, Seq("y"), "left")
+      .crossJoin(broadcast(n1all))
+      .withColumn("p", p)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cx").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
+        sum(when(col("cxy").isNull, 1L).otherwise(0L)).as("n_unseen_bigram"),
+        round(avg(log(col("p"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }

@@ -141,4 +141,39 @@ class MultimodalSpec extends SparkSpec {
       graft.operators.Multimodal.perceptualNearDups(docs, 3)
     }
   }
+
+  test("mediaSniff: the sniff reads payload BYTES, not the planting " +
+    "key — contradicting content wins") {
+    import spark.implicits._
+    // doc 3 (%5=3 -> headerless) carries text whose UTF-8 bytes ARE a
+    // RIFF/WAVE header: content must sniff audio/wav anyway
+    val docs = Seq(
+      (3L, "RIFF0000WAVE pretend audio"),
+      (8L, "plain prose with no signature")).toDF("doc_id", "text")
+    val got = graft.operators.Multimodal.mediaSniff(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(3L) == "audio/wav")
+    assert(got(8L) == "application/octet-stream")
+  }
+
+  test("mediaSniff: fixture-wide planted signatures sniff to their " +
+    "class, match_flag is the declared==sniffed equality") {
+    val fx = graft.operators.Multimodal.mediaSniff(tables.documents)
+      .collect()
+    assert(fx.length == tables.documents.count())
+    val types = Seq("image/png", "image/jpeg", "audio/wav",
+      "application/octet-stream")
+    val hdrLen = Seq(8L, 4L, 12L, 0L, 0L)
+    fx.foreach { r =>
+      val id = r.getLong(0)
+      val sniffWant = if (id % 5 <= 2) types((id % 5).toInt) else types(3)
+      val declWant = types((id % 4).toInt)
+      assert(r.getString(3) == sniffWant, s"doc $id sniffed")
+      assert(r.getString(2) == declWant, s"doc $id declared")
+      assert(r.getLong(4) == (if (sniffWant == declWant) 1L else 0L))
+      assert(r.getLong(1) > hdrLen((id % 5).toInt))
+    }
+    // both flag classes populated (the coprime-moduli guarantee)
+    assert(fx.exists(_.getLong(4) == 1L) && fx.exists(_.getLong(4) == 0L))
+  }
 }

@@ -1316,4 +1316,113 @@ class TextSpec extends SparkSpec {
         (1L to n.toLong))
     }
   }
+
+  test("tfidfKeywords: crafted idf6 scaling, exact integer ranking, " +
+    "token tie-break") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // N = 3 docs; df: apple 1, banana 2, common 3, cherry 1
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")).toDF("doc_id", "text")
+    def idf6(df: Long): Long =
+      math.round((math.log(4.0 / (df + 1.0)) + 1.0) * 1e6)
+    val got = TextAnalysis.tfidfKeywords(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc 1: apple tf=2 df=1 wins, then banana (df=2), then common
+    assert(got((1L, 1L)) == (("apple", 2L, 1L, 2L * idf6(1))))
+    assert(got((1L, 2L)) == (("banana", 1L, 2L, idf6(2))))
+    assert(got((1L, 3L)) == (("common", 1L, 3L, idf6(3))))
+    // doc 2: common tf=2 scores 2e6, banana idf6(2)=1287682 < 2e6
+    assert(got((2L, 1L))._1 == "common" && got((2L, 1L))._4 == 2L * idf6(3))
+    assert(got((2L, 2L))._1 == "banana")
+    // doc 3: rare cherry beats ubiquitous common
+    assert(got((3L, 1L))._1 == "cherry" && got((3L, 2L))._1 == "common")
+    // tie-break: two tokens with identical tf and df rank by string
+    val tie = Seq((9L, "zeta alpha")).toDF("doc_id", "text")
+    val tied = TextAnalysis.tfidfKeywords(tie).collect()
+    assert(tied.map(_.getString(2)).toSeq == Seq("alpha", "zeta"))
+    // fixture-wide: every doc emits exactly min(3, n_distinct) rows,
+    // ranks are 1..k, scores non-increasing within a doc
+    val fx = TextAnalysis.tfidfKeywords(tables.documents).collect()
+    fx.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to rows.length.toLong), s"doc $id ranks")
+      val scores = sorted.map(_.getLong(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("zipfFitBySource: OLS sums match a driver-side replay; " +
+    "fixture slopes are negative with sane r2") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // one source, counts 4/2/1/1 -> ranks 1..4 with token tie-break
+    val docs = Seq(
+      (1L, "a a b z", "s1"), (2L, "a a y", "s1")).toDF(
+      "doc_id", "text", "source")
+    val got = TextAnalysis.zipfFitBySource(docs).collect().head
+    assert(got.getString(0) == "s1")
+    assert(got.getLong(1) == 4L && got.getLong(2) == 7L
+      && got.getLong(3) == 4L)
+    // replay: ranked (a,4) (b,1) (y,1) (z,1) -> tie-break by token
+    val pts = Seq((1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .map { case (rk, n) => (math.log(rk.toDouble), math.log(n.toDouble)) }
+    val m = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val dx = m * sxx - sx * sx
+    val cv = m * sxy - sx * sy
+    assert(math.abs(got.getDouble(4) - cv / dx) < 1e-6)
+    assert(math.abs(got.getDouble(5) - (sy - cv / dx * sx) / m) < 1e-6)
+    assert(math.abs(got.getDouble(6)
+      - cv * cv / (dx * (m * syy - sy * sy))) < 1e-6)
+    // degenerate source (one distinct token) yields NULL fit, not NaN
+    val degen = Seq((1L, "x x x", "mono")).toDF("doc_id", "text", "source")
+    val d = TextAnalysis.zipfFitBySource(degen).collect().head
+    assert(d.isNullAt(4) && d.isNullAt(5) && d.isNullAt(6))
+    // fixture-wide: every source slopes negative, r2 in (0, 1]
+    TextAnalysis.zipfFitBySource(tables.documents).collect().foreach { r =>
+      assert(r.getDouble(4) < 0.0, s"source ${r.getString(0)} slope")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("knScore: crafted backoff arithmetic for seen, unseen-bigram, " +
+    "and unseen-context cases") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    // holdMod=2: odd docs train, even docs are scored.
+    // train bigrams: (a b) x2, (b a) x2, (b c) -> n1all=3
+    // cx: a->2 (n1f 1), b->3 (n1f 2); n1r: a 1, b 1, c 1
+    val docs = Seq(
+      (1L, "a b a b c"), (3L, "b a"),
+      (2L, "a b q c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knScore(docs, holdMod = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // doc 2 bigrams: (a b) seen; (b q) unseen bigram, seen ctx;
+    // (q c) unseen context
+    assert(r.getLong(1) == 3L) // n_bigrams
+    assert(r.getLong(2) == 1L) // n_unseen_ctx
+    assert(r.getLong(3) == 2L) // n_unseen_bigram
+    val pAB = (2.0 - 0.75) / 2.0 + 0.75 * 1 / 2.0 * (1.0 / 3)
+    val pBQ = 0.0 + 0.75 * 2 / 3.0 * (1.0 / 4) // q unseen cont -> floor
+    val pQC = 1.0 / 3 // backoff to pcont(c)
+    val want = (math.log(pAB) + math.log(pBQ) + math.log(pQC)) / 3
+    assert(math.abs(r.getDouble(4) - want) < 1e-4)
+    // fixture-wide: unseen-ctx ⊆ unseen-bigram, scores are finite
+    // negatives (smoothing leaves no zero-probability bigram)
+    TextAnalysis.knScore(tables.documents).collect().foreach { row =>
+      assert(row.getLong(3) >= row.getLong(2))
+      assert(row.getDouble(4) < 0.0 && !row.getDouble(4).isNaN
+        && !row.getDouble(4).isInfinite)
+    }
+  }
 }
