@@ -470,6 +470,13 @@ object SparkEntry {
     // mismatch class populated); the sniff reads bytes, not the key
     "q228_media_sniff" ->
       q(t => Multimodal.mediaSniff(t.documents)),
+    // q229: SFT pair construction — deterministic prompt/response
+    // split, fixed chat template (md5-gated), loss-mask accounting
+    "q229_sft_pairs" -> q(t => TextAnalysis.sftPairs(t.documents)),
+    // q230: Matryoshka truncation audit — top-5 overlap between full
+    // 64-dim and first-16-dim cosine, q26's rounded-rank discipline
+    "q230_matryoshka_recall" ->
+      q(t => Similarity.matryoshkaRecall(t.embeddings)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1758,6 +1765,64 @@ object SparkEntry {
         |  CAST(CASE WHEN declared = sniffed THEN 1 ELSE 0 END AS BIGINT)
         |    AS match_flag
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q229: the SFT split/template/mask arithmetic replayed on DuckDB
+    // list slices; the rendered example is md5-gated
+    "q229_sft_pairs" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+        |        CAST(LEAST(8, len(t) // 2) AS BIGINT) AS pl, t
+        |      FROM t0 WHERE len(t) >= 2),
+        |r AS (SELECT doc_id, n AS n_tokens, pl AS n_prompt,
+        |        array_to_string(t[1:pl], ' ') AS prompt,
+        |        array_to_string(t[pl+1:n], ' ') AS response
+        |      FROM d)
+        |SELECT doc_id, n_tokens, n_prompt,
+        |  n_tokens - n_prompt AS n_response,
+        |  n_tokens + 2 AS total_tokens,
+        |  n_prompt + 2 AS n_masked,
+        |  n_tokens - n_prompt AS n_trained,
+        |  ROUND(CAST(n_tokens - n_prompt AS DOUBLE) / (n_tokens + 2), 4)
+        |    AS loss_frac,
+        |  md5('INST: ' || prompt || ' RESP: ' || response) AS example_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q230: both arms replay q26's rounded-cosine rank discipline —
+    // full 64 dims vs the first 16; overlap/top1 are exact integers
+    "q230_matryoshka_recall" ->
+      """WITH v AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, e AS cv FROM v),
+        |sf AS (SELECT qid, cid,
+        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))),
+        |      6) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |st AS (SELECT qid, cid,
+        |    ROUND(list_sum(list_transform(range(1,17), i -> qv[i]*cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1,17), i -> qv[i]*qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1,17), i -> cv[i]*cv[i])))),
+        |      6) AS cos
+        |  FROM q JOIN c ON qid <> cid),
+        |rf AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |         ORDER BY cos DESC, cid) AS rk FROM sf),
+        |rt AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |         ORDER BY cos DESC, cid) AS rk FROM st),
+        |f5 AS (SELECT qid, cid, rk FROM rf WHERE rk <= 5),
+        |t5 AS (SELECT qid, cid, rk FROM rt WHERE rk <= 5),
+        |ov AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS overlap,
+        |    CAST(SUM(CASE WHEN f.rk = 1 AND t.rk = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS top1
+        |  FROM f5 f JOIN t5 t ON f.qid = t.qid AND f.cid = t.cid
+        |  GROUP BY f.qid)
+        |SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_full,
+        |  CAST(COALESCE(MAX(ov.overlap), 0) AS BIGINT) AS overlap,
+        |  CAST(COALESCE(MAX(ov.top1), 0) AS BIGINT) AS top1_match,
+        |  ROUND(CAST(COALESCE(MAX(ov.overlap), 0) AS DOUBLE) / COUNT(*), 4)
+        |    AS recall_k
+        |FROM f5 f LEFT JOIN ov ON ov.qid = f.qid
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
     // q207: rare-but-cross-source grams (canary/secret-leak audit)
     "q207_canary_spans" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS t

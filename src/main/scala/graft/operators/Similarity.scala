@@ -1037,4 +1037,65 @@ object Similarity {
           .otherwise(lit(0.0)).as("ndcg_k"))
       .orderBy("qid")
   }
+
+  /** q230 — Matryoshka dimension-truncation recall audit: for each
+    * query vector, the overlap between the exact top-`k` under FULL
+    * 64-dim cosine and the top-`k` under the first `dims` dimensions
+    * only — the offline audit behind the biggest storage/IO lever a
+    * 100 TB vector corpus has (truncating 64→16 dims reads ¼ the
+    * bytes in the first-stage scan; MRL-trained embeddings keep
+    * recall high, arbitrary embeddings don't — this table is how you
+    * find out which you have, per corpus, before flipping the
+    * two-stage switch). The production serving path is the existing
+    * IVF/SQ8 two-stage family; this is its calibration table.
+    *
+    * Ranking on both arms follows q26's discipline exactly: cosine
+    * ROUNDED to 6 dp, cid tie-break — so each arm's top-k set is the
+    * gate-proven reproducible kind, and the overlap/flag outputs are
+    * pure integers.
+    *
+    * Scale: both arms broadcast the |queries|-row side against the
+    * candidate scan (the q26 shape); the truncated arm's scoring
+    * touches `dims/64` of the vector bytes, which is the point. */
+  def matryoshkaRecall(
+      embeddings: DataFrame,
+      dims: Int = 16,
+      k: Int = 5,
+      queryMaxId: Long = 50): DataFrame = {
+    def topk(sliceDims: Option[Int], rkName: String): DataFrame = {
+      val proj: Column => Column = sliceDims match {
+        case Some(d) => v => asDouble(slice(v, 1, d))
+        case None => v => asDouble(v)
+      }
+      val q = embeddings.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("qid"), proj(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+      val c = embeddings
+        .select(col("vec_id").as("cid"), proj(col("embedding")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+            .as("cos"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("cid").asc)
+      scored.withColumn(rkName, row_number().over(w).cast("long"))
+        .filter(col(rkName) <= k)
+        .select(col("qid"), col("cid"), col(rkName))
+    }
+    val full = topk(None, "rk_full")
+    val trunc = topk(Some(dims), "rk_trunc")
+    val overlap = full.join(trunc, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("overlap"),
+        sum(when(col("rk_full") === 1 && col("rk_trunc") === 1, 1L)
+          .otherwise(0L)).as("top1_match"))
+    full.groupBy("qid").agg(count(lit(1)).as("n_full"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_full"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("top1_match"), lit(0L)).as("top1_match"),
+        round(coalesce(col("overlap"), lit(0L)).cast("double")
+          / col("n_full").cast("double"), 4).as("recall_k"))
+      .orderBy("qid")
+  }
 }

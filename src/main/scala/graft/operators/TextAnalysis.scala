@@ -2103,17 +2103,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** q225 — TF-IDF keyword extraction: the top-`k` highest-scoring
-    * tokens of every document under the classic smoothed TF-IDF
-    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn formulation) — the
-    * per-document keyword/topic hint a curation UI or a cheap topic
-    * clusterer attaches to every training document. The GATE is
-    * all-integer: the per-df idf is scaled once to a BIGINT
-    * (`idf6 = round(idf·10⁶)`, one ln per DISTINCT df value — the q59
-    * float class at its smallest possible surface) and ranking
-    * compares the exact integer product `tf·idf6` with a token-string
-    * tie-break, so rank order can never be flipped by a last-ulp
-    * logarithm.
+  /** q225 — TF-IDF keyword extraction, exact-ranking form: the
+    * top-`k` tokens of every document under SMOOTHED TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn formulation — never
+    * zero, defined even for df = N) — the hardened sibling of
+    * [[tfidfTopTerms]] (q53, classic `tf·ln(N/df)`): q53 ranks on the
+    * 4 dp-ROUNDED float weight, which is reproducible only while no
+    * two distinct weights straddle a rounding boundary — a collision
+    * class that GROWS with corpus size. Here the GATE is all-integer:
+    * the per-df idf is scaled once to a BIGINT (`idf6 =
+    * round(idf·10⁶)`, one ln per DISTINCT df value — the q59 float
+    * class at its smallest possible surface) and ranking compares the
+    * exact integer product `tf·idf6` with a token-string tie-break,
+    * so rank order can never be flipped by a last-ulp logarithm at
+    * ANY corpus size.
     *
     * Scale: one (doc, token) hash-agg (tf), one token hash-agg (df),
     * a token-keyed join back (corpus-derived df side — no broadcast
@@ -2249,6 +2252,48 @@ object TextAnalysis {
         sum(when(col("cx").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
         sum(when(col("cxy").isNull, 1L).otherwise(0L)).as("n_unseen_bigram"),
         round(avg(log(col("p"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** q229 — SFT pair construction with loss-mask accounting: the
+    * fine-tuning last mile the pretraining packers (q184/q187) don't
+    * cover. Each document becomes one (instruction, response) example
+    * under a deterministic split (prompt = first `min(maxPrompt,
+    * n div 2)` tokens, response = the rest; docs under 2 tokens
+    * can't split and are dropped), rendered through a fixed chat
+    * template (`INST: <prompt> RESP: <response>` — one marker token
+    * each side), with the numbers a trainer's data loader needs per
+    * example: total template tokens, masked-token count (everything
+    * through the RESP: marker — instruction tokens never receive
+    * loss), trained-token count, and the loss fraction. The rendered
+    * example is md5-gated, so template fidelity (spacing, marker
+    * placement) is in the hash, not just the counts.
+    *
+    * Scale: one map-side projection (split/slice/concat on the token
+    * array, no explode, no shuffle) — the cheapest possible shape;
+    * downstream packing of the rendered examples rides the existing
+    * q184 machinery unchanged. */
+  def sftPairs(documents: DataFrame, maxPrompt: Int = 8): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val pl = least(lit(maxPrompt.toLong), expr(
+      s"size(split(text, ' ')) div 2").cast("long"))
+    documents
+      .filter(n >= 2)
+      .select(col("doc_id"), n.as("n_tokens"), pl.as("n_prompt"),
+        concat_ws(" ", slice(t, lit(1), pl.cast("int"))).as("prompt"),
+        concat_ws(" ",
+          slice(t, (pl + 1).cast("int"), (n - pl).cast("int")))
+          .as("response"))
+      .select(col("doc_id"), col("n_tokens"), col("n_prompt"),
+        (col("n_tokens") - col("n_prompt")).as("n_response"),
+        (col("n_tokens") + 2L).as("total_tokens"),
+        (col("n_prompt") + 2L).as("n_masked"),
+        (col("n_tokens") - col("n_prompt")).as("n_trained"),
+        round((col("n_tokens") - col("n_prompt")).cast("double")
+          / (col("n_tokens") + 2L).cast("double"), 4).as("loss_frac"),
+        md5(concat(lit("INST: "), col("prompt"), lit(" RESP: "),
+          col("response"))).as("example_md5"))
       .orderBy("doc_id")
   }
 }

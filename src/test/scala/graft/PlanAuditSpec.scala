@@ -135,6 +135,8 @@ class PlanAuditSpec extends SparkSpec {
       "contaminationSpans"),
     "q26_cosine_topk" -> ("query batch: corpus-sampled in the " +
       "fixture; a serving query batch is bounded by the caller"),
+    "q230_matryoshka_recall" -> ("audit query sample, both arms " +
+      "(same serving-batch bound as q26)"),
     "q77_sql_vector" -> "query batch (same serving-batch bound as q26)",
     "q162_sq8_ann" -> "query batch (same serving-batch bound as q26)",
     "q171_pca_sq8_ann" -> "query batch (same serving-batch bound as q26)",

@@ -527,4 +527,50 @@ class SimilaritySpec extends SparkSpec {
     assert(fx.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
     fx.foreach(r => assert(r.getString(2) != r.getString(3)))
   }
+
+  test("matryoshkaRecall: head-only corpora recall 1.0, adversarial " +
+    "tails break the truncated arm, dims=64 is the identity") {
+    import spark.implicits._
+    // (a) all information in the first 16 dims -> truncation lossless
+    def headVec(seed: Int): Seq[Float] =
+      Array.tabulate(64)(i =>
+        if (i < 16) ((seed * 31 + i * 7) % 13 - 6).toFloat else 0.0f).toSeq
+    val head = (0 until 8).map(i => (i.toLong, headVec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ga = Similarity.matryoshkaRecall(head, 16, 3, 2).collect()
+    ga.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), s"qid ${r.getLong(0)} overlap")
+      assert(r.getLong(3) == 1L && r.getDouble(4) == 1.0)
+    }
+    // (b) a candidate whose HEAD mimics the query but whose tail
+    // anti-aligns: wins the truncated arm, loses the full arm
+    def vec(head: Double, tail: Double): Seq[Float] =
+      Array.tabulate(64)(i =>
+        (if (i < 16) head else tail).toFloat).toSeq
+    val adv = Seq(
+      (0L, vec(1.0, 1.0), 0), // query
+      (1L, vec(1.0, -1.0), 0), // head impostor: trunc cos 1, full cos < 0
+      (2L, vec(0.9, 0.9), 0), // true neighbor (parallel in full space)
+      (3L, vec(-1.0, -1.0), 0)) // anti-aligned everywhere
+      .toDF("vec_id", "embedding", "label")
+    val gb = Similarity.matryoshkaRecall(adv, 16, 1, 1).collect()
+    assert(gb.length == 1)
+    // full top-1 is vec 2; truncated top-1 ties vecs 1 and 2 at cos 1
+    // and the cid tie-break picks 1 -> zero overlap at k=1
+    assert(gb.head.getLong(2) == 0L && gb.head.getLong(3) == 0L
+      && gb.head.getDouble(4) == 0.0)
+    // (c) truncation to the full width is the identity -> recall 1.0
+    val id = Similarity.matryoshkaRecall(tables.embeddings, 64, 5, 10)
+      .collect()
+    id.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L
+        && r.getLong(3) == 1L && r.getDouble(4) == 1.0)
+    }
+    // fixture-wide at dims=16: bounds hold
+    Similarity.matryoshkaRecall(tables.embeddings).collect().foreach {
+      r =>
+        assert(r.getLong(1) == 5L && r.getLong(2) <= 5L)
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }

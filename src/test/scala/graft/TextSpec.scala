@@ -1425,4 +1425,44 @@ class TextSpec extends SparkSpec {
         && !row.getDouble(4).isInfinite)
     }
   }
+
+  test("sftPairs: split arithmetic, template md5, sub-2-token drop") {
+    val spark2 = tables.documents.sparkSession
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // pl = 8
+      (2L, "a b c d e"), // pl = 2
+      (3L, "solo"), // dropped: cannot split
+      (4L, "x y")) // pl = 1, minimal pair
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sftPairs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L))
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 20L && r1.getLong(2) == 8L
+      && r1.getLong(3) == 12L)
+    assert(r1.getLong(4) == 22L && r1.getLong(5) == 10L
+      && r1.getLong(6) == 12L)
+    assert(math.abs(r1.getDouble(7) - 12.0 / 22) < 1e-4)
+    // template fidelity: md5 of the exact rendered string
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p1 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val c1 = (9 to 20).map(i => s"t$i").mkString(" ")
+    assert(r1.getString(8) == md5hex(s"INST: $p1 RESP: $c1"))
+    val r2 = got(2L)
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 3L)
+    assert(r2.getString(8) == md5hex("INST: a b RESP: c d e"))
+    val r4 = got(4L)
+    assert(r4.getLong(2) == 1L && r4.getLong(3) == 1L)
+    assert(r4.getString(8) == md5hex("INST: x RESP: y"))
+    // fixture-wide conservation: prompt + response == doc tokens,
+    // masked + trained == total
+    TextAnalysis.sftPairs(tables.documents).collect().foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))
+      assert(r.getLong(5) + r.getLong(6) == r.getLong(4))
+      assert(r.getLong(2) <= 8L && r.getLong(2) >= 1L)
+    }
+  }
 }
