@@ -477,6 +477,10 @@ object SparkEntry {
     // 64-dim and first-16-dim cosine, q26's rounded-rank discipline
     "q230_matryoshka_recall" ->
       q(t => Similarity.matryoshkaRecall(t.embeddings)),
+    // q231: merge-utilization (tokenizer drift) — how often each
+    // committed merge fires on the %3 slice it was NOT trained for
+    "q231_merge_utilization" ->
+      q(t => Bpe.mergeUtilization(t.documents)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -681,6 +685,42 @@ object SparkEntry {
         |    / CAST(SUM(n_bpe_tokens) AS DOUBLE), 4) AS chars_per_token
         |FROM perdoc JOIN documents USING(doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q231 utilization replay: per-stage symbol-sequence lengths off
+    * the SHARED encode chain (e0..eN — one chain, no gate desync with
+    * ml_bpe_encode/q204/q213), length deltas per word via LEAD,
+    * weighted by the %3 slice's word frequencies. Applying merge k
+    * shrinks a word by exactly its application count, so the weighted
+    * deltas ARE the utilization. */
+  private def bpeUtilizationOracle: String = {
+    val us = bpeUS
+    val lens = (0 to bpeNumMerges).map(i =>
+      s"SELECT word, CAST($i AS BIGINT) AS stage, " +
+        s"CAST(len(string_split(trim(w, $us), $us||$us)) AS BIGINT) AS l " +
+        s"FROM e$i").mkString("\nUNION ALL ")
+    val mt = (0 until bpeNumMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", """ +
+        s"l||r AS merged, c AS support FROM b$i").mkString("\nUNION ALL ")
+    "WITH " + bpeEncodeCtes.mkString(",\n") + ",\n" +
+      s"""lens AS ($lens),
+        |delta AS (SELECT word, stage AS rank,
+        |    l - LEAD(l) OVER (PARTITION BY word ORDER BY stage) AS d
+        |  FROM lens),
+        |subwords AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        |        FROM documents WHERE doc_id % 3 = 0)
+        |  WHERE len(word) > 0 GROUP BY word),
+        |util AS (SELECT rank, CAST(SUM(d * k) AS BIGINT) AS applications
+        |  FROM delta JOIN subwords USING (word)
+        |  WHERE rank < $bpeNumMerges GROUP BY rank),
+        |mt AS ($mt)
+        |SELECT mt.rank, mt."left", mt."right", mt.merged, mt.support,
+        |  CAST(COALESCE(u.applications, 0) AS BIGINT) AS applications,
+        |  CAST(CASE WHEN COALESCE(u.applications, 0) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS used
+        |FROM mt LEFT JOIN util u ON u.rank = mt.rank
+        |ORDER BY mt.rank""".stripMargin
+  }
 
   /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
     * oracle and the q42 connected-components oracle. Mirrors the
@@ -1214,6 +1254,7 @@ object SparkEntry {
     "ml_bpe_merges" -> bpeMergesOracle,
     "ml_bpe_encode" -> bpeEncodeOracle,
     "q204_tokenizer_fertility" -> bpeFertilityOracle,
+    "q231_merge_utilization" -> bpeUtilizationOracle,
     // q205: islands of consecutive matched gram positions vs the
     // deterministic benchmark excerpts (tokens 11..40 of %97 docs)
     "q205_contamination_spans" ->

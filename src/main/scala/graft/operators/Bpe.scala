@@ -312,4 +312,55 @@ object Bpe {
         col("support"))
       .orderBy("rank")
   }
+
+  /** q231 — merge-UTILIZATION audit: how often each committed merge
+    * actually fires when the tokenizer is applied to a DIFFERENT
+    * document slice (`doc_id % subsetMod == 0`) than it was trained
+    * on — the tokenizer-drift table ("which merges still pay for
+    * themselves on the new crawl?"). On the training corpus itself
+    * utilization equals training support by construction (greedy BPE
+    * replays its own state sequence), so the audit is only
+    * informative OFF the training slice — exactly the production
+    * situation: merges are a committed artifact (q183), crawls keep
+    * arriving. Applications are exact integers: applying merge k to a
+    * word shrinks its symbol sequence by exactly the number of
+    * applications, so per-stage length deltas weighted by the
+    * slice's word frequencies ARE the utilization — the same
+    * distinct-word trick as training (the corpus is never
+    * re-tokenized per merge).
+    *
+    * Scale: one word-count hash-agg over the slice, one broadcast of
+    * the KB-sized merge table, one embarrassingly-parallel fold per
+    * distinct word emitting `numMerges` (rank, delta) pairs, one
+    * rank-keyed hash-agg to 40 rows. */
+  def mergeUtilization(
+      documents: DataFrame,
+      numMerges: Int = 40,
+      subsetMod: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = train(documents, numMerges)
+    val subset = documents
+      .filter(pmod(col("doc_id"), lit(subsetMod)) === 0)
+    val bc = spark.sparkContext.broadcast(merges)
+    val deltas = wordCounts(subset).as[(String, Long)]
+      .flatMap { case (w, k) =>
+        var syms = toSyms(w)
+        bc.value.iterator.map { m =>
+          val before = syms.length
+          syms = applyMerge(syms, m.left, m.right)
+          (m.rank, (before - syms.length).toLong * k)
+        }
+      }
+      .toDF("rank", "apps")
+      .groupBy("rank").agg(sum("apps").as("applications"))
+    merges.toDF()
+      .join(deltas, Seq("rank"), "left")
+      .select(col("rank").cast("long").as("rank"),
+        col("left"), col("right"), col("merged"), col("support"),
+        coalesce(col("applications"), lit(0L)).as("applications"),
+        when(coalesce(col("applications"), lit(0L)) > 0, 1L)
+          .otherwise(0L).as("used"))
+      .orderBy("rank")
+  }
 }

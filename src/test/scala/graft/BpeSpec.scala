@@ -204,4 +204,41 @@ class BpeSpec extends SparkSpec {
     fx.foreach(r =>
       assert(r.getAs[Long]("roundtrip_ok") == 1L, s"doc ${r.getLong(0)}"))
   }
+
+  test("mergeUtilization: on the training slice itself utilization " +
+    "equals support; off-slice merges report used=0") {
+    import spark.implicits._
+    // greedy BPE replays its own state sequence, so subsetMod=1
+    // (audit slice == training corpus) must reproduce support exactly
+    val self = Bpe.mergeUtilization(tables.documents, numMerges = 10,
+      subsetMod = 1).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("applications") == r.getAs[Long]("support"),
+        s"rank ${r.getLong(0)}")
+      assert(r.getAs[Long]("used") == 1L)
+    }
+    // crafted drift: the subset (doc 0 only) contains 'xy' words but
+    // no 'ab' words -> the (a,b) merge exists with support but never
+    // fires on the slice
+    val docs = Seq(
+      (0L, "xy xy"), (1L, "ab ab ab"), (2L, "ab xy"))
+      .toDF("doc_id", "text")
+    val got = Bpe.mergeUtilization(docs, numMerges = 10, subsetMod = 3)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("support"), r.getAs[Long]("applications"),
+          r.getAs[Long]("used"))).toMap
+    // (a,b): 4 training occurrences, zero on the slice
+    assert(got(("a", "b")) == ((4L, 0L, 0L)))
+    // (x,y): fires once per 'xy' occurrence in doc 0 (k = 2)
+    assert(got(("x", "y")) == ((3L, 2L, 1L)))
+    // every merge's applications are nonnegative and bounded by the
+    // slice's total adjacent-pair budget
+    Bpe.mergeUtilization(tables.documents).collect().foreach { r =>
+      assert(r.getAs[Long]("applications") >= 0L)
+      assert(r.getAs[Long]("used") ==
+        (if (r.getAs[Long]("applications") > 0) 1L else 0L))
+    }
+  }
 }
