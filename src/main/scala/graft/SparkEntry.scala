@@ -481,6 +481,10 @@ object SparkEntry {
     // committed merge fires on the %3 slice it was NOT trained for
     "q231_merge_utilization" ->
       q(t => Bpe.mergeUtilization(t.documents)),
+    // q232: Markov removal-effect attribution — all-integer absorbing
+    // chain (q131 discipline); the principled multi-touch counterpart
+    // to q97's last-touch
+    "q232_markov_attribution" -> q(Relational.q232),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -720,6 +724,91 @@ object SparkEntry {
         |    AS BIGINT) AS used
         |FROM mt LEFT JOIN util u ON u.rank = mt.rank
         |ORDER BY mt.rank""".stripMargin
+  }
+
+  /** q232 replay: the journey/transition extraction in plain SQL,
+    * then 25 unrolled ALL-INTEGER absorption iterations per scenario
+    * (full + one per removed channel) — the q131 integer-PageRank
+    * discipline, so the compare is exact. The channel list replays
+    * the fixture's event-type enum (the engine DERIVES its list from
+    * the data; a drifting enum fails the row compare). */
+  private def markovOracle: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val iters = 25
+    def vChain(tag: String, pCte: String): Seq[String] = {
+      val v0 =
+        s"v${tag}0 AS MATERIALIZED (SELECT st, CAST(0 AS BIGINT) AS v FROM states)"
+      val steps = (0 until iters).map { k =>
+        s"""v$tag${k + 1} AS MATERIALIZED (
+           |  SELECT s.st, COALESCE(CAST(SUM(p.p6 *
+           |      CASE WHEN p.dst = 'CONV' THEN 1000000
+           |           WHEN p.dst = 'NULL' THEN 0
+           |           ELSE COALESCE(v.v, 0) END) AS BIGINT), 0)
+           |    // 1000000 AS v
+           |  FROM states s LEFT JOIN $pCte p ON p.src = s.st
+           |    LEFT JOIN v$tag$k v ON v.st = p.dst
+           |  GROUP BY s.st)""".stripMargin
+      }
+      v0 +: steps
+    }
+    val base = Seq(
+      """st AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |         ELSE event_type END AS state,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)""".stripMargin,
+      """fp AS (SELECT user_id, MIN(rn) AS prn FROM st
+        |  WHERE state = 'CONV' GROUP BY user_id)""".stripMargin,
+      """kept AS (SELECT s.*, f.prn FROM st s
+        |  LEFT JOIN fp f USING (user_id)
+        |  WHERE f.prn IS NULL OR s.rn <= f.prn)""".stripMargin,
+      """chain AS (SELECT user_id, state AS dst,
+        |    COALESCE(LAG(state) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'START') AS src
+        |  FROM kept)""".stripMargin,
+      """lastr AS (SELECT user_id, MAX(rn) AS lrn FROM kept
+        |  WHERE prn IS NULL GROUP BY user_id)""".stripMargin,
+      """terms AS (SELECT k.state AS src, 'NULL' AS dst FROM kept k
+        |  JOIN lastr l ON l.user_id = k.user_id AND k.rn = l.lrn)""".stripMargin,
+      """alltr AS (SELECT src, dst FROM chain
+        |  UNION ALL SELECT src, dst FROM terms)""".stripMargin,
+      """cnt AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM alltr GROUP BY 1, 2)""".stripMargin,
+      """tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tt
+        |  FROM cnt GROUP BY src)""".stripMargin,
+      """p AS MATERIALIZED (SELECT c.src, c.dst, (n * 1000000) // tt AS p6
+        |  FROM cnt c JOIN tot USING (src))""".stripMargin,
+      "states AS MATERIALIZED (SELECT unnest(['START'," +
+        channels.map(c => s"'$c'").mkString(",") + "]) AS st)")
+    val scen = channels.map(c =>
+      s"p_$c AS MATERIALIZED (SELECT src, dst, p6 FROM p " +
+        s"WHERE src <> '$c' AND dst <> '$c')")
+    val chains = vChain("full", "p") ++
+      channels.flatMap(c => vChain(c, s"p_$c"))
+    val effs = channels.map(c =>
+      s"SELECT '$c' AS channel, (SELECT v FROM v$c$iters WHERE st = 'START') AS p_removed6")
+      .mkString("\nUNION ALL ")
+    val tail =
+      s"""effs AS ($effs),
+        |ti AS (SELECT dst AS channel, CAST(SUM(n) AS BIGINT) AS tin
+        |  FROM cnt WHERE dst IN (${channels.map(c => s"'$c'").mkString(",")})
+        |  GROUP BY dst),
+        |fin AS (SELECT e.channel, COALESCE(t.tin, 0) AS transitions_in,
+        |    (SELECT v FROM vfull$iters WHERE st = 'START') AS p_full6,
+        |    e.p_removed6,
+        |    (SELECT v FROM vfull$iters WHERE st = 'START') - e.p_removed6
+        |      AS effect6
+        |  FROM effs e LEFT JOIN ti t USING (channel)),
+        |tote AS (SELECT CAST(SUM(effect6) AS BIGINT) AS te FROM fin)
+        |SELECT channel, CAST(transitions_in AS BIGINT) AS transitions_in,
+        |  CAST(p_full6 AS BIGINT) AS p_full6,
+        |  CAST(p_removed6 AS BIGINT) AS p_removed6,
+        |  CAST(effect6 AS BIGINT) AS effect6,
+        |  CASE WHEN te > 0 THEN ROUND(CAST(effect6 AS DOUBLE) / te, 6) END
+        |    AS share
+        |FROM fin, tote ORDER BY channel""".stripMargin
+    "WITH " + (base ++ scen ++ chains).mkString(",\n") + ",\n" + tail
   }
 
   /** Shared MinHash CTE chain (through `est`), reused by the q20 pair
@@ -1255,6 +1344,7 @@ object SparkEntry {
     "ml_bpe_encode" -> bpeEncodeOracle,
     "q204_tokenizer_fertility" -> bpeFertilityOracle,
     "q231_merge_utilization" -> bpeUtilizationOracle,
+    "q232_markov_attribution" -> markovOracle,
     // q205: islands of consecutive matched gram positions vs the
     // deterministic benchmark excerpts (tokens 11..40 of %97 docs)
     "q205_contamination_spans" ->

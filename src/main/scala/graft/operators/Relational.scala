@@ -2379,4 +2379,108 @@ object Relational {
   }
 
   def q178(t: Tables): DataFrame = ksDrift(t.events)
+
+  /** q232 — Markov removal-effect attribution (Anderl et al.): credit
+    * each channel by how much the corpus-wide conversion probability
+    * DROPS when the channel is removed from the journey graph — the
+    * principled multi-touch answer to q97's last-touch heuristic
+    * (last-touch over-credits the final step; removal effect measures
+    * each channel's causal necessity under the first-order Markov
+    * model q73 estimates).
+    *
+    * Journeys: per user, events ordered by (ts, event_id) up to the
+    * FIRST purchase (mapped to the absorbing CONV state); users who
+    * never convert end in the absorbing NULL state. Transition counts
+    * are exact integers; probabilities are scaled-integer
+    * `p6 = (n·10⁶) div total(src)` and the absorption probability of
+    * CONV from START runs 25 synchronous iterations of
+    * `v(s) ← (Σ_t p6(s,t)·v(t)) div 10⁶` — ALL-INTEGER arithmetic
+    * (the q131 integer-PageRank discipline), so the gate is exact,
+    * not a float-tolerance compare. Removing channel c drops every
+    * transition into or out of c (mass through c fails — the removal
+    * semantics); subsetted p6 ⊆ full p6 keeps `effect6 ≥ 0` by
+    * monotone induction.
+    *
+    * Scale: journey extraction and transition counting are one
+    * window pass + one hash-agg (corpus-linear, user-partitioned);
+    * the chain itself is the |event_types|²-BOUNDED transition
+    * matrix — a bounded driver read by design (the A3/k-centroids
+    * class: |states| ≤ 7 here and grows with the event-type enum,
+    * never the corpus), iterated in exact Long arithmetic on the
+    * driver for 1+|channels| scenarios. */
+  def q232(t: Tables): DataFrame = markovAttribution(t.events)
+
+  /** The q232 body over any (user_id, ts, event_id, event_type)
+    * frame — split out so specs can feed crafted journeys. */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val staged = events
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = staged.filter(col("state") === "CONV")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    val kept = staged.join(firstConv, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val chain = kept
+      .withColumn("src",
+        coalesce(lag("state", 1).over(w), lit("START")))
+      .select(col("src"), col("state").as("dst"))
+    val lastR = kept.filter(col("prn").isNull)
+      .groupBy("user_id").agg(max("rn").as("lrn"))
+    val terms = kept.join(lastR, "user_id")
+      .filter(col("rn") === col("lrn"))
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    // |event_types|²-bounded matrix: the documented driver read
+    val cnt = chain.unionByName(terms)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p6Full = cnt.map { case ((s, d), n) =>
+      (s, d) -> n * 1000000L / totals(s)
+    }
+    val channels = (cnt.keys.map(_._1) ++ cnt.keys.map(_._2)).toSeq
+      .distinct.filterNot(Set("START", "CONV", "NULL")).sorted
+    val transient = "START" +: channels
+    def absorb(p6: Map[(String, String), Long]): Long = {
+      var v = transient.map(_ -> 0L).toMap
+      for (_ <- 1 to 25) {
+        val prev = v
+        def vOf(s: String): Long = s match {
+          case "CONV" => 1000000L
+          case "NULL" => 0L
+          case x => prev.getOrElse(x, 0L)
+        }
+        v = transient.map { s =>
+          s -> p6.iterator.collect {
+            case ((`s`, d), p) => p * vOf(d)
+          }.sum / 1000000L
+        }.toMap
+      }
+      v("START")
+    }
+    val pFull = absorb(p6Full)
+    val rows = channels.map { c =>
+      val pRem = absorb(p6Full.filter { case ((s, d), _) =>
+        s != c && d != c })
+      val tin = cnt.collect { case ((_, `c`), n) => n }.sum
+      (c, tin, pFull, pRem, pFull - pRem)
+    }
+    val effTot = rows.map(_._5).sum
+    def share(e: Long): Option[Double] =
+      if (effTot > 0)
+        Some(BigDecimal(e.toDouble / effTot.toDouble)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      else None
+    rows.map { case (c, tin, pf, pr, e) =>
+      (c, tin, pf, pr, e, share(e)) }
+      .toDF("channel", "transitions_in", "p_full6", "p_removed6",
+        "effect6", "share")
+      .orderBy("channel")
+  }
 }

@@ -788,4 +788,41 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Double]("level_med") == 28.0,
       s"level ${r.getAs[Double]("level_med")}")
   }
+
+  test("markovAttribution: crafted chain — converting channel earns " +
+    "the whole effect, dead-end channel earns zero") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // u1: view -> purchase; u2: click -> (no conversion); u3: direct
+    // purchase. Hand-computed scaled-integer absorption:
+    //   p6(START->*) = 333333 each; view->CONV and click->NULL certain
+    //   p_full = 666666; removing view -> 333333 (effect 333333);
+    //   removing click -> 666666 (effect 0: click never converts)
+    val events = Seq(
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "purchase"),
+      (2L, ts(1), 20L, "click"),
+      (3L, ts(1), 30L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.markovAttribution(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("click", "view"))
+    val v = got("view")
+    assert(v.getLong(1) == 1L && v.getLong(2) == 666666L
+      && v.getLong(3) == 333333L && v.getLong(4) == 333333L)
+    assert(v.getDouble(5) == 1.0)
+    val c = got("click")
+    assert(c.getLong(1) == 1L && c.getLong(4) == 0L
+      && c.getDouble(5) == 0.0)
+    // fixture-wide: effects nonnegative (removal can only hurt),
+    // shares sum to ~1, every channel row present
+    val fx = Relational.q232(tables).collect()
+    assert(fx.map(_.getString(0)).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    fx.foreach { r =>
+      assert(r.getLong(4) >= 0L)
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    val shareSum = fx.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"share sum $shareSum")
+  }
 }
