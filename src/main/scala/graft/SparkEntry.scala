@@ -485,6 +485,9 @@ object SparkEntry {
     // chain (q131 discipline); the principled multi-touch counterpart
     // to q97's last-touch
     "q232_markov_attribution" -> q(Relational.q232),
+    // q233: grid-cell-pruned radius search over planted integer
+    // coordinates — the spatial-join shape, all-integer membership
+    "q233_geo_radius" -> q(t => Geo.radiusSearch(t.customer)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1345,6 +1348,32 @@ object SparkEntry {
     "q204_tokenizer_fertility" -> bpeFertilityOracle,
     "q231_merge_utilization" -> bpeUtilizationOracle,
     "q232_markov_attribution" -> markovOracle,
+    // q233: the oracle replays the two-prime planting and decides
+    // membership by FULL-SCAN exact integer d² — the engine must
+    // reach the same rows through its pruned cell join
+    "q233_geo_radius" ->
+      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(c_custkey AS BIGINT) * 7919 % 10000 AS x,
+        |    CAST(c_custkey AS BIGINT) * 104729 % 10000 AS y
+        |  FROM customer),
+        |qs AS (SELECT CAST(i AS BIGINT) AS qid,
+        |    (CAST(i AS BIGINT) * 2741 + 1234) % 10000 AS qx,
+        |    (CAST(i AS BIGINT) * 6151 + 4321) % 10000 AS qy
+        |  FROM range(0, 5) t(i)),
+        |sc AS (SELECT q.qid, p.c_custkey,
+        |    (p.x - q.qx)*(p.x - q.qx) + (p.y - q.qy)*(p.y - q.qy) AS d2
+        |  FROM pts p, qs q
+        |  WHERE (p.x - q.qx)*(p.x - q.qx) + (p.y - q.qy)*(p.y - q.qy)
+        |    <= 422500),
+        |ag AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_within,
+        |    CAST(MIN(d2) AS BIGINT) AS min_d2,
+        |    CAST(MIN(d2 * 10000000000 + c_custkey) % 10000000000
+        |      AS BIGINT) AS nearest_custkey
+        |  FROM sc GROUP BY qid)
+        |SELECT q.qid, q.qx, q.qy,
+        |  CAST(COALESCE(a.n_within, 0) AS BIGINT) AS n_within,
+        |  a.min_d2, a.nearest_custkey
+        |FROM qs q LEFT JOIN ag a USING (qid) ORDER BY q.qid""".stripMargin,
     // q205: islands of consecutive matched gram positions vs the
     // deterministic benchmark excerpts (tokens 11..40 of %97 docs)
     "q205_contamination_spans" ->

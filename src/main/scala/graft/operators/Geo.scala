@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spatial operators (SURVEY §2.12): grid-cell-pruned radius search —
+  * the spatial-join shape every geo workload starts with, built the
+  * way a distributed engine has to build it: coarse integer grid
+  * cells prune candidates (the same space-filling-curve locality idea
+  * as q160's Z-order clustering), exact distance filters the
+  * survivors. The fixture has no real coordinates, so points are
+  * PLANTED deterministically from `c_custkey` (two-prime modular
+  * scatter — the q216/q228 planting convention; the oracle replays
+  * it), in integer micro-units on a 10⁴×10⁴ planar grid.
+  *
+  * The GATE is all-integer: membership compares the exact squared
+  * planar distance `d² = Δx² + Δy²` against `R²` — no haversine
+  * float, no trig-library ulp hazard anywhere in the decision (the
+  * planar approximation is the documented small-radius contract;
+  * a great-circle display column would be the only float and is
+  * deliberately omitted from the gate).
+  */
+object Geo {
+
+  /** Deterministic planted coordinates: two coprime scatters of the
+    * customer key onto a 10⁴×10⁴ integer grid. */
+  def custPoints(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey").cast("long").as("c_custkey"),
+      (col("c_custkey").cast("long") * 7919L % 10000L).as("x"),
+      (col("c_custkey").cast("long") * 104729L % 10000L).as("y"))
+
+  /** q233 — radius search over the planted points for `nQueries`
+    * fixed query centers: per query, the number of customers within
+    * `radius`, the minimum squared distance, and the nearest customer
+    * (deterministic (d², custkey) argmin). Queries with no match emit
+    * an explicit zero row (never silently dropped).
+    *
+    * Scale: points map to `cellSize`-wide grid cells on the scan; the
+    * |queries|-row frame broadcasts with a ±`cellReach`-cell window
+    * (`cellReach·cellSize ≥ radius + cellSize`, so pruning is
+    * provably lossless — GeoSpec referees cell-join == full-scan
+    * corpus-wide); only candidates inside the window pay the exact
+    * d² arithmetic. The corpus is never crossed with itself and the
+    * per-query candidate count is area-bounded (≈ (2·reach+1)²·cell
+    * occupancy), independent of total corpus size once cells are
+    * pruned at the scan — the q160 locality story as a join. */
+  def radiusSearch(
+      customer: DataFrame,
+      nQueries: Int = 5,
+      radius: Long = 650L,
+      cellSize: Long = 500L): DataFrame = {
+    val spark = customer.sparkSession
+    val cellReach = (radius + cellSize - 1) / cellSize + 1
+    val pts = custPoints(customer)
+      .withColumn("cx", expr(s"x div $cellSize"))
+      .withColumn("cy", expr(s"y div $cellSize"))
+    val qs = spark.range(nQueries).select(
+      col("id").as("qid"),
+      ((col("id") * 2741L + 1234L) % 10000L).as("qx"),
+      ((col("id") * 6151L + 4321L) % 10000L).as("qy"))
+      .withColumn("qcx", expr(s"qx div $cellSize"))
+      .withColumn("qcy", expr(s"qy div $cellSize"))
+    val cand = pts.join(broadcast(qs),
+      abs(col("cx") - col("qcx")) <= cellReach &&
+        abs(col("cy") - col("qcy")) <= cellReach)
+    val hits = cand
+      .withColumn("d2",
+        (col("x") - col("qx")) * (col("x") - col("qx"))
+          + (col("y") - col("qy")) * (col("y") - col("qy")))
+      .filter(col("d2") <= radius * radius)
+    val agg = hits.groupBy("qid").agg(
+      count(lit(1)).as("n_within"),
+      min(struct(col("d2"), col("c_custkey"))).as("__m"))
+    qs.select("qid", "qx", "qy").join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("qx"), col("qy"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"),
+        col("__m.d2").as("min_d2"),
+        col("__m.c_custkey").as("nearest_custkey"))
+      .orderBy("qid")
+  }
+}
