@@ -488,6 +488,9 @@ object SparkEntry {
     // q233: grid-cell-pruned radius search over planted integer
     // coordinates — the spatial-join shape, all-integer membership
     "q233_geo_radius" -> q(t => Geo.radiusSearch(t.customer)),
+    // q234: grid distance SELF-join (each pair once, a < b) — the
+    // corpus×corpus-avoiding spatial join, density-bound work
+    "q234_geo_selfjoin" -> q(t => Geo.distanceSelfJoin(t.customer)),
     // q202 plants scale-covariant duplicates (doc_id % 17 copied
     // once more, % 51 twice — 51 = 3·17, so those reach d = 3): the
     // stock fixture has no exact copies at any sf, and a gate whose
@@ -1353,8 +1356,10 @@ object SparkEntry {
     // reach the same rows through its pruned cell join
     "q233_geo_radius" ->
       """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-        |    CAST(c_custkey AS BIGINT) * 7919 % 10000 AS x,
-        |    CAST(c_custkey AS BIGINT) * 104729 % 10000 AS y
+        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
+        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
+        |      AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
         |  FROM customer),
         |qs AS (SELECT CAST(i AS BIGINT) AS qid,
         |    (CAST(i AS BIGINT) * 2741 + 1234) % 10000 AS qx,
@@ -1374,6 +1379,31 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_within, 0) AS BIGINT) AS n_within,
         |  a.min_d2, a.nearest_custkey
         |FROM qs q LEFT JOIN ag a USING (qid) ORDER BY q.qid""".stripMargin,
+    // q234: the oracle replays the same grid equi-join (a DuckDB
+    // full n² nested loop would not finish at sf1) — cells, ±1
+    // replication, a<b once-per-pair, exact integer d²
+    "q234_geo_selfjoin" ->
+      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
+        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
+        |      AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+        |  FROM customer),
+        |cells AS (SELECT c_custkey, x, y, x // 100 AS cx, y // 100 AS cy
+        |  FROM pts),
+        |offs AS (SELECT a.dx, b.dy
+        |  FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+        |       (SELECT unnest([-1, 0, 1]) AS dy) b),
+        |repl AS (SELECT c.c_custkey AS a_custkey, c.x AS ax, c.y AS ay,
+        |    c.cx + o.dx AS bx, c.cy + o.dy AS by
+        |  FROM cells c, offs o),
+        |pr AS (SELECT r.a_custkey, c.c_custkey AS b_custkey,
+        |    (r.ax - c.x)*(r.ax - c.x) + (r.ay - c.y)*(r.ay - c.y) AS d2
+        |  FROM repl r JOIN cells c ON r.bx = c.cx AND r.by = c.cy
+        |  WHERE r.a_custkey < c.c_custkey)
+        |SELECT a_custkey, b_custkey, CAST(d2 AS BIGINT) AS d2
+        |FROM pr WHERE d2 <= 625
+        |ORDER BY a_custkey, b_custkey""".stripMargin,
     // q205: islands of consecutive matched gram positions vs the
     // deterministic benchmark excerpts (tokens 11..40 of %97 docs)
     "q205_contamination_spans" ->

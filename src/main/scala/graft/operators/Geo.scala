@@ -22,12 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
-  /** Deterministic planted coordinates: two coprime scatters of the
-    * customer key onto a 10⁴×10⁴ integer grid. */
-  def custPoints(customer: DataFrame): DataFrame =
+  /** Deterministic planted coordinates: md5-scattered customer keys
+    * on a 10⁴×10⁴ integer grid (the minhash h1/h2 idiom — two 32-bit
+    * hex windows of one digest). A LINEAR scatter (k·prime mod m)
+    * would be a lattice where pair distance depends only on the key
+    * difference — degenerate geometry with zero close pairs at small
+    * corpora and huge aligned families at large ones; the hash
+    * scatter gives the Poisson point field a spatial gate needs. */
+  def custPoints(customer: DataFrame): DataFrame = {
+    val h = md5(col("c_custkey").cast("long").cast("string"))
     customer.select(col("c_custkey").cast("long").as("c_custkey"),
-      (col("c_custkey").cast("long") * 7919L % 10000L).as("x"),
-      (col("c_custkey").cast("long") * 104729L % 10000L).as("y"))
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % 10000L).as("x"),
+      (conv(substring(h, 9, 8), 16, 10).cast("long") % 10000L).as("y"))
+  }
 
   /** q233 — radius search over the planted points for `nQueries`
     * fixed query centers: per query, the number of customers within
@@ -77,5 +84,46 @@ object Geo {
         col("__m.d2").as("min_d2"),
         col("__m.c_custkey").as("nearest_custkey"))
       .orderBy("qid")
+  }
+
+  /** q234 — distance SELF-join: every customer pair within `radius`,
+    * each pair exactly once (`a < b`) — the spatial-join shape that
+    * separates a real engine from a toy: the naive form is corpus ×
+    * corpus (n² distance checks — 2.25·10¹⁰ already at sf1), the
+    * grid form replicates each point into its (2·reach+1)² neighbor
+    * cells and EQUI-joins on the target cell, so every qualifying
+    * pair is found exactly once (the partner's anchor cell is
+    * unique) and the work is Σ_cell |cell|·|window| — density-bound,
+    * never n². Same all-integer membership as [[radiusSearch]].
+    *
+    * Scale: the replicate-explode is a constant (2·reach+1)² factor
+    * on the point table; the join is a plain shuffled equi-join on
+    * (cell_x, cell_y) — co-partitioned, AQE-skew-splittable if one
+    * cell is hot; exact d² only inside the window. */
+  def distanceSelfJoin(
+      customer: DataFrame,
+      radius: Long = 25L,
+      cellSize: Long = 100L): DataFrame = {
+    val reach = (radius + cellSize - 1) / cellSize
+    val pts = custPoints(customer)
+      .withColumn("cx", expr(s"x div $cellSize"))
+      .withColumn("cy", expr(s"y div $cellSize"))
+    val repl = pts
+      .withColumn("dx", explode(sequence(lit(-reach), lit(reach))))
+      .withColumn("dy", explode(sequence(lit(-reach), lit(reach))))
+      .select(col("c_custkey").as("a_custkey"),
+        col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("bx"), (col("cy") + col("dy")).as("by"))
+    val anchored = pts.select(col("c_custkey").as("b_custkey"),
+      col("x").as("px"), col("y").as("py"),
+      col("cx").as("bx"), col("cy").as("by"))
+    repl.join(anchored, Seq("bx", "by"))
+      .filter(col("a_custkey") < col("b_custkey"))
+      .withColumn("d2",
+        (col("ax") - col("px")) * (col("ax") - col("px"))
+          + (col("ay") - col("py")) * (col("ay") - col("py")))
+      .filter(col("d2") <= radius * radius)
+      .select(col("a_custkey"), col("b_custkey"), col("d2"))
+      .orderBy("a_custkey", "b_custkey")
   }
 }

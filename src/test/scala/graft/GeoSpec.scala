@@ -5,10 +5,19 @@ import org.apache.spark.sql.functions._
 
 class GeoSpec extends SparkSpec {
 
+  /** The md5 planting, replayed driver-side. */
+  private def plant(k: Long): (Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000L,
+      java.lang.Long.parseLong(hex.substring(8, 16), 16) % 10000L)
+  }
+
   /** Driver-side brute-force referee over the same planting. */
   private def brute(keys: Seq[Long], nQ: Int, r: Long)
       : Map[Long, (Long, Option[(Long, Long)])] = {
-    val pts = keys.map(k => (k, k * 7919L % 10000L, k * 104729L % 10000L))
+    val pts = keys.map { k => val (x, y) = plant(k); (k, x, y) }
     (0 until nQ).map { qi =>
       val (qx, qy) = (qi * 2741L + 1234L) % 10000L -> ((qi * 6151L + 4321L) % 10000L)
       val hits = pts.map { case (k, x, y) =>
@@ -42,6 +51,34 @@ class GeoSpec extends SparkSpec {
     }
     assert(got.exists(_.getLong(3) == 0L),
       "fixture choice should include an empty query")
+  }
+
+  test("distanceSelfJoin: each qualifying pair exactly once, equal to " +
+    "the n² referee") {
+    import spark.implicits._
+    def bruteP(keys: Seq[Long], r: Long): Set[(Long, Long, Long)] = {
+      val pts = keys.map { k => val (x, y) = plant(k); (k, x, y) }
+      (for {
+        (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+        d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+        if d2 <= r * r
+      } yield (a, b, d2)).toSet
+    }
+    // crafted: keys whose planted coords collide or sit in adjacent
+    // cells (cellSize 100 stresses cross-cell pairs)
+    val keys = (1L to 400L)
+    val got = Geo.distanceSelfJoin(keys.toDF("c_custkey"),
+      radius = 60L, cellSize = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == bruteP(keys, 60L))
+    assert(got.length == got.toSet.size, "a pair emitted twice")
+    // fixture-wide at the declared parameters
+    val fxKeys = tables.customer.select(col("c_custkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val fx = Geo.distanceSelfJoin(tables.customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fx.toSet == bruteP(fxKeys, 25L))
+    assert(fx.length == fx.toSet.size)
   }
 
   test("radiusSearch: fixture-wide pruning losslessness at the " +
