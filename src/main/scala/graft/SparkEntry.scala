@@ -1355,12 +1355,19 @@ object SparkEntry {
     // membership by FULL-SCAN exact integer d² — the engine must
     // reach the same rows through its pruned cell join
     "q233_geo_radius" ->
-      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
-        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
-        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
-        |      AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+      """WITH pk AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CASE WHEN CAST(c_custkey AS BIGINT) % 50 = 1
+        |      THEN CAST(c_custkey AS BIGINT) + 1
+        |      ELSE CAST(c_custkey AS BIGINT) END AS ek,
+        |    CASE WHEN CAST(c_custkey AS BIGINT) % 50 = 1 THEN 1 ELSE 0
+        |      END AS tw
         |  FROM customer),
+        |pts AS (SELECT c_custkey,
+        |    CAST(concat('0x', substr(md5(CAST(ek AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 + tw AS x,
+        |    CAST(concat('0x', substr(md5(CAST(ek AS VARCHAR)), 9, 8))
+        |      AS BIGINT) % 10000 AS y
+        |  FROM pk),
         |qs AS (SELECT CAST(i AS BIGINT) AS qid,
         |    (CAST(i AS BIGINT) * 2741 + 1234) % 10000 AS qx,
         |    (CAST(i AS BIGINT) * 6151 + 4321) % 10000 AS qy
@@ -1383,12 +1390,19 @@ object SparkEntry {
     // full n² nested loop would not finish at sf1) — cells, ±1
     // replication, a<b once-per-pair, exact integer d²
     "q234_geo_selfjoin" ->
-      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
-        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
-        |    CAST(concat('0x', substr(md5(CAST(CAST(c_custkey AS BIGINT)
-        |      AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+      """WITH pk AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CASE WHEN CAST(c_custkey AS BIGINT) % 50 = 1
+        |      THEN CAST(c_custkey AS BIGINT) + 1
+        |      ELSE CAST(c_custkey AS BIGINT) END AS ek,
+        |    CASE WHEN CAST(c_custkey AS BIGINT) % 50 = 1 THEN 1 ELSE 0
+        |      END AS tw
         |  FROM customer),
+        |pts AS (SELECT c_custkey,
+        |    CAST(concat('0x', substr(md5(CAST(ek AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 + tw AS x,
+        |    CAST(concat('0x', substr(md5(CAST(ek AS VARCHAR)), 9, 8))
+        |      AS BIGINT) % 10000 AS y
+        |  FROM pk),
         |cells AS (SELECT c_custkey, x, y, x // 100 AS cx, y // 100 AS cy
         |  FROM pts),
         |offs AS (SELECT a.dx, b.dy

@@ -28,11 +28,24 @@ object Geo {
     * would be a lattice where pair distance depends only on the key
     * difference — degenerate geometry with zero close pairs at small
     * corpora and huge aligned families at large ones; the hash
-    * scatter gives the Poisson point field a spatial gate needs. */
+    * scatter gives the Poisson point field a spatial gate needs.
+    *
+    * TWIN PLANTING (the q202 scale-covariant convention): keys with
+    * `k % 50 == 1` take the coordinates of `k + 1` shifted by
+    * (+1, 0), so a distance-1 pair (k, k+1) exists at every scale
+    * factor — at sf0.001's 150 points the organic expectation for
+    * q234's radius is ~0.2 pairs, and a gate whose output is
+    * structurally empty at a declared fixture is vacuous. Twins are
+    * PAIRS, never clusters (k+1 itself is always a normal key), so
+    * the planted pair count grows linearly, not quadratically. */
   def custPoints(customer: DataFrame): DataFrame = {
-    val h = md5(col("c_custkey").cast("long").cast("string"))
-    customer.select(col("c_custkey").cast("long").as("c_custkey"),
-      (conv(substring(h, 1, 8), 16, 10).cast("long") % 10000L).as("x"),
+    val k = col("c_custkey").cast("long")
+    val twin = k % 50L === 1L
+    val ek = when(twin, k + 1L).otherwise(k)
+    val h = md5(ek.cast("string"))
+    customer.select(k.as("c_custkey"),
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % 10000L
+        + when(twin, 1L).otherwise(0L)).as("x"),
       (conv(substring(h, 9, 8), 16, 10).cast("long") % 10000L).as("y"))
   }
 

@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 class GeoSpec extends SparkSpec {
 
-  /** The md5 planting, replayed driver-side. */
+  /** The md5 planting (incl. the %50 twin convention), driver-side. */
   private def plant(k: Long): (Long, Long) = {
+    val ek = if (k % 50L == 1L) k + 1L else k
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(k.toString.getBytes("UTF-8"))
+      .digest(ek.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000L,
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000L
+      + (if (k % 50L == 1L) 1L else 0L),
       java.lang.Long.parseLong(hex.substring(8, 16), 16) % 10000L)
   }
 
@@ -79,6 +81,13 @@ class GeoSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fx.toSet == bruteP(fxKeys, 25L))
     assert(fx.length == fx.toSet.size)
+    // the %50 twin planting keeps the gate non-vacuous at EVERY sf:
+    // each twin key pairs with its successor at d² = 1
+    val twins = fxKeys.filter(k => k % 50L == 1L && fxKeys.contains(k + 1L))
+    assert(twins.nonEmpty)
+    twins.foreach { k =>
+      assert(fx.contains((k, k + 1L, 1L)), s"twin pair ($k, ${k + 1})")
+    }
   }
 
   test("radiusSearch: fixture-wide pruning losslessness at the " +
