@@ -80,6 +80,14 @@ object PlanAudit {
           if s.outputPartitioning.numPartitions == 1
             && s.shuffleOrigin != ENSURE_REQUIREMENTS =>
         Finding("single-partition-shuffle", s.nodeName)
+      // a SHUFFLED cartesian product multiplies two unbounded sides
+      // with no key at all — never acceptable in a declared plan (a
+      // broadcast nested loop with a bounded side is the audited-
+      // separately broadcast class; a true CartesianProductExec means
+      // the planner found neither keys nor a broadcastable side)
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+          if !boundedByLimit(c.left) && !boundedByLimit(c.right) =>
+        Finding("cartesian-product", c.nodeName)
     }
 
   /** Throws IllegalStateException listing every hazard; returns the

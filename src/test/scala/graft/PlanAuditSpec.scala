@@ -27,6 +27,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(hz.exists(_.kind == "single-partition-shuffle"), hz.toString)
   }
 
+  test("negative: a shuffled cartesian of two unbounded sides is " +
+    "caught; a limit-bounded side is exempt") {
+    val spark2 = spark
+    spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = tables.events.select(col("user_id"))
+        .crossJoin(tables.documents.select(col("doc_id")))
+      val hz = PlanAudit.singleTaskHazards(df)
+      assert(hz.exists(_.kind == "cartesian-product"), hz.toString)
+      val bounded = tables.events.select(col("user_id"))
+        .crossJoin(tables.documents.select(col("doc_id")).limit(3))
+      assert(!PlanAudit.singleTaskHazards(bounded)
+        .exists(_.kind == "cartesian-product"))
+    } finally spark2.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("a keyed window + scalar agg plan is hazard-free (no false hit " +
     "on the benign ENSURE_REQUIREMENTS final exchange)") {
     val df = tables.events
@@ -169,6 +186,14 @@ class PlanAuditSpec extends SparkSpec {
     "q48_range_frame" -> "literal user-key filter; surface demo",
     "q66_rows_frame" -> "literal user_id<10 filter; surface demo")
 
+  // Cartesian exemptions: MLlib's recommendForAllUsers crosses the
+  // user/item FACTOR matrices block-by-block (its own blocked top-k
+  // scoring with bounded per-block heaps) — the CartesianProductExec
+  // multiplies factor BLOCKS, not corpus rows, and is the library's
+  // intended algorithm.
+  private val cartesianAllowlisted = Map(
+    "ml_als_recs" -> "MLlib blocked factor-matrix cross (recommendForAllUsers)")
+
   test("every declared query plans without single-task scale hazards " +
     "or unbounded broadcast hints") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -178,7 +203,9 @@ class PlanAuditSpec extends SparkSpec {
         .filterNot { case (name, _) => allowlisted.contains(name) }
         .flatMap { case (name, fn) =>
           val df = fn(spark, sfDir)
-          val hz = PlanAudit.singleTaskHazards(df) ++
+          val hz0 = PlanAudit.singleTaskHazards(df)
+          val hz = (if (cartesianAllowlisted.contains(name))
+            hz0.filterNot(_.kind == "cartesian-product") else hz0) ++
             (if (lowCardWindowAllowlisted.contains(name)) Seq.empty
              else PlanAudit.lowCardPartitionWindowHazards(df)) ++
             (if (broadcastAllowlisted.contains(name)) Seq.empty
