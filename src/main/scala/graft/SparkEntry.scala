@@ -735,9 +735,11 @@ object SparkEntry {
   /** q232 replay: the journey/transition extraction in plain SQL,
     * then 25 unrolled ALL-INTEGER absorption iterations per scenario
     * (full + one per removed channel) — the q131 integer-PageRank
-    * discipline, so the compare is exact. The channel list replays
-    * the fixture's event-type enum (the engine DERIVES its list from
-    * the data; a drifting enum fails the row compare). */
+    * discipline, so the compare is exact. `states`/`ti` derive the
+    * channel set from the data (matching the engine); only the
+    * structurally-unrolled removal chains enumerate the fixture's
+    * event-type enum, so an enum drift surfaces as a loud row-count
+    * mismatch, never a silent absorbing-zero divergence. */
   private def markovOracle: String = {
     val channels = Seq("click", "error", "signup", "view")
     val iters = 25
@@ -785,8 +787,16 @@ object SparkEntry {
         |  FROM cnt GROUP BY src)""".stripMargin,
       """p AS MATERIALIZED (SELECT c.src, c.dst, (n * 1000000) // tt AS p6
         |  FROM cnt c JOIN tot USING (src))""".stripMargin,
-      "states AS MATERIALIZED (SELECT unnest(['START'," +
-        channels.map(c => s"'$c'").mkString(",") + "]) AS st)")
+      // states/ti derive the channel set FROM THE DATA (like the
+      // engine does), so a fixture regen that adds or drops an
+      // event_type fails the row compare loudly (row-count mismatch
+      // against the engine's derived list) instead of silently
+      // treating the new channel as absorbing-zero; only the
+      // structurally-unrolled per-channel removal chains below still
+      // enumerate `channels`
+      """states AS MATERIALIZED (SELECT 'START' AS st
+        |  UNION SELECT DISTINCT event_type FROM events
+        |  WHERE event_type <> 'purchase')""".stripMargin)
     val scen = channels.map(c =>
       s"p_$c AS MATERIALIZED (SELECT src, dst, p6 FROM p " +
         s"WHERE src <> '$c' AND dst <> '$c')")
@@ -798,7 +808,8 @@ object SparkEntry {
     val tail =
       s"""effs AS ($effs),
         |ti AS (SELECT dst AS channel, CAST(SUM(n) AS BIGINT) AS tin
-        |  FROM cnt WHERE dst IN (${channels.map(c => s"'$c'").mkString(",")})
+        |  FROM cnt WHERE dst IN (SELECT DISTINCT event_type FROM events
+        |                         WHERE event_type <> 'purchase')
         |  GROUP BY dst),
         |fin AS (SELECT e.channel, COALESCE(t.tin, 0) AS transitions_in,
         |    (SELECT v FROM vfull$iters WHERE st = 'START') AS p_full6,
@@ -1998,16 +2009,20 @@ object SparkEntry {
         |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 50),
         |c AS (SELECT vec_id AS cid, e AS cv FROM v),
         |sf AS (SELECT qid, cid,
-        |    ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+        |    CASE WHEN sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) > 0
+        |          AND sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i]))) > 0
+        |    THEN ROUND(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
         |      (sqrt(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i]))) *
         |       sqrt(list_sum(list_transform(range(1,65), i -> cv[i]*cv[i])))),
-        |      6) AS cos
+        |      6) ELSE -1.0 END AS cos
         |  FROM q JOIN c ON qid <> cid),
         |st AS (SELECT qid, cid,
-        |    ROUND(list_sum(list_transform(range(1,17), i -> qv[i]*cv[i])) /
+        |    CASE WHEN sqrt(list_sum(list_transform(range(1,17), i -> qv[i]*qv[i]))) > 0
+        |          AND sqrt(list_sum(list_transform(range(1,17), i -> cv[i]*cv[i]))) > 0
+        |    THEN ROUND(list_sum(list_transform(range(1,17), i -> qv[i]*cv[i])) /
         |      (sqrt(list_sum(list_transform(range(1,17), i -> qv[i]*qv[i]))) *
         |       sqrt(list_sum(list_transform(range(1,17), i -> cv[i]*cv[i])))),
-        |      6) AS cos
+        |      6) ELSE -1.0 END AS cos
         |  FROM q JOIN c ON qid <> cid),
         |rf AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
         |         ORDER BY cos DESC, cid) AS rk FROM sf),

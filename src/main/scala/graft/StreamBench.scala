@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput anchor (VERDICT r12 item 7): one recorded
+  * events/s number for each of the two production streaming shapes —
+  *
+  *  1. the file-stream → foreachBatch keyed-upsert path
+  *     ([[graft.streaming.EventsStreaming.runUpsert]]): three
+  *     pre-staged parquet drops moved into the source dir one at a
+  *     time, `processAllAvailable()` forcing one micro-batch per
+  *     drop (fixture prep is OUTSIDE the timed window; the move is a
+  *     rename);
+  *  2. the transformWithState timer-based sessionizer on RocksDB
+  *     state ([[graft.streaming.TwsTimedSessions.sessionize]]):
+  *     three MemoryStream chunks in event-time order, one
+  *     micro-batch each.
+  *
+  * Protocol matches Bench: full warmup run first, then two measured
+  * runs, MIN reported (fresh checkpoint/table/state dirs per run so
+  * no run replays another's checkpoint). Prints one JSON line per
+  * path: `{"stream_bench":"upsert","events":N,"sec":…,
+  * "events_per_sec":…}`. Diagnostics for BASELINE.md's streaming
+  * rows — no gate reads this. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = new Tables(spark, sfDir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streambench_").toString
+
+    // ---- path 1: file stream → foreachBatch upsert ----------------
+    // stage three event drops by ts order (outside every timed window)
+    val events = t.events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), col("value"))
+    val nEvents = events.count()
+    val withBatch = events
+      .withColumn("__b", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    for (b <- 1 to 3)
+      withBatch.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$work/stage/batch_$b")
+
+    def upsertOnce(run: Int): Double = {
+      val src = s"$work/upsert$run/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val q = streaming.EventsStreaming.runUpsert(
+        spark, src, s"$work/upsert$run/table", s"$work/upsert$run/ckpt")
+      val t0 = System.nanoTime()
+      try {
+        for (b <- 1 to 3) {
+          // move the staged part files in (rename, not rewrite)
+          val from = new java.io.File(s"$work/stage/batch_$b")
+          from.listFiles().filter(_.getName.endsWith(".parquet"))
+            .foreach { f =>
+              java.nio.file.Files.copy(f.toPath,
+                java.nio.file.Paths.get(src, s"b${b}_${f.getName}"))
+            }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    upsertOnce(0) // warmup: codegen + state-store + sink init
+    val upSec = Seq(upsertOnce(1), upsertOnce(2)).min
+    println(f"""{"stream_bench":"upsert_foreachbatch","events":$nEvents,"micro_batches":3,"sec":$upSec%.3f,"events_per_sec":${nEvents / upSec}%.0f,"sf":"$sfDir"}""")
+
+    // ---- path 2: transformWithState timed sessions on RocksDB -----
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = t.events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .orderBy("ts").as[(Long, Timestamp)].collect()
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+
+    def twsOnce(run: Int): Double = {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = streaming.TwsTimedSessions
+        .sessionize(spark, mem.toDF().toDF("user_id", "ts")).toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/tws$run/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      try {
+        chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    twsOnce(0)
+    val twsSec = Seq(twsOnce(1), twsOnce(2)).min
+    println(f"""{"stream_bench":"tws_timed_sessions_rocksdb","events":${rows.length},"micro_batches":3,"sec":$twsSec%.3f,"events_per_sec":${rows.length / twsSec}%.0f,"sf":"$sfDir"}""")
+
+    spark.stop()
+  }
+}

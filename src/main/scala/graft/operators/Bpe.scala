@@ -318,11 +318,15 @@ object Bpe {
     * document slice (`doc_id % subsetMod == 0`) than it was trained
     * on — the tokenizer-drift table ("which merges still pay for
     * themselves on the new crawl?"). On the training corpus itself
-    * utilization equals training support by construction (greedy BPE
-    * replays its own state sequence), so the audit is only
-    * informative OFF the training slice — exactly the production
-    * situation: merges are a committed artifact (q183), crawls keep
-    * arriving. Applications are exact integers: applying merge k to a
+    * `applications <= support`, with equality whenever the merge has
+    * `left != right` (greedy BPE replays its own state sequence): a
+    * self-adjacent merge (left == right) firing on a symbol run of
+    * length >= 3 counts support with OVERLAPPING sliding pairs
+    * ("aaa" -> 2 support) but applies non-overlapping left-to-right
+    * ("aaa" -> 1 application) — the standard Sennrich-BPE asymmetry.
+    * The audit is informative OFF the training slice — exactly the
+    * production situation: merges are a committed artifact (q183),
+    * crawls keep arriving. Applications are exact integers: applying merge k to a
     * word shrinks its symbol sequence by exactly the number of
     * applications, so per-stage length deltas weighted by the
     * slice's word frequencies ARE the utilization — the same

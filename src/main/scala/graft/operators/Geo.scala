@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
 object Geo {
 
   /** Deterministic planted coordinates: md5-scattered customer keys
-    * on a 10⁴×10⁴ integer grid (the minhash h1/h2 idiom — two 32-bit
-    * hex windows of one digest). A LINEAR scatter (k·prime mod m)
+    * on an integer grid with `x ∈ [0, 10000]` (inclusive — see the
+    * twin note below) and `y ∈ [0, 9999]` (the minhash h1/h2 idiom —
+    * two 32-bit hex windows of one digest). The twin shift `+1` is
+    * applied AFTER the `% 10000` reduction, so a twin whose hash
+    * lands on 9999 gets `x = 10000` — one unit past the nominal
+    * 10⁴ domain. Engine, oracle, and GeoSpec all share this exact
+    * field, so the gates agree; but a consumer packing coordinates
+    * as `x*10000 + y` (or otherwise assuming `x < 10000`) must use
+    * 10001 as the stride. Kept as-is rather than pre-mod-shifting
+    * because the planted field is frozen into committed oracle
+    * hashes across three rounds. A LINEAR scatter (k·prime mod m)
     * would be a lattice where pair distance depends only on the key
     * difference — degenerate geometry with zero close pairs at small
     * corpora and huge aligned families at large ones; the hash

@@ -1073,10 +1073,16 @@ object Similarity {
       val c = embeddings
         .select(col("vec_id").as("cid"), proj(col("embedding")).as("cv"))
         .withColumn("cn", norm(col("cv")))
+      // zero-norm guard: a vector whose first `dims` entries are all
+      // zero would make 0/0 = NaN, and Spark ranks NaN ABOVE every
+      // real cosine in the desc sort (seizing top-k slots) while
+      // DuckDB's NULL-from-0/0 sorts last — pin both engines to the
+      // same well-defined floor instead
       val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-            .as("cos"))
+          when(col("qn") > 0 && col("cn") > 0,
+            round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+            .otherwise(lit(-1.0)).as("cos"))
       val w = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("cid").asc)
       scored.withColumn(rkName, row_number().over(w).cast("long"))

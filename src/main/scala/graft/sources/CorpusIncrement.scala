@@ -123,15 +123,25 @@ object CorpusIncrement {
     require(readManifest(root).isEmpty,
       s"corpus-increment root already initialized at $root")
     val scrubbed = scrub(corpus)
-    DedupLedger.init(spark, dedupState(root), scrubbed, prefixTokens)
-    MinhashLedger.init(spark, minhashState(root), scrubbed, k)
-    SketchLedger.init(spark, sketchState(root))
+    // stage timings: scrub is lazy, so its cost lands inside the
+    // first ledger init that materializes it (init/dedup)
+    graft.StageTimer.timed("init/dedup") {
+      DedupLedger.init(spark, dedupState(root), scrubbed, prefixTokens)
+    }
+    graft.StageTimer.timed("init/minhash") {
+      MinhashLedger.init(spark, minhashState(root), scrubbed, k)
+    }
+    graft.StageTimer.timed("init/sketch") {
+      SketchLedger.init(spark, sketchState(root))
+    }
     // the PSI reference composition: the init corpus's source counts,
     // captured during the one scan init already pays — |sources| rows
     // of metadata that every later increment compares against without
     // touching corpus text again
-    scrubbed.groupBy("source").agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(refCountsDir(root))
+    graft.StageTimer.timed("init/ref_counts") {
+      scrubbed.groupBy("source").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(refCountsDir(root))
+    }
     writeManifest(root, Manifest(1, Seq.empty))
   }
 
@@ -164,10 +174,14 @@ object CorpusIncrement {
     val scrubbed = scrub(batch)
 
     // stage 2 — exact dedup: the ledger sink's own marker makes a
-    // crash replay of this stage a no-op; its kept rows are durable
-    DedupLedger.absorbSink(
-      spark, dedupState(root), exactOut(root), prefixTokens)(
-      scrubbed, incrementId)
+    // crash replay of this stage a no-op; its kept rows are durable.
+    // (StageTimer blocks here and below: scrub is lazy, so stage-1
+    // cost lands inside this first materializing stage)
+    graft.StageTimer.timed("inc/exact") {
+      DedupLedger.absorbSink(
+        spark, dedupState(root), exactOut(root), prefixTokens)(
+        scrubbed, incrementId)
+    }
     val exactKept = spark.read
       .parquet(s"${exactOut(root)}/${partOf(incrementId)}")
     val survivors = scrubbed
@@ -176,9 +190,11 @@ object CorpusIncrement {
     // stage 3 — near-dup: q170 flags vs ledger ∪ own batch; drop every
     // doc whose smallest partner precedes it (ledger partners always
     // do for id-ordered increments; in-batch keep-first otherwise)
-    MinhashLedger.absorbSink(
-      spark, minhashState(root), nearOut(root), k, bands, minEstJaccard)(
-      survivors, incrementId)
+    graft.StageTimer.timed("inc/near") {
+      MinhashLedger.absorbSink(
+        spark, minhashState(root), nearOut(root), k, bands,
+        minEstJaccard)(survivors, incrementId)
+    }
     val flags = spark.read
       .parquet(s"${nearOut(root)}/${partOf(incrementId)}")
     val dropped = flags
@@ -196,14 +212,16 @@ object CorpusIncrement {
     // whole scrub → dedup-join → gate lineage re-evaluates for the
     // histogram (the GlobalRank.cumSum lesson; measured +1.5 s per
     // q177 at sf0.1 before this truncation)
-    val gatedFull = nearKept
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("sw_ratio",
-        round(size(filter(toks, t => array_contains(stopArr, t)))
-          .cast("double") / size(toks), 4))
-      .filter(col("sw_ratio") >= minSwRatio &&
-        col("n_tokens") >= minTokens)
-      .localCheckpoint(true)
+    val gatedFull = graft.StageTimer.timed("inc/gate") {
+      nearKept
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("sw_ratio",
+          round(size(filter(toks, t => array_contains(stopArr, t)))
+            .cast("double") / size(toks), 4))
+        .filter(col("sw_ratio") >= minSwRatio &&
+          col("n_tokens") >= minTokens)
+        .localCheckpoint(true)
+    }
     val gated = gatedFull
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens"), col("sw_ratio"),
@@ -211,8 +229,10 @@ object CorpusIncrement {
         col("n_phone").cast("long").as("n_phone"),
         col("n_ip").cast("long").as("n_ip"))
 
-    gated.write.mode("overwrite")
-      .parquet(keptDir(root, partOf(incrementId)))
+    graft.StageTimer.timed("inc/kept_write") {
+      gated.write.mode("overwrite")
+        .parquet(keptDir(root, partOf(incrementId)))
+    }
     val keptPart = spark.read.parquet(keptDir(root, partOf(incrementId)))
 
     // stage 5a — the kept batch's bucketed token histogram (the q197
@@ -221,15 +241,17 @@ object CorpusIncrement {
     // discipline as the monitor row; this is the ONLY place the
     // batch's text feeds monitoring, and it is the batch scan the
     // increment already pays — never a corpus rescan
-    gatedFull
-      .select(explode(toks).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(TextAnalysis.tokenBucket(col("tok"), HistBuckets)
-        .as("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(histDir(root, partOf(incrementId)))
+    graft.StageTimer.timed("inc/hist") {
+      gatedFull
+        .select(explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(TextAnalysis.tokenBucket(col("tok"), HistBuckets)
+          .as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(histDir(root, partOf(incrementId)))
+    }
 
     // stage 5 — monitoring, from ledger/sketch state only: sketch this
     // increment's token-count distribution into the KLL ledger (its
@@ -237,13 +259,17 @@ object CorpusIncrement {
     // and commit them as monitor/batch_N BEFORE the root manifest —
     // same ordered-commit recovery as every other stage (a replay
     // re-derives identical bytes from the unchanged committed state)
-    SketchLedger.absorbSink(spark, sketchState(root))(
-      keptPart.select(lit("n_tokens").as("event_type"),
-        to_timestamp(incrementDay(incrementId)).as("ts"),
-        col("n_tokens").cast("double").as("value")),
-      incrementId)
-    writeMonitor(spark, root, m, incrementId, keptPart,
-      ksAlarm, psiAlarm, jsdAlarm)
+    graft.StageTimer.timed("inc/sketch") {
+      SketchLedger.absorbSink(spark, sketchState(root))(
+        keptPart.select(lit("n_tokens").as("event_type"),
+          to_timestamp(incrementDay(incrementId)).as("ts"),
+          col("n_tokens").cast("double").as("value")),
+        incrementId)
+    }
+    graft.StageTimer.timed("inc/monitor") {
+      writeMonitor(spark, root, m, incrementId, keptPart,
+        ksAlarm, psiAlarm, jsdAlarm)
+    }
 
     writeManifest(root, Manifest(m.version + 1,
       m.keyParts :+ partOf(incrementId), Some(incrementId)))
@@ -548,24 +574,35 @@ object CorpusIncrement {
       return spark.read.parquet(out).orderBy("doc_id")
 
     // mixture selection: |budget| rows of kept-ledger metadata
-    val sel = mixture(spark, root, budget)
-      .select("doc_id", "lang", "source")
+    val sel = graft.StageTimer.timed("shards/mixture") {
+      mixture(spark, root, budget)
+        .select("doc_id", "lang", "source")
+        .localCheckpoint(true)
+    }
     // the one corpus-text read this artifact pays — scrubbed with the
     // SAME stage-1 transform the kept pipeline saw, so token counts
     // and encode input are commensurable with the ledger's accounting
     val selText = scrub(text)
       .join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "text")
-    val merges = committedMerges(spark, root, selText, m.version,
-      numMerges, selectionTag = s"budget=$budget")
+    // committedMerges runs the iterative BPE trainer (its own jobs);
+    // the selText scrub+semi-join feeding it is lazy, so that scan
+    // cost is charged here and again inside shards/encode_write —
+    // the honest attribution, since each stage pays its own scan
+    val merges = graft.StageTimer.timed("shards/bpe_train") {
+      committedMerges(spark, root, selText, m.version,
+        numMerges, selectionTag = s"budget=$budget")
+    }
     val sh = TextAnalysis.shuffleShards(selText, nShards, salt)
     val acct = graft.operators.Bpe.encodeAccounting(selText, merges)
-    sh.join(acct, "doc_id")
-      .join(sel, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"), col("shard"),
-        col("pos"), col("n_tokens"), col("n_bpe_tokens"),
-        col("n_words"), col("n_chars"), col("lossless"))
-      .write.mode("overwrite").parquet(out)
+    graft.StageTimer.timed("shards/encode_write") {
+      sh.join(acct, "doc_id")
+        .join(sel, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+          col("pos"), col("n_tokens"), col("n_bpe_tokens"),
+          col("n_words"), col("n_chars"), col("lossless"))
+        .write.mode("overwrite").parquet(out)
+    }
     commitParams(out, params)
     spark.read.parquet(out).orderBy("doc_id")
   }

@@ -206,16 +206,25 @@ class BpeSpec extends SparkSpec {
   }
 
   test("mergeUtilization: on the training slice itself utilization " +
-    "equals support; off-slice merges report used=0") {
+    "equals support for left!=right merges (<= for self-adjacent); " +
+    "off-slice merges report used=0") {
     import spark.implicits._
     // greedy BPE replays its own state sequence, so subsetMod=1
-    // (audit slice == training corpus) must reproduce support exactly
+    // (audit slice == training corpus) reproduces support exactly for
+    // every merge with left != right; a self-adjacent merge (left ==
+    // right) counts support with overlapping sliding pairs but applies
+    // non-overlapping, so a run of length >= 3 makes support exceed
+    // applications even on the training corpus — assert the exact
+    // contract, not blanket equality
     val self = Bpe.mergeUtilization(tables.documents, numMerges = 10,
       subsetMod = 1).collect()
     assert(self.nonEmpty)
     self.foreach { r =>
-      assert(r.getAs[Long]("applications") == r.getAs[Long]("support"),
-        s"rank ${r.getLong(0)}")
+      val (app, sup) =
+        (r.getAs[Long]("applications"), r.getAs[Long]("support"))
+      if (r.getAs[String]("left") == r.getAs[String]("right"))
+        assert(app <= sup, s"rank ${r.getLong(0)}")
+      else assert(app == sup, s"rank ${r.getLong(0)}")
       assert(r.getAs[Long]("used") == 1L)
     }
     // crafted drift: the subset (doc 0 only) contains 'xy' words but

@@ -114,6 +114,59 @@ class PipelineSpec extends SparkSpec {
       .exists(_.getName.endsWith("_models")))
   }
 
+  test("reference lite fixture end-to-end: --parse-raw-data " +
+    "--raw-data <lite.tsv> --extract-features --build-models " +
+    "--score-items") {
+    // the reference repo's own checked-in sample
+    // (lite-sitelinks-pagecounts.tsv, 2,615 data rows + header with a
+    // leading unnamed index column — reference reader
+    // DataGatherer.scala:52-59), copied verbatim into test resources:
+    // the one input the reference demonstrably ran, driven through
+    // the full four-action CLI
+    val lite = getClass.getResource("/lite-sitelinks-pagecounts.tsv")
+    assert(lite != null, "lite fixture missing from test resources")
+    val litePath = lite.getPath
+
+    // parse-only first: the S2 reader must bind columns BY NAME past
+    // the fixture's leading index column and keep every complete row
+    val parsed = Main.run(spark, Main.Params(
+      parse = true, rawData = Some(litePath),
+      outputDir = s"$dir/out_lite_p"))
+    assert(parsed.count() == 2615L)
+    assert(parsed.select("site").distinct().count() == 269L)
+
+    // full four-action run; --target-wikis bounds the RF fan-out to
+    // three sites (269 independent fits would be a minutes-long spec
+    // for no extra coverage — the fan-out breadth is PipelineSpec's
+    // earlier cases' concern)
+    def full(n: Int) = Main.run(spark, Main.Params(
+      parse = true, extract = true, build = true, score = true,
+      rawData = Some(litePath),
+      targetSites = Seq("enwiki", "dewiki", "frwiki"),
+      outputDir = s"$dir/out_lite_$n"))
+    val matrix = full(1)
+    assert(matrix.count() > 0)
+    assert(matrix.columns.head == "id")
+    assert(matrix.columns.toSet.subsetOf(
+      Set("id", "enwiki", "dewiki", "frwiki")))
+
+    // persisted feature matrix: one (pageviews, rank, exists) triple
+    // per site — all 269 wikis of the fixture
+    val fmPath = new java.io.File(s"$dir/out_lite_1").listFiles()
+      .find(_.getName.endsWith("_featureData")).get.getPath
+    val fm = spark.read.parquet(fmPath)
+    assert(fm.columns.count(_.startsWith("exists_")) == 269)
+    assert(fm.columns.count(_.startsWith("rank_")) == 269)
+    assert(fm.columns.count(_.startsWith("pageviews_")) == 269)
+    assert(fm.count() == 23L) // one row per item id in the fixture
+
+    // seeds pinned: a rerun reproduces the score matrix exactly
+    Thread.sleep(1100) // distinct timestamped layout dirs
+    val again = full(2)
+    assert(matrix.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
   test("pipeline is reproducible with pinned seeds") {
     def run(n: Int) = {
       val p = Main.Params(
