@@ -122,9 +122,11 @@ object CorpusIncrement {
       prefixTokens: Int = 5, k: Int = 16): Unit = {
     require(readManifest(root).isEmpty,
       s"corpus-increment root already initialized at $root")
-    val scrubbed = scrub(corpus)
-    // stage timings: scrub is lazy, so its cost lands inside the
-    // first ledger init that materializes it (init/dedup)
+    // same one-materialization discipline as increment(): dedup,
+    // minhash, and ref_counts all consume the scrubbed corpus
+    val scrubbed = graft.StageTimer.timed("init/scrub") {
+      scrub(corpus).localCheckpoint(true)
+    }
     graft.StageTimer.timed("init/dedup") {
       DedupLedger.init(spark, dedupState(root), scrubbed, prefixTokens)
     }
@@ -171,12 +173,22 @@ object CorpusIncrement {
     if (m.lastBatchId.contains(incrementId))
       return spark.read.parquet(keptDir(root, partOf(incrementId)))
 
-    val scrubbed = scrub(batch)
+    // materialize the scrubbed batch ONCE (eager localCheckpoint):
+    // three downstream stages consume it (exact keys, near signatures,
+    // gate+survivor joins) and the scrub's PII regexes are the
+    // expensive part of the batch scan — without this the lazy frame
+    // re-scans and re-scrubs per stage (measured -17% on q177 at sf1,
+    // round-13 per-stage table). This IS the production posture too:
+    // an increment stages its scrubbed batch, it never re-reads the
+    // crawl three times. Recovery contract unchanged (the checkpoint
+    // is execution state, not a commit point; a replay re-scrubs).
+    val scrubbed = graft.StageTimer.timed("inc/scrub") {
+      scrub(batch).localCheckpoint(true)
+    }
 
     // stage 2 — exact dedup: the ledger sink's own marker makes a
     // crash replay of this stage a no-op; its kept rows are durable.
-    // (StageTimer blocks here and below: scrub is lazy, so stage-1
-    // cost lands inside this first materializing stage)
+    // (stage-1 scan+scrub cost sits in inc/scrub above, paid once)
     graft.StageTimer.timed("inc/exact") {
       DedupLedger.absorbSink(
         spark, dedupState(root), exactOut(root), prefixTokens)(
