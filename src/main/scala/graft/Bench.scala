@@ -13,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   * Failure honesty: a query that throws is reported as `"err"` — never
   * as a timing. (Round 6 published three ~60 ms "results" that were
   * analysis fast-fails; the masquerade cost a round.) Sweep-noise
-  * honesty: any query measuring >1.5× its BASELINE.md row in the sweep
-  * is automatically re-measured focused (min-of-two, immediately, on
-  * the same session) and both numbers are reported — rounds 4–6 each
-  * spent judge time proving such flags were contention, not code.
+  * honesty: any query measuring >1.5× its baseline_rows.json row in
+  * the sweep is automatically re-measured focused (min-of-two,
+  * immediately, on the same session) and both numbers are reported —
+  * rounds 4–6 each spent judge time proving such flags were
+  * contention, not code; see [[BenchGate]] for the round-13 lesson
+  * on why the gate reads JSON, not the BASELINE.md markdown.
+  *
+  * Output: every run writes target/bench.json; pass `--anchor` to
+  * also write the tracked repo-root bench_latest.json (the committed
+  * anchor) — routine and filtered runs can no longer clobber it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,39 +97,27 @@ object Bench {
       }
     }
 
-    // sweep-outlier re-measure: parse BASELINE.md's per-query rows
-    // (markdown `| qNN_name | sec |` cells, possibly two per line) and
-    // focused-re-run anything >1.5× its row — min-of-two again.
+    // sweep-outlier re-measure: read the machine-readable gate rows
+    // (baseline_rows.json — see BenchGate for why NOT the markdown)
+    // and focused-re-run anything >1.5× its row — min-of-two again.
     // Baseline rows are sf0.1 timings, so the gate only applies to the
     // sf0.1 sweep: at any other SF every query is trivially "over"
     // and the whole sweep would re-run focused at the expensive scale.
     val baseline: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BASELINE.md")
-      // last path COMPONENT must be sf0.1 — a regex demanding a slash
+      // last path COMPONENT must be sf0.1 — a check demanding a slash
       // before it would silently disable the gate for a relative dir
       val atBaselineSf = sfDir.stripSuffix("/").split('/')
         .lastOption.contains("sf0.1")
-      if (!java.nio.file.Files.exists(p) || !atBaselineSf) Map.empty
-      else {
-        val cell = """\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
-        val text = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // LAST occurrence wins: re-baseline sections appended in later
-        // rounds override the historical table above them
-        cell.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-          .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
-      }
+      if (atBaselineSf) BenchGate.loadQueryBaseline() else Map.empty
     }
     // a flagged query whose focused re-runs BOTH fail must NOT be
     // republished as "focused" — that would claim a re-measure that
     // never succeeded; it keeps its sweep value untagged
-    val focused: Seq[(String, Double)] = results.flatMap { case (name, v) =>
-      baseline.get(name).filter(b => v > 1.5 * b).flatMap { _ =>
+    val focused: Seq[(String, Double)] =
+      BenchGate.flagged(results, baseline).flatMap { name =>
         val runs = Seq(run1(name), run1(name)).collect { case Right(t) => t }
         if (runs.nonEmpty) Some(name -> runs.min) else None
       }
-    }
     val focusedMap = focused.toMap
 
     def jnum(pairs: Seq[(String, Double)]): String =
@@ -187,17 +181,21 @@ object Bench {
       // unterminated JSON string
       println(s"""{"bench_query":"$k","err":true,"msg":"${jesc(e.take(120))}"}""")
     }
-    // durable artifact, written twice: target/ is gitignored AND wiped
-    // by clean builds (round 7's copy vanished exactly that way, and
-    // the log-tail capture clipped q01–q05), so the repo-root copy is
-    // the byte-complete record that survives independent of both —
-    // it's tracked, so the end-of-round commit preserves it.
+    // durable artifact: every run writes target/bench.json; ONLY an
+    // explicit `--anchor` invocation also writes the tracked
+    // repo-root bench_latest.json. Before round 14 every run —
+    // including 1-query filtered iterations and the driver's sweep —
+    // clobbered the root copy, so the committed anchor was whatever
+    // ran last (round 13 shipped the q192=19.64s sweep artifact that
+    // way). target/ is wiped by clean builds, so anchor runs still
+    // need the tracked copy; routine runs must not touch it.
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, bytes)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_latest.json"), bytes)
+    if (args.contains("--anchor"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_latest.json"), bytes)
     println(json)
     val compact = numOrdered.map { case (k, v) =>
       "\"" + k.split('_').head + f"\":$v%.3f" } ++

@@ -12,11 +12,29 @@ import org.apache.spark.sql.functions._
   * ingredient timings sum to ≈ the composed total because the
   * manifest recomputes each flag frame.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.StageBench` — prints
-  * one JSON line per pipeline: `{"stage_bench":"q177","total":…,
-  * "stages":{"init/dedup":…}}`, min-of-two per pipeline (matching the
-  * Bench estimator; warmup pass first). Diagnostics only — no gate
-  * reads this; its numbers feed BASELINE.md's per-stage budget table.
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.StageBench [--check]`
+  * — prints one JSON line per pipeline: `{"stage_bench":"q177",
+  * "total":…,"stages":{"init/dedup":…}}`, min-of-two per pipeline
+  * (matching the Bench estimator; warmup pass first).
+  *
+  * `--check` (VERDICT r13 item 6) turns the BASELINE.md per-stage
+  * budget PROSE into an executable tripwire: budgets are read from
+  * `baseline_rows.json` `stage_budgets` (the same machine-readable
+  * file the Bench gate reads — see [[BenchGate]]), and the run exits
+  * non-zero NAMING every stage that measured >1.5× its budget row,
+  * plus every unbudgeted stage costing >2 s — the q177-creep lesson
+  * ("the composition crept 10.5→14.4 s and no one could say which
+  * stage") made mechanical. Budgets are sf0.1 rows, so --check only
+  * arms on an sf0.1 sfDir.
+  *
+  * The extra `q224_decon_fixed` leg (VERDICT r13 item 7) re-times the
+  * decontamination ingredient with the benchmark slice pinned to its
+  * sf0.1 ABSOLUTE size (benchMod scaled with the corpus, ~52 bench
+  * docs at every SF): production benchmark suites are fixed-size, so
+  * this leg — not the fixed-FRACTION one inside q224 — is the honest
+  * scale posture of the benchmark-gram index join (broadcast-shaped,
+  * sub-linear). It carries no budget row: it is a scale instrument,
+  * not a regression gate.
   */
 object StageBench {
   def main(args: Array[String]): Unit = {
@@ -33,7 +51,11 @@ object StageBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageTimer.enable() // recording is off by default (see StageTimer)
     val t = new Tables(spark, sfDir)
+    // (pipeline, stage, sec) rows accumulated for --check
+    val measured =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
 
     def jline(name: String, total: Double,
         stages: Seq[(String, Double)]): String = {
@@ -62,6 +84,7 @@ object StageBench {
       once(body) // warmup: codegen + JIT + parquet footers
       val (r1, r2) = (once(body), once(body))
       val (total, stages) = if (r1._1 <= r2._1) r1 else r2
+      stages.foreach { case (s, v) => measured += ((name, s, v)) }
       println(jline(name, total, stages))
     }
 
@@ -106,6 +129,7 @@ object StageBench {
           operators.Dedup.decontaminationPairs(planted, benchMod = 97)),
         stage("quality_gate")(
           operators.TextAnalysis.qualityGate(planted)))
+      stages.foreach { case (s, v) => measured += (("q224", s, v)) }
       // composed manifest, min-of-two (already warm from the stages)
       val totals = Seq.fill(2) {
         val t0 = System.nanoTime()
@@ -114,6 +138,51 @@ object StageBench {
         (System.nanoTime() - t0) / 1e9
       }
       println(jline("q224", totals.min, stages))
+
+      // fixed-size-benchmark decontamination leg: hold the bench
+      // slice at its sf0.1 ABSOLUTE size (5,000 docs / mod 97 ≈ 52)
+      // by scaling the modulus with the corpus, so sf1 probes the
+      // production shape (fixed bench, growing corpus) instead of
+      // the fixture's fixed-fraction shape. No budget row (scale
+      // instrument, not a gate).
+      val nDocs = docs.count()
+      val modFixed = math.max(97L, math.round(nDocs * 97.0 / 5000.0))
+      val fixed = stage("decontamination_fixed_slice")(
+        operators.Dedup.decontaminationPairs(planted,
+          benchMod = modFixed.toInt))
+      println(f"""{"stage_bench":"q224_decon_fixed","total":${fixed._2}%.3f,"unit":"sec","stages":{"decontamination_fixed_slice":${fixed._2}%.3f},"bench_mod":$modFixed,"n_docs":$nDocs,"sf":"$sfDir"}""")
+    }
+
+    // --check: the per-stage budget tripwire. Arms only at sf0.1
+    // (budget rows are sf0.1 seconds) and only for pipelines that
+    // HAVE a budget entry, so scale legs and new diagnostics don't
+    // trip it; within a budgeted pipeline, every stage either has a
+    // row (1.5× tripwire) or is a NEW stage (>2 s must be named).
+    if (args.contains("--check")) {
+      val atBaselineSf = sfDir.stripSuffix("/").split('/')
+        .lastOption.contains("sf0.1")
+      val budgets = BenchGate.loadStageBudgets()
+      if (!atBaselineSf || budgets.isEmpty) {
+        println(s"""{"stage_check":"SKIP","reason":"${
+          if (!atBaselineSf) "non-sf0.1 sfDir" else "no stage_budgets"}"}""")
+      } else {
+        val failures = measured.toSeq.flatMap { case (pipe, st, sec) =>
+          budgets.get(pipe).flatMap { b =>
+            b.get(st) match {
+              case Some(bud) if sec > 1.5 * bud => Some(
+                f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"$st","sec":$sec%.3f,"budget":$bud%.3f,"ratio":${sec / bud}%.2f}""")
+              case None if sec > 2.0 => Some(
+                f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"$st","sec":$sec%.3f,"budget":null,"reason":"unbudgeted new stage > 2 s"}""")
+              case _ => None
+            }
+          }
+        }
+        failures.foreach(println)
+        if (failures.isEmpty)
+          println(s"""{"stage_check":"OK","n_stages":${measured.size}}""")
+        spark.stop()
+        if (failures.nonEmpty) sys.exit(1)
+      }
     }
 
     spark.stop()

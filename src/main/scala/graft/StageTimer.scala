@@ -16,10 +16,25 @@ package graft
   *
   * Thread-safe (suites run pipelines concurrently), but the buffer
   * is global — `reset()` before a run you intend to read, as
-  * [[StageBench]] does. */
+  * [[StageBench]] does.
+  *
+  * Recording is OFF by default: the production increment path
+  * (including the streaming absorb sink's foreachBatch, ~11 entries
+  * per micro-batch) flows through `timed`, and an always-on global
+  * buffer is an unbounded driver-memory leak in a long-running
+  * stream that nobody reads (round-13 advice). [[StageBench]] calls
+  * `enable()`; everyone else pays one volatile read and zero
+  * allocation. A belt-and-braces cap bounds the buffer even while
+  * enabled (oldest dropped — a diagnostic that silently truncates
+  * history beats a driver OOM in a diagnostic). */
 object StageTimer {
+  private val Cap = 4096
+  @volatile private var on = false
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  /** Turn recording on for this JVM (diagnostic harnesses only). */
+  def enable(): Unit = { on = true }
 
   def reset(): Unit = synchronized { buf.clear() }
 
@@ -29,10 +44,16 @@ object StageTimer {
   def timings: Seq[(String, Double)] = synchronized { buf.toSeq }
 
   def timed[T](stage: String)(body: => T): T = {
-    val t0 = System.nanoTime()
-    val r = body
-    val dt = (System.nanoTime() - t0) / 1e9
-    synchronized { buf += stage -> dt }
-    r
+    if (!on) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      synchronized {
+        if (buf.size >= Cap) buf.remove(0)
+        buf += stage -> dt
+      }
+      r
+    }
   }
 }

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   *     ([[graft.streaming.EventsStreaming.runUpsert]]): three
   *     pre-staged parquet drops moved into the source dir one at a
   *     time, `processAllAvailable()` forcing one micro-batch per
-  *     drop (fixture prep is OUTSIDE the timed window; the move is a
-  *     rename);
+  *     drop (fixture prep — including the per-run pending copy — is
+  *     OUTSIDE the timed window; inside it each drop is a
+  *     same-filesystem `Files.move` rename), plus a 10×-events-per-
+  *     batch leg over the SAME key population measuring how events/s
+  *     amortizes with batch size;
   *  2. the transformWithState timer-based sessionizer on RocksDB
   *     state ([[graft.streaming.TwsTimedSessions.sessionize]]):
   *     three MemoryStream chunks in event-time order, one
@@ -51,34 +54,67 @@ object StreamBench {
     val withBatch = events
       .withColumn("__b", ntile(3).over(
         org.apache.spark.sql.expressions.Window.orderBy("ts")))
-    for (b <- 1 to 3)
-      withBatch.filter(col("__b") === b).drop("__b")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$work/stage/batch_$b")
+    def stageDrops(df: org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      for (b <- 1 to 3)
+        df.filter(col("__b") === b).drop("__b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/batch_$b")
+    stageDrops(withBatch, s"$work/stage")
+    // 10× leg (VERDICT r13 item 4 — the amortization experiment):
+    // SAME user population (user_id is the upsert key, so the keyed
+    // table stays the same size), 10× events per micro-batch. If the
+    // per-batch cost is overhead-bound as documented, events/s must
+    // scale well with batch size; BASELINE.md records the ratio.
+    val withBatch10 = withBatch
+      .withColumn("__r", explode(lit((0 until 10).toArray)))
+      .withColumn("event_id", col("event_id") * 10 + col("__r"))
+      .drop("__r")
+    stageDrops(withBatch10, s"$work/stage10")
 
-    def upsertOnce(run: Int): Double = {
-      val src = s"$work/upsert$run/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def upsertOnce(tag: String, run: Int, stageDir: String): Double = {
+      import java.nio.file.{Files, Paths}
+      val base = s"$work/$tag$run"
+      val src = s"$base/src"
+      Files.createDirectories(Paths.get(src))
+      // pre-copy this run's three drops into a per-run pending dir
+      // BEFORE the timed window, so the timed loop pays only a
+      // same-filesystem rename (Files.move) per drop — copy I/O must
+      // not be charged to events/s (round-13 advice: the old code
+      // Files.copy'd INSIDE the window, understating throughput)
+      for (b <- 1 to 3) {
+        Files.createDirectories(Paths.get(s"$base/pending/batch_$b"))
+        new java.io.File(s"$stageDir/batch_$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            Files.copy(f.toPath,
+              Paths.get(s"$base/pending/batch_$b", f.getName))
+          }
+      }
       val q = streaming.EventsStreaming.runUpsert(
-        spark, src, s"$work/upsert$run/table", s"$work/upsert$run/ckpt")
+        spark, src, s"$base/table", s"$base/ckpt")
       val t0 = System.nanoTime()
       try {
         for (b <- 1 to 3) {
-          // move the staged part files in (rename, not rewrite)
-          val from = new java.io.File(s"$work/stage/batch_$b")
-          from.listFiles().filter(_.getName.endsWith(".parquet"))
-            .foreach { f =>
-              java.nio.file.Files.copy(f.toPath,
-                java.nio.file.Paths.get(src, s"b${b}_${f.getName}"))
+          new java.io.File(s"$base/pending/batch_$b").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              Files.move(f.toPath, Paths.get(src, s"b${b}_${f.getName}"))
             }
           q.processAllAvailable()
         }
       } finally q.stop()
       (System.nanoTime() - t0) / 1e9
     }
-    upsertOnce(0) // warmup: codegen + state-store + sink init
-    val upSec = Seq(upsertOnce(1), upsertOnce(2)).min
-    println(f"""{"stream_bench":"upsert_foreachbatch","events":$nEvents,"micro_batches":3,"sec":$upSec%.3f,"events_per_sec":${nEvents / upSec}%.0f,"sf":"$sfDir"}""")
+    upsertOnce("upsert", 0, s"$work/stage") // warmup: codegen + sink init
+    val upSec = Seq(upsertOnce("upsert", 1, s"$work/stage"),
+      upsertOnce("upsert", 2, s"$work/stage")).min
+    val upEps = nEvents / upSec
+    println(f"""{"stream_bench":"upsert_foreachbatch","events":$nEvents,"micro_batches":3,"sec":$upSec%.3f,"events_per_sec":$upEps%.0f,"sf":"$sfDir"}""")
+
+    // 10× leg: already warm (same plan/sink class); two measured runs
+    val up10Sec = Seq(upsertOnce("upsert10x", 1, s"$work/stage10"),
+      upsertOnce("upsert10x", 2, s"$work/stage10")).min
+    val up10Eps = nEvents * 10 / up10Sec
+    println(f"""{"stream_bench":"upsert_foreachbatch_10x","events":${nEvents * 10},"micro_batches":3,"sec":$up10Sec%.3f,"events_per_sec":$up10Eps%.0f,"x_vs_base":${up10Eps / upEps}%.2f,"sf":"$sfDir"}""")
 
     // ---- path 2: transformWithState timed sessions on RocksDB -----
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
