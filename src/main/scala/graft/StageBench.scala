@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * budget PROSE into an executable tripwire: budgets are read from
   * `baseline_rows.json` `stage_budgets` (the same machine-readable
   * file the Bench gate reads — see [[BenchGate]]), and the run exits
-  * non-zero NAMING every stage that measured >1.5× its budget row,
+  * non-zero NAMING every stage that measured >1.5× its budget row
+  * AND >0.5 s over it AND whose share of its pipeline grew >1.25×
+  * (per-stage min-of-three; the absolute slack keeps sub-second
+  * stages' scheduler jitter from crying wolf, and the share clause
+  * keeps the ambient uniform 1.37–1.54× weather inflations the
+  * round-13 A/B proved from tripping every absolute row at once —
+  * an accretion is a SHARE move, weather is not),
   * plus every unbudgeted stage costing >2 s — the q177-creep lesson
   * ("the composition crept 10.5→14.4 s and no one could say which
   * stage") made mechanical. Budgets are sf0.1 rows, so --check only
@@ -78,13 +84,22 @@ object StageBench {
         k -> raw.filter(_._1 == k).map(_._2).sum))
     }
 
-    /** Min-of-two on the TOTAL (the Bench estimator); the stage rows
-      * come from the winning run so they sum to its total. */
+    /** Min-of-two on the TOTAL (the Bench estimator); the PRINTED
+      * stage rows come from the winning run so they sum to its total.
+      * The rows fed to --check are the per-stage MIN across THREE
+      * measured runs — the steady-state estimator per stage; gating
+      * on one run's stage rows would charge that run's GC/JIT jitter
+      * to whichever stage caught it, and two runs inside one
+      * contended minute still share the contention (a 0.7 s stage
+      * false-tripped that way while this gate was being built). */
     def measure(name: String)(body: => DataFrame): Unit = {
       once(body) // warmup: codegen + JIT + parquet footers
-      val (r1, r2) = (once(body), once(body))
-      val (total, stages) = if (r1._1 <= r2._1) r1 else r2
-      stages.foreach { case (s, v) => measured += ((name, s, v)) }
+      val runs = Seq.fill(3)(once(body))
+      val (total, stages) = runs.minBy(_._1)
+      val maps = runs.map(_._2.toMap)
+      runs.flatMap(_._2.map(_._1)).distinct.foreach { s =>
+        measured += ((name, s, maps.flatMap(_.get(s)).min))
+      }
       println(jline(name, total, stages))
     }
 
@@ -109,7 +124,7 @@ object StageBench {
           .withColumn("doc_id", col("doc_id") + idOffset))
       def stage(name: String)(df: => DataFrame): (String, Double) = {
         df.write.format("noop").mode("overwrite").save() // warmup
-        val runs = Seq.fill(2) {
+        val runs = Seq.fill(3) {
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
@@ -166,11 +181,34 @@ object StageBench {
         println(s"""{"stage_check":"SKIP","reason":"${
           if (!atBaselineSf) "non-sf0.1 sfDir" else "no stage_budgets"}"}""")
       } else {
+        // Three clauses, ALL required to fail a budgeted stage:
+        //  1. >1.5x its budget row (the stated contract);
+        //  2. >0.5 s absolute move — the accretion this tripwire
+        //     exists for is seconds-scale (q177 crept 10.5→14.4 s),
+        //     while a 0.2 s stage routinely doubles on scheduler
+        //     jitter;
+        //  3. its SHARE of the pipeline grew >1.25x vs its budget
+        //     share — the weather-immunity clause: the round-13 A/B
+        //     proved ambient 1.37–1.54x UNIFORM inflations on a
+        //     bit-identical tree, and a uniform inflation moves every
+        //     absolute row while leaving shares fixed; a genuine
+        //     stage accretion is precisely a share move. Without
+        //     this clause the gate fires on weather every slow
+        //     session and trains everyone to ignore it.
+        val mTotal = measured.groupBy(_._1)
+          .map { case (p, rs) => p -> rs.map(_._3).sum }
+        val bTotal = budgets.map { case (p, b) => p -> b.values.sum }
         val failures = measured.toSeq.flatMap { case (pipe, st, sec) =>
           budgets.get(pipe).flatMap { b =>
             b.get(st) match {
-              case Some(bud) if sec > 1.5 * bud => Some(
-                f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"$st","sec":$sec%.3f,"budget":$bud%.3f,"ratio":${sec / bud}%.2f}""")
+              case Some(bud) =>
+                val share = sec / math.max(mTotal(pipe), 1e-9)
+                val budShare = bud / math.max(bTotal(pipe), 1e-9)
+                if (sec > 1.5 * bud && sec > bud + 0.5 &&
+                    share > 1.25 * budShare)
+                  Some(
+                    f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"$st","sec":$sec%.3f,"budget":$bud%.3f,"ratio":${sec / bud}%.2f,"share":$share%.3f,"budget_share":$budShare%.3f}""")
+                else None
               case None if sec > 2.0 => Some(
                 f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"$st","sec":$sec%.3f,"budget":null,"reason":"unbudgeted new stage > 2 s"}""")
               case _ => None
