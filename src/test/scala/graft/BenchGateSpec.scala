@@ -45,8 +45,19 @@ class BenchGateSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** The two rows the round-13 "scrub-materialization optimization"
+    * section SUPERSEDES (its focused post-optimization rows, tighter
+    * than the re-baseline's — under the old whole-file
+    * last-occurrence-wins convention these later rows won; the gate
+    * file encodes the same outcome explicitly). Every addition here
+    * must cite its BASELINE.md section. */
+  private val documentedSupersedes = Map(
+    "q177_corpus_increment" -> 12.615, // Round-13 optimization table
+    "q183_training_shards" -> 16.900)  // Round-13 optimization table
+
   test("baseline_rows.json equals the round-13 re-baseline table " +
-    "row-for-row (all 238 queries, both markdown columns)") {
+    "row-for-row (all 238 queries, both markdown columns, modulo " +
+    "the two documented supersedes)") {
     val gate = BenchGate.loadQueryBaseline(
       repoFile("baseline_rows.json").toString)
     assert(rebaselineTable.size == 238,
@@ -54,8 +65,11 @@ class BenchGateSpec extends AnyFunSuite {
     assert(gate.keySet == rebaselineTable.keySet,
       s"key sets differ: only-in-json=${gate.keySet -- rebaselineTable.keySet}, " +
         s"only-in-table=${rebaselineTable.keySet -- gate.keySet}")
-    for ((k, v) <- rebaselineTable)
-      assert(math.abs(gate(k) - v) < 1e-9, s"$k: gate=${gate(k)} table=$v")
+    for ((k, v) <- rebaselineTable) {
+      val expected = documentedSupersedes.getOrElse(k, v)
+      assert(math.abs(gate(k) - expected) < 1e-9,
+        s"$k: gate=${gate(k)} expected=$expected (table=$v)")
+    }
   }
 
   test("the four queries the old parser disarmed are armed at their " +
