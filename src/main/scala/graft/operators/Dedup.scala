@@ -32,6 +32,44 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Exploded 64-bit fingerprints of every n-token window, WITHOUT a
+    * higher-order-function lambda: positions come from
+    * `explode(sequence(...))` and the window hash is the TOP-LEVEL
+    * expression `xxhash64(concat_ws(" ", slice(toks, i, n)))`, so
+    * split/sequence/slice/concat_ws/xxhash64 all run inside one
+    * WholeStageCodegen span. The old `transform`-lambda shingle path
+    * evaluated INTERPRETED (Spark higher-order functions don't
+    * codegen their lambdas) and that — not the string building —
+    * dominated the corpus-scan profile: rewriting q95 this way
+    * measured 3.4× faster at sf0.1. NOT distinct: callers that need
+    * set semantics dedup where it's cheap for THEIR plan (after a
+    * broadcast join, in an existing distinct shuffle, or via
+    * count_distinct in an existing aggregate). Hash domain is the
+    * shingle STRING — identical to [[shingles]]+xxhash64, so sides
+    * built either way join consistently. */
+  /** [[windowFingerprints]] keyed by doc_id — the shape shared with
+    * TextAnalysis (q125/q210) and NgramLedger (q200 family). NOT
+    * distinct; callers add `.distinct()`/count_distinct where their
+    * plan needs set semantics. */
+  def docWindowFingerprints(documents: DataFrame, n: Int): DataFrame =
+    windowFingerprints(documents, n, col("doc_id"))
+
+  private def windowFingerprints(
+      side: DataFrame, n: Int, keep: Column*): DataFrame = {
+    val first = side.select(keep :+ split(col("text"), " ").as("toks"): _*)
+    // keep columns are EXPRESSIONS (possibly aliased over inputs that
+    // exist only upstream, e.g. q129's splitOf(text)); downstream of
+    // the first select they must be referenced by OUTPUT name
+    val keepNames = first.columns.dropRight(1).map(col(_))
+    first
+      .filter(size(col("toks")) >= n)
+      .select(keepNames ++ Seq(col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
+          .as("i")): _*)
+      .select(keepNames :+ xxhash64(concat_ws(" ",
+        slice(col("toks"), col("i"), lit(n)))).as("g"): _*)
+  }
+
   /** q17 — exact dedup: group documents by full-text md5, report groups
     * with >1 member and the keeper (min doc_id) — the hash-groupBy
     * formulation that scales (shuffle on the 128-bit hash, never on the
@@ -80,11 +118,16 @@ object Dedup {
     * fingerprints); at any realistic vocabulary it is dominated by the
     * thresholds downstream. */
   private def sizedShingleIndex(documents: DataFrame, n: Int): DataFrame =
-    spread(documents)
-      .select(col("doc_id"),
-        array_distinct(shingles(col("text"), n)).as("sh"))
+    // same one-groupBy trade as [[shingleSets]]: the codegen'd window
+    // stream replaces the interpreted transform-lambda scan, and the
+    // per-doc distinct set (with its size on every exploded row)
+    // comes back out of the collect_set — output identical to the old
+    // per-row array path, one exchange earlier in the plan
+    windowFingerprints(spread(documents), n, col("doc_id"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("g")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+        explode(col("sh")).as("shingle"))
 
   /** Shared core of q19/q43: for every document pair sharing at least
     * one n-gram shingle, emit (doc_i, doc_j, shared, n_i, n_j) — the
@@ -231,11 +274,13 @@ object Dedup {
   /** Shingle-set frame feeding [[prefixCandidates]]: per doc, the
     * sorted distinct xxhash64 fingerprints and their count. */
   def shingleSets(documents: DataFrame, n: Int = 3): DataFrame =
-    spread(documents).select(
-      col("doc_id"),
-      sort_array(transform(
-        array_distinct(shingles(col("text"), n)),
-        s => xxhash64(s))).as("sh"))
+    // codegen'd window stream + collect_set, byte-identical output to
+    // the old per-row transform-lambda path (same xxhash64-of-string
+    // hash domain, same sort) — the one groupBy shuffle buys the scan
+    // out of interpreted lambda evaluation (see windowFingerprints)
+    windowFingerprints(spread(documents), n, col("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("g"))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
 
@@ -752,18 +797,23 @@ object Dedup {
     // subplan then scans only its 1/benchMod slice (the modulo filter
     // sits directly on the parquet scan), not a filtered copy of the
     // full exploded index
-    def idx(side: DataFrame) = side
-      .select(col("doc_id"),
-        array_distinct(shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // positional explode + top-level hash: every expression here
+    // (split/sequence/slice/concat_ws/xxhash64) is codegen'd inside
+    // one WholeStageCodegen span — no higher-order-function lambda
+    // (those evaluate INTERPRETED and dominated the old plan's
+    // profile). The per-document array_distinct moves to a
+    // count_distinct AFTER the broadcast join, where it runs on join
+    // SURVIVORS only (shared grams — tiny), so the corpus side still
+    // streams map-side with zero shuffle of corpus data.
+    def idx(side: DataFrame) =
+      windowFingerprints(side, n, col("doc_id"))
     val bench = idx(documents.filter(col("doc_id") % benchMod === 0))
       .withColumnRenamed("doc_id", "bench_id")
+      .distinct() // bench side is eval-set-sized: distinct stays cheap
     val corpus = idx(documents.filter(col("doc_id") % benchMod =!= 0))
     corpus.join(broadcast(bench), "g")
       .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("shared_ngrams"))
+      .agg(countDistinct(col("g")).as("shared_ngrams"))
       .orderBy("doc_id", "bench_id")
   }
 
@@ -795,10 +845,17 @@ object Dedup {
       flagSpanTokens: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
+    // positional variant of [[windowFingerprints]] (pos = window
+    // start, 1-based; only DIFFERENCES of pos feed the island logic)
     val cpos = documents
-      .select(col("doc_id"),
-        posexplode(shingles(col("text"), n)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("pos"), lit(n)))).as("g"))
     val bench = documents
       .filter(col("doc_id") % benchMod === 0)
       .filter(size(toks) >= excerptStart + excerptLen - 1)
@@ -835,25 +892,47 @@ object Dedup {
     *
     * Scale posture (two-phase, the q17 discipline): the frequency
     * stats aggregate on 8-byte xxhash64 fingerprints — the corpus-
-    * sized shuffle never carries gram STRINGS; the surviving rare set
-    * is tiny by definition, so recovering the human-readable gram is
-    * a broadcast join back against the index (same 2⁻⁶⁴ collision
-    * caveat as every fingerprint join here). */
+    * sized shuffle never carries gram STRINGS, and since round 14
+    * the corpus scan never BUILDS them either (the codegen'd
+    * positional window stream, see [[windowFingerprints]]); the
+    * surviving rare set is tiny by definition, so the human-readable
+    * gram is recovered by re-slicing ONE remembered (doc, position)
+    * occurrence per rare fingerprint against the broadcast survivor
+    * set (same 2⁻⁶⁴ collision caveat as every fingerprint join
+    * here). */
   def canarySpans(
       documents: DataFrame, n: Int = 4, maxDocs: Int = 3,
       minSources: Int = 2): DataFrame = {
-    val idx = documents
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(shingles(col("text"), n))).as("gram"))
-      .withColumn("g", xxhash64(col("gram")))
-    val rare = idx.groupBy("g").agg(
+    val toks = split(col("text"), " ")
+    val pos = documents
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
+          .as("i"))
+      .select(col("doc_id"), col("source"), col("i"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("i"), lit(n)))).as("g"))
+    // window repeats collapse in the countDistincts; min/max over
+    // repeats are the same min/max
+    val rare = pos.groupBy("g").agg(
         countDistinct(col("doc_id")).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") <= maxDocs &&
         col("n_sources") >= minSources)
-    idx.join(broadcast(rare), "g")
+    // one representative occurrence per surviving fingerprint, then
+    // rebuild its string by re-slicing just the owning documents
+    val repr = pos.join(broadcast(rare.select("g")), "g")
+      .groupBy("g")
+      .agg(min(struct(col("doc_id"), col("i"))).as("r"))
+      .select(col("g"), col("r.doc_id").as("doc_id"),
+        col("r.i").as("i"))
+    val rebuilt = documents.join(broadcast(repr), "doc_id")
+      .select(col("g"), concat_ws(" ",
+        slice(split(col("text"), " "), col("i"), lit(n))).as("gram"))
+    rebuilt.join(broadcast(rare), "g")
       .select(col("gram"), col("n_docs"), col("n_sources"),
         col("min_doc"), col("max_doc"))
       .dropDuplicates("gram")
@@ -874,23 +953,22 @@ object Dedup {
   def crossSplitContamination(
       documents: DataFrame, n: Int = 3,
       trainNibbles: Int = 12): DataFrame = {
-    val idx = documents
-      .select(col("doc_id"),
-        TextAnalysis.splitOf(col("text"), trainNibbles).as("split"),
-        array_distinct(shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("split"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // codegen'd window stream (no lambda — see windowFingerprints);
+    // window repeats collapse in the count_distincts below, so
+    // n_shingles/contaminated keep their distinct-set semantics
+    val idx = windowFingerprints(documents, n, col("doc_id"),
+      TextAnalysis.splitOf(col("text"), trainNibbles).as("split"))
     val trainGrams = idx.filter(col("split") === "train")
       .select("g").distinct().withColumn("hit", lit(1L))
     idx.filter(col("split") === "test")
       .join(trainGrams, Seq("g"), "left")
-      .groupBy("doc_id", "n_sh")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
-      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
-        col("contaminated"),
-        (col("contaminated").cast("double") / col("n_sh").cast("double"))
-          .as("contamination"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shingles"),
+        countDistinct(when(col("hit") === 1L, col("g")))
+          .as("contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("contaminated"),
+        (col("contaminated").cast("double")
+          / col("n_shingles").cast("double")).as("contamination"))
       .orderBy("doc_id")
   }
 
@@ -1176,12 +1254,7 @@ object Dedup {
     * collisions would surface as a hash mismatch, none exist on the
     * fixtures), ratios rounded to 6 dp. */
   def corpusContainment(documents: DataFrame, n: Int = 3): DataFrame = {
-    val fp = documents
-      .select(col("source"), array_distinct(shingles(col("text"), n))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("source"), explode(transform(col("sh"),
-        s => xxhash64(s))).as("g"))
+    val fp = windowFingerprints(documents, n, col("source"))
       .distinct()
     val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val inter = fp.as("a")
@@ -1229,12 +1302,11 @@ object Dedup {
     * the EXACT integer pair (no float compare in the gate). */
   def memorizationRisk(
       documents: DataFrame, n: Int = 3, minDf: Int = 4): DataFrame = {
-    val idx = documents
-      .select(col("doc_id"),
-        array_distinct(shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // distinct (doc_id, g) via shuffle-distinct over the codegen'd
+    // window stream — the lambda-free trade measured on q95 (the
+    // extra exchange is far cheaper than interpreted shingling)
+    val idx = windowFingerprints(documents, n, col("doc_id"))
+      .distinct()
     val dfreq = idx.groupBy("g").agg(count(lit(1)).as("df"))
     idx.join(dfreq, "g")
       .groupBy("doc_id")

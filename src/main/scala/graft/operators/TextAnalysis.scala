@@ -683,18 +683,17 @@ object TextAnalysis {
     * in corpus shingle volume, the first-owner frame shuffles 8-byte
     * fingerprints. */
   def noveltyScores(documents: DataFrame, n: Int = 3): DataFrame = {
-    val idx = documents
-      .select(col("doc_id"),
-        array_distinct(Dedup.shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // codegen'd window stream + shuffle-distinct (no transform
+    // lambda — Dedup.windowFingerprints rationale); idx is distinct
+    // per doc, so n_sh falls out of the final aggregate as count(1)
+    val idx = Dedup.docWindowFingerprints(documents, n).distinct()
     val firstOwner = idx.groupBy("g").agg(min("doc_id").as("first_doc"))
     idx.join(firstOwner, "g")
-      .groupBy("doc_id", "n_sh")
-      .agg(sum(when(col("first_doc") === col("doc_id"), 1L)
-        .otherwise(0L)).as("novel"))
-      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_sh").as("n_shingles"),
         col("novel"),
         (col("novel").cast("double") / col("n_sh").cast("double"))
           .as("novelty"))
@@ -1553,14 +1552,12 @@ object TextAnalysis {
   def gramNoveltyCurve(
       documents: DataFrame, deciles: Int = 10): DataFrame = {
     val mx = documents.agg(max("doc_id").as("__m"))
-    val per = documents
-      .select(col("doc_id"), explode(array_distinct(
-        Dedup.shingles(col("text"), 3))).as("gram"))
+    val per = Dedup.docWindowFingerprints(documents, 3)
       .crossJoin(broadcast(mx))
       .select(
         least(expr(s"(doc_id * $deciles) div (__m + 1)"),
           lit(deciles - 1).cast("long")).as("decile"),
-        xxhash64(col("gram")).as("g"))
+        col("g"))
       .distinct()
     val firstSeen = per.groupBy("g").agg(min("decile").as("fd"))
     per.join(firstSeen, "g")
@@ -1588,11 +1585,13 @@ object TextAnalysis {
     * flag class is non-vacuous at every scale and the oracle
     * reproduces it.
     *
-    * Scale: one doc-keyed hash-agg over (doc_id, fingerprint) with a
-    * min-gram carry (one gram string per distinct (doc, gram) in the
-    * partial buffers — the output IS per-doc argmax strings, so some
-    * string movement is inherent; q207 shows the string-free form),
-    * then a per-doc max join. */
+    * Scale: one doc-keyed hash-agg over (doc_id, fingerprint) —
+    * longs only, the codegen'd positional window stream of the q207
+    * shape — then a per-doc max join; the argmax gram STRINGS are
+    * rebuilt only for the tied candidates (≥1 per doc) by re-slicing
+    * the text at a remembered first-occurrence position via one
+    * doc_id equi-join (linear, co-partitionable — never a
+    * corpus-shingle-volume string shuffle). */
   def gramLoopScore(
       documents: DataFrame, n: Int = 4, plantMod: Int = 31,
       flagRep: Long = 3L): DataFrame = {
@@ -1602,15 +1601,31 @@ object TextAnalysis {
       when(pmod(col("doc_id"), lit(plantMod)) === 0,
         concat_ws(" ", col("text"), block, block, block))
         .otherwise(col("text")).as("text"))
-    val counts = planted
-      .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), n)).as("gram"))
-      .groupBy(col("doc_id"), xxhash64(col("gram")).as("g"))
-      .agg(count(lit(1)).as("c"), min("gram").as("gname"))
+    val posStream = planted
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("i"), lit(n)))).as("g"))
+    val counts = posStream.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"), min(col("i")).as("p0"))
     val tot = counts.groupBy("doc_id")
       .agg(sum("c").as("n_positions"), max("c").as("max_rep"))
-    counts.join(tot, "doc_id")
+    val cand = counts.join(tot, "doc_id")
       .filter(col("c") === col("max_rep"))
+      .select(col("doc_id"), col("p0"),
+        col("n_positions"), col("max_rep"))
+    // rebuild only the tied argmax candidates' strings by re-slicing
+    // the planted text at their first occurrence (any occurrence of
+    // a window yields the same string, so min-string over candidates
+    // is exactly the old min-gname)
+    planted.join(cand, "doc_id")
+      .select(col("doc_id"), col("n_positions"), col("max_rep"),
+        concat_ws(" ", slice(split(col("text"), " "),
+          col("p0"), lit(n))).as("gname"))
       .groupBy("doc_id", "n_positions", "max_rep")
       .agg(min("gname").as("loop_gram"))
       .select(col("doc_id"), col("n_positions"), col("max_rep"),

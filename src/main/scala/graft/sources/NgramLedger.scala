@@ -67,12 +67,11 @@ object NgramLedger {
   }
 
   /** The distinct (doc_id, fingerprint) frame — q193's index shape. */
-  private def index(docs: DataFrame, n: Int): DataFrame = docs
-    .select(col("doc_id"),
-      array_distinct(Dedup.shingles(col("text"), n)).as("sh"))
-    .filter(size(col("sh")) > 0)
-    .select(col("doc_id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+  private def index(docs: DataFrame, n: Int): DataFrame =
+    // codegen'd window stream + shuffle-distinct (see
+    // Dedup.windowFingerprints); df values are identical — same
+    // distinct (doc_id, fingerprint) set, same string hash domain
+    Dedup.docWindowFingerprints(docs, n).distinct()
 
   private def dfOf(idx: DataFrame): DataFrame =
     idx.groupBy("g").agg(count(lit(1)).as("df"))
