@@ -45,15 +45,32 @@ class BenchGateSpec extends AnyFunSuite {
     }.toMap
   }
 
-  /** The two rows the round-13 "scrub-materialization optimization"
-    * section SUPERSEDES (its focused post-optimization rows, tighter
-    * than the re-baseline's — under the old whole-file
-    * last-occurrence-wins convention these later rows won; the gate
-    * file encodes the same outcome explicitly). Every addition here
-    * must cite its BASELINE.md section. */
+  /** Rows that later optimization sections SUPERSEDE (their focused
+    * post-optimization rows, tighter than the re-baseline's — under
+    * the old whole-file last-occurrence-wins convention such later
+    * rows won; the gate file encodes the same outcome explicitly).
+    * Every addition here must cite its BASELINE.md section. */
   private val documentedSupersedes = Map(
     "q177_corpus_increment" -> 12.615, // Round-13 optimization table
-    "q183_training_shards" -> 16.900)  // Round-13 optimization table
+    "q183_training_shards" -> 16.900,  // Round-13 optimization table
+    // Round-14 "shingle scans out of interpreted lambdas" section:
+    // the 15 n-gram-family queries re-cut from the only full sweep
+    // of the optimized tree
+    "q19_ngram_jaccard" -> 2.752,
+    "q43_containment" -> 2.981,
+    "q95_decontamination" -> 0.751,
+    "q125_novelty" -> 1.082,
+    "q129_split_contamination" -> 1.000,
+    "q135_allpairs_jaccard" -> 2.244,
+    "q181_allpairs_realvocab" -> 2.617,
+    "q192_corpus_containment" -> 1.451,
+    "q193_memorization_risk" -> 1.072,
+    "q200_ngram_ledger_risk" -> 2.441,
+    "q205_contamination_spans" -> 0.653,
+    "q207_canary_spans" -> 2.462,
+    "q210_gram_novelty" -> 1.034,
+    "q211_gram_loops" -> 3.302,
+    "q224_curation_manifest" -> 8.356)
 
   test("baseline_rows.json equals the round-13 re-baseline table " +
     "row-for-row (all 238 queries, both markdown columns, modulo " +
@@ -73,14 +90,16 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("the four queries the old parser disarmed are armed at their " +
-    "true re-baseline rows") {
+    "true current rows") {
     val gate = BenchGate.loadQueryBaseline(
       repoFile("baseline_rows.json").toString)
     // the old regex resolved these to sf1 scale-table rows 5-7x too
-    // high (q192 at 33.9 instead of 5.035), turning the gate off
-    assert(gate("q192_corpus_containment") == 5.035)
+    // high (q192 at 33.9 instead of its then-true 5.035), turning the
+    // gate off; q192/q200 have since been tightened further by the
+    // round-14 optimization supersedes
+    assert(gate("q192_corpus_containment") == 1.451)
     assert(gate("q216_mojibake_audit") == 0.341)
-    assert(gate("q200_ngram_ledger_risk") == 5.356)
+    assert(gate("q200_ngram_ledger_risk") == 2.441)
     assert(gate("q212_char_entropy") == 0.988)
   }
 
