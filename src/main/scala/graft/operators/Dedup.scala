@@ -97,11 +97,26 @@ object Dedup {
   /** Input-split underflow guard — see [[Spread]]. */
   private def spread(df: DataFrame): DataFrame = Spread(df)
 
-  /** Exploded distinct (doc_id, shingle) inverted index. */
+  /** Exploded (doc_id, shingle STRING) window stream, codegen'd (the
+    * [[windowFingerprints]] rationale — no interpreted transform
+    * lambda — but carrying the string because the consumer hashes it
+    * with md5, which the DuckDB oracles replay). NOT distinct: the
+    * only consumer is [[minhashSignatures]], whose per-doc MIN is
+    * duplicate-insensitive, so the old per-doc array_distinct
+    * changed nothing. Honest perf note: unlike the xxhash64 family,
+    * this path measured only ~5% faster in an sf1 A/B — it is
+    * md5-bound (one md5 per window row + k min-aggregates), so the
+    * lambda was never its bottleneck; the rewrite is codegen hygiene,
+    * not a headline win. */
   private def shingleIndex(documents: DataFrame, n: Int): DataFrame =
-    spread(documents).select(
-      col("doc_id"),
-      explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+    spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
+          .as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        slice(col("toks"), col("i"), lit(n))).as("shingle"))
 
   /** Inverted index that also carries the per-document distinct-shingle
     * count on every exploded row. Slightly wider shuffle rows, but it
