@@ -304,19 +304,16 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling hash over the token stream (base 31, mod 1e9+7
-    * — keeps every intermediate < 2^35, safe under ANSI-mode Long
-    * arithmetic) — a locality-insensitive whole-document
-    * fingerprint computed without leaving codegen: `aggregate` over the
-    * token array with xxhash64 per token. Unit-tested; not
-    * oracle-declared (xxhash64 is Spark-specific).
+    * — keeps every intermediate < 2^35) — a locality-insensitive
+    * whole-document fingerprint. Runs as the native codegen expression
+    * [[graft.functions.RollingTokenHash]]: the original
+    * aggregate+transform HOF form evaluated its lambdas INTERPRETED
+    * (xxhash64 inside a lambda — the round-14 measured-worst shape);
+    * the native fold is value-identical and stays in the codegen span.
+    * Unit-tested; not oracle-declared (xxhash64 is Spark-specific).
     */
-  def rollingFingerprint(text: Column): Column = {
-    val p = 1000000007L // keep acc*31+h < 2^35: no ANSI-mode overflow
-    aggregate(
-      transform(tokens(text), t => pmod(xxhash64(t), lit(p))),
-      lit(0L),
-      (acc, h) => pmod(acc * lit(31L) + h, lit(p)))
-  }
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.TextFunctions.rolling_token_hash(tokens(text))
 
   /** q61 — bigram collocations by pointwise mutual information:
     * pmi(x,y) = ln(P(xy) / (P(x)·P(y))), bigram probabilities over the
@@ -331,15 +328,20 @@ object TextAnalysis {
     val toks = Spread(documents).select(tokens(col("text")).as("t"))
     val uni = toks.select(explode(col("t")).as("tok"))
     val unic = uni.groupBy("tok").agg(count(lit(1)).as("c"))
-    val nt = uni.agg(count(lit(1)).as("nt"))
-    // adjacent pairs: zip t with its own tail, guard 1-token docs
-    // (sequence(0, -1) would DESCEND)
+    // corpus totals without exploding: Σ|t| ≡ the unigram-row count,
+    // Σ(|t|−1) ≡ the bigram-row count — one narrow aggregate each
+    val nt = toks.agg(sum(size(col("t"))).cast("long").as("nt"))
+    // adjacent pairs on the codegen window stream (explode positions,
+    // top-level concat_ws over a 2-slice — Dedup.windowFingerprints
+    // rationale; the old transform lambda evaluated interpreted).
+    // Guard 1-token docs (sequence(1, 0) would DESCEND).
     val big = toks.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-        .as("bg"))
+      .select(col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(concat_ws(" ", slice(col("t"), col("i"), lit(2))).as("bg"))
     val bigc = big.groupBy("bg").agg(count(lit(1)).as("cxy"))
-    val nb = big.agg(count(lit(1)).as("nb"))
+    val nb = toks.filter(size(col("t")) >= 2)
+      .agg(sum(size(col("t")) - 1).cast("long").as("nb"))
     bigc.filter(col("cxy") >= minCount)
       .withColumn("x", split(col("bg"), " ")(0))
       .withColumn("y", split(col("bg"), " ")(1))
@@ -527,10 +529,14 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val unic = toksDf.select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+    // bigram stream on the codegen window shape (explode positions,
+    // top-level concat_ws over a 2-slice) — the old transform lambda
+    // evaluated interpreted; same space-joined string domain
     val big = toksDf.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-        .as("bg"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(2))).as("bg"))
     val bigc = big.groupBy("bg").agg(count(lit(1)).as("cxy"))
     big.join(bigc, "bg")
       .withColumn("x", split(col("bg"), " ")(0))
@@ -1003,58 +1009,45 @@ object TextAnalysis {
     * most-common-token ratio, top-bigram fraction, and duplicate-
     * trigram mass, plus the keep/drop gate those thresholds imply.
     *
-    * Shape: ONE explode of kind-tagged n-grams (uni/bi/tri built with
-    * array HOFs in the same pass) into one (doc, kind, gram) hash
-    * aggregate, then a |docs|·3-row rollup. Linear in corpus token
-    * count and fully distributed — deliberately NOT the per-row
-    * nested-loop `filter(grams, g -> g = x)` form, which is O(len²)
-    * per document and would melt on long documents at scale. */
+    * Shape: the statistics are PER-DOCUMENT, so the problem contains
+    * no cross-row aggregation — the native codegen expression
+    * [[graft.functions.GramRepetitionStats]] computes all three
+    * counts in one JIT'd O(n) pass inside each row, and the query is
+    * scan → project: embarrassingly parallel, ZERO exchanges except
+    * the report sort. Two prior formulations both paid a corpus-wide
+    * shuffle of ~3 gram rows per token into a (doc, kind, gram) hash
+    * aggregate and measured 13.9 s (interpreted transform lambdas)
+    * and 8.8 s (codegen explode+inline window stream — generation
+    * fixed, the gram shuffle remained the floor) at sf1; the per-doc
+    * expression removes the shuffle itself. Deliberately NOT the
+    * per-row nested-loop `filter(grams, g -> g = x)` HOF form, which
+    * is O(len²) per document — the expression's local maps are O(n). */
   def repetitionStats(
       documents: DataFrame,
       maxTokenFrac: Double = 0.20,
       maxBigramFrac: Double = 0.18,
       maxDupTrigramFrac: Double = 0.30): DataFrame = {
-    val base = documents
+    documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= 3)
-    // grams are carried as 64-bit xxhash fingerprints, not strings:
-    // the aggregate only needs equality (max count, distinct count),
-    // so 8-byte keys replace variable-length gram strings in the
-    // shuffle — the same Broder-fingerprint tradeoff as the shingle
-    // join, with the 2⁻⁶⁵-probability collision caveat documented
-    // there; the oracle computes on true strings and still matches
-    val grams = base.selectExpr(
-      "doc_id", "n",
-      """explode(concat(
-        |  transform(t, x -> struct(0 AS k, xxhash64(x) AS g)),
-        |  transform(sequence(0, n-2),
-        |    i -> struct(1 AS k,
-        |                xxhash64(concat_ws(' ', t[i], t[i+1])) AS g)),
-        |  transform(sequence(0, n-3),
-        |    i -> struct(2 AS k,
-        |                xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])) AS g))
-        |)) AS gr""".stripMargin)
-      .select(col("doc_id"), col("n"), col("gr.k").as("k"),
-        col("gr.g").as("g"))
-    val counts = grams.groupBy("doc_id", "n", "k", "g")
-      .agg(count(lit(1)).as("cnt"))
-    val perKind = counts.groupBy("doc_id", "n", "k")
-      .agg(max("cnt").as("mx"), count(lit(1)).as("dist"),
-        sum("cnt").as("tot"))
-    perKind.groupBy("doc_id", "n")
-      .agg(
-        max(when(col("k") === 0, col("mx"))).as("top_tok"),
-        max(when(col("k") === 1, col("mx"))).as("top_bi"),
-        max(when(col("k") === 2, col("dist"))).as("tri_dist"),
-        max(when(col("k") === 2, col("tot"))).as("tri_tot"))
+      .select(col("doc_id"), col("n"),
+        graft.functions.TextFunctions.gram_repetition_stats(col("t"))
+          .as("s"))
       .select(
         col("doc_id"),
         col("n").cast("long").as("n_tokens"),
-        (col("top_tok").cast("double") / col("n").cast("double"))
+        col("s.top_tok").as("top_tok"),
+        col("s.top_bi").as("top_bi"),
+        col("s.tri_dist").as("tri_dist"),
+        col("s.tri_tot").as("tri_tot"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("top_tok").cast("double") / col("n_tokens").cast("double"))
           .as("top_token_frac"),
-        (col("top_bi").cast("double") / (col("n") - 1).cast("double"))
-          .as("top_bigram_frac"),
+        (col("top_bi").cast("double") /
+          (col("n_tokens") - 1).cast("double")).as("top_bigram_frac"),
         ((col("tri_tot") - col("tri_dist")).cast("double") /
           col("tri_tot").cast("double")).as("dup_trigram_frac"))
       .withColumn("keep",
@@ -2236,12 +2229,16 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame = {
     val toksDf = Spread(documents)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+    // codegen window stream (explode positions, element_at pair —
+    // no interpreted transform lambda, Dedup.windowFingerprints
+    // rationale)
     def bigrams(df: DataFrame): DataFrame = df
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-2)," +
-          " i -> struct(t[i] as x, t[i+1] as y))")).as("b"))
-      .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("x"),
+        element_at(col("t"), col("i") + 1).as("y"))
     val cxy = bigrams(toksDf.filter(pmod(col("doc_id"), lit(holdMod)) =!= 0))
       .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
     val ctx = cxy.groupBy("x")
