@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) tokenizer training — the
@@ -15,23 +15,18 @@ import org.apache.spark.sql.functions._
   * pretraining pipeline runs that the token-COUNTING operators q22/
   * q86 presuppose.)
   *
-  * Per merge round: adjacent symbol pairs explode (weighted by word
-  * frequency), one hash-agg finds the argmax pair (count desc, then
-  * lexicographic — fully deterministic), and a typed map applies the
-  * merge to each word's symbol sequence. The argmax collect is ONE
-  * ROW per round; the working set re-materializes via localCheckpoint
-  * each round (the q131 PageRank lineage discipline — without it the
-  * plan grows by one map per merge and round r replays rounds
-  * 0..r-1). The per-word merge application is a typed Dataset.map —
-  * adjacent-pair rewriting is inherently sequential per word, and the
-  * working set it runs over is the distinct-word table, not the
-  * corpus (documented trade, cf. Multimodal's mapPartitions rule).
+  * Per merge round: ONE narrow job — per-partition local pair-count
+  * maps (weighted by word frequency; the pair domain is
+  * |symbols|²-bounded, KBs) reduced to the driver, argmax there
+  * (count desc, then UTF-8-lexicographic — fully deterministic), and
+  * the merge applied as a lazy RDD map that materializes under the
+  * next round's reduce (each round persists, its parent unpersists
+  * one round later — lineage never replays). Adjacent-pair rewriting
+  * is inherently sequential per word, and the working set it runs
+  * over is the distinct-word table, not the corpus (documented trade,
+  * cf. Multimodal's mapPartitions rule).
   */
 object Bpe {
-
-  /** One distinct word as its current symbol sequence + corpus
-    * frequency. */
-  final case class WordSyms(syms: Seq[String], n: Long)
 
   /** One learned merge: rank = order it was learned, support = the
     * weighted pair count that won the round. */
@@ -68,80 +63,102 @@ object Bpe {
     out.toSeq
   }
 
+  /** UTF-8 binary string comparison — Spark's UTF8String ordering
+    * (= code-point order), NOT java.lang.String.compareTo (UTF-16
+    * code-unit order; the two disagree above the BMP). The driver-side
+    * argmax must break count ties exactly as the previous
+    * `orderBy(desc("c"), col("l"), col("r"))` did, or a tie round
+    * could learn a different merge and every downstream hash flips. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Train `numMerges` merges over the corpus. Returns the learned
     * merge table in rank order — the whole artifact a tokenizer
-    * needs (vocab = initial characters + merged symbols). */
+    * needs (vocab = initial characters + merged symbols).
+    *
+    * Round shape (the round-15 rewrite): the working set is an RDD of
+    * (symbol array, frequency) — |vocab| rows. Each merge round is ONE
+    * narrow job: per-partition local pair-count maps reduced to the
+    * driver (the pair domain is |symbols|²-bounded — KBs — so this
+    * replaces a full shuffle + TakeOrdered job), argmax at the driver
+    * with the identical (count desc, UTF-8-lexicographic) tie-break,
+    * and the merge applied as a lazy `map` whose materialization rides
+    * the NEXT round's reduce. The previous form paid TWO jobs per
+    * round (a typed groupByKey shuffle for the argmax and an eager
+    * localCheckpoint for the merge application) plus a Dataset-encoder
+    * round-trip of every symbol sequence per round; at 40 merges that
+    * was 80 driver-synchronized shuffle jobs per training. Each
+    * round's RDD persists and its parent unpersists one round later
+    * (after the child materializes), so lineage never replays and
+    * memory holds at most two |vocab| working sets. */
   def train(
       documents: DataFrame, numMerges: Int,
       minCount: Long = 2, textCol: String = "text"): Seq[Merge] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    var words: Dataset[WordSyms] = wordCounts(documents, textCol)
-      .as[(String, Long)]
-      .map { case (w, n) => WordSyms(toSyms(w), n) }
-      .localCheckpoint(eager = true)
+    var words: org.apache.spark.rdd.RDD[(Array[String], Long)] =
+      wordCounts(documents, textCol).as[(String, Long)].rdd
+        .map { case (w, n) => (toSyms(w).toArray, n) }
+    words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
     val merges = scala.collection.mutable.ListBuffer.empty[Merge]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      // weighted pair counts over the distinct-word working set
-      val top = words
-        .flatMap(w => w.syms.sliding(2).collect {
-          case Seq(a, b) => ((a, b), w.n)
-        })
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), c) => (a, b, c) }
-        .toDF("l", "r", "c")
-        .orderBy(desc("c"), col("l"), col("r"))
-        .limit(1).collect() // argmax only: ONE row to the driver
-      if (top.isEmpty || top.head.getAs[Long]("c") < minCount) {
+      // weighted pair counts over the distinct-word working set: one
+      // narrow job, local hash maps, driver combine (KB-bounded)
+      val counts = words.mapPartitions { it =>
+        val m = new java.util.HashMap[(String, String), Long]()
+        it.foreach { case (syms, n) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            m.merge((syms(i), syms(i + 1)), n, (a, b) => a + b)
+            i += 1
+          }
+        }
+        Iterator.single(m)
+      }.reduce { (a, b) =>
+        b.forEach((k, v) => { a.merge(k, v, (x, y) => x + y); () }); a
+      }
+      // the reduce materialized `words`; its parent is now free
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      // argmax: count desc, then (left, right) UTF-8-lexicographic —
+      // byte-for-byte the old orderBy(desc(c), l, r).limit(1)
+      var best: ((String, String), Long) = null
+      counts.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+          (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+            (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+          best = (k, v)
+      }
+      if (best == null || best._2 < minCount) {
         done = true
       } else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
-          top.head.getAs[Long]("c"))
+        val ((l, r), c) = best
         merges += Merge(round, l, r, l + r, c)
-        val prev = words
-        words = words
-          .map(w => WordSyms(applyMerge(w.syms, l, r), w.n))
-          .localCheckpoint(eager = true) // cut per-round lineage
-        prev.unpersist()
+        prev = words
+        words = words.map { case (syms, n) =>
+          (applyMerge(syms, l, r).toArray, n)
+        }
+        words.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         round += 1
       }
     }
+    words.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     merges.toSeq
   }
-
-  /** [[train]] memoized per (corpus plan, numMerges, minCount,
-    * textCol) — the production contract made literal: merges are a
-    * committed artifact trained ONCE per corpus version, while the
-    * audit queries that consume them (q204 fertility, q213 roundtrip,
-    * q231 utilization, ml_bpe_merges, ml_bpe_encode) are re-runnable
-    * reports. Before this, each of those five retrained the identical
-    * 40-merge table — 5× the same 40 driver-synchronized argmax rounds
-    * per benchmark sweep.
-    *
-    * The corpus key is `Dataset.semanticHash()` over the canonicalized
-    * logical plan: two reads of the same source (any `Tables.documents`
-    * call for one sf dir) collide, different dirs/plans don't. Training
-    * is deterministic (argmax ties break lexicographically), so a
-    * cache hit returns bit-identical merges and every oracle is
-    * unchanged. Cache values are ≤`numMerges` rows (KBs) on the
-    * driver; entries are only added, bounded by distinct corpora per
-    * JVM. Caveat (documented, inherent to plan-keyed memoization): if
-    * the files UNDER an identical plan change mid-session, the cache
-    * returns the artifact of the first training — exactly the
-    * committed-artifact semantics the scaladoc above states. */
-  def trainCached(
-      documents: DataFrame, numMerges: Int,
-      minCount: Long = 2, textCol: String = "text"): Seq[Merge] = {
-    val key = (documents.semanticHash(), numMerges, minCount, textCol)
-    trainCache.computeIfAbsent(key,
-      _ => train(documents, numMerges, minCount, textCol))
-  }
-
-  private val trainCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, Int, Long, String), Seq[Merge]]()
 
   /** Encode a word with a trained merge list (merges applied in rank
     * order — the standard BPE encode). */
@@ -187,7 +204,7 @@ object Bpe {
     * one embarrassingly-parallel pass, the fold one hash-agg. */
   def mlBpeEncode(
       documents: DataFrame, numMerges: Int = 40): DataFrame =
-    encodeAccounting(documents, trainCached(documents, numMerges))
+    encodeAccounting(documents, train(documents, numMerges))
 
   /** The encode+verify half of [[mlBpeEncode]] under an EXISTING merge
     * list — the production split: merges are a committed artifact
@@ -233,7 +250,7 @@ object Bpe {
     * one |langs|-group hash-agg. */
   def tokenizerFertility(
       documents: DataFrame, numMerges: Int = 40): DataFrame =
-    encodeAccounting(documents, trainCached(documents, numMerges))
+    encodeAccounting(documents, train(documents, numMerges))
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -315,7 +332,7 @@ object Bpe {
     * path. */
   def bpeRoundtrip(
       documents: DataFrame, numMerges: Int = 40): DataFrame = {
-    val merges = trainCached(documents, numMerges)
+    val merges = train(documents, numMerges)
     val decoded = decodeTokens(encodeTokensPos(documents, merges))
     val truth = documents.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
@@ -337,7 +354,7 @@ object Bpe {
   def mlBpeMerges(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    trainCached(documents, numMerges = 40)
+    train(documents, numMerges = 40)
       .toDF().select(
         col("rank").cast("long").as("rank"),
         col("left"), col("right"), col("merged"),
@@ -375,7 +392,7 @@ object Bpe {
       subsetMod: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val merges = trainCached(documents, numMerges)
+    val merges = train(documents, numMerges)
     val subset = documents
       .filter(pmod(col("doc_id"), lit(subsetMod)) === 0)
     val bc = spark.sparkContext.broadcast(merges)

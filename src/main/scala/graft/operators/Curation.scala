@@ -56,9 +56,15 @@ object Curation {
       .join(keepers, "__h")
       .filter(col("doc_id") =!= col("__keeper"))
       .select(col("doc_id"), lit(1L).as("__xd"))
-    val canon = Dedup.canonicalDocs(planted)
+    // ONE run of the minhash+LSH+star pipeline feeds both the
+    // component frame and the canonical selection (the star output is
+    // eagerly materialized, so the second consumer is a re-read, not a
+    // re-run — before this the manifest paid the whole q42 pipeline
+    // twice, once inside canonicalDocs and once for the flags)
+    val comps = Dedup.nearDupComponents(planted)
+    val canon = Dedup.canonicalFromComponents(comps, planted)
       .select(col("component"), col("canonical_doc"))
-    val nd = Dedup.nearDupComponents(planted)
+    val nd = comps
       .join(canon, "component")
       .filter(col("doc_id") =!= col("canonical_doc"))
       .select(col("doc_id"), lit(1L).as("__nd"))

@@ -687,7 +687,17 @@ object Dedup {
     * separate passes). The keep-decision table a dedup pipeline joins
     * back onto the corpus. */
   def canonicalDocs(documents: DataFrame): DataFrame =
-    nearDupComponents(documents)
+    canonicalFromComponents(nearDupComponents(documents), documents)
+      .orderBy("component")
+
+  /** The q85 aggregate over an ALREADY-COMPUTED component frame — split
+    * out so composed pipelines (q224's manifest) that also need the
+    * component frame itself run the minhash+LSH+star pipeline ONCE and
+    * feed both consumers, instead of once per consumer (the star loop
+    * is dozens of jobs; q224 used to pay it twice). */
+  def canonicalFromComponents(
+      components: DataFrame, documents: DataFrame): DataFrame =
+    components
       .join(documents.select("doc_id", "n_chars"), "doc_id")
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"),
@@ -696,7 +706,6 @@ object Dedup {
       .select(col("component"), col("n_docs"),
         (-col("best.neg_id")).as("canonical_doc"),
         col("best.n_chars").as("max_chars"))
-      .orderBy("component")
 
   /** q112 — leakage-safe train/valid/test split: assignment is keyed
     * on the near-dup COMPONENT root, not the document, so a document
