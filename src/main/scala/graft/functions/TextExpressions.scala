@@ -225,10 +225,225 @@ case class GramRepetitionStats(child: Expression) extends UnaryExpression {
       newChild: Expression): GramRepetitionStats = copy(child = newChild)
 }
 
+/** Loop body of [[GramLoopStats]] (plain object — static forwarder
+  * guaranteed for Janino). One O(len·n) pass per document over the
+  * TRUE space-joined n-gram strings: window count, max repetition,
+  * and the UTF-8-binary-smallest gram among the repetition argmax
+  * ties — exactly the old (doc, gram) hash-aggregate + argmax-join
+  * chain, computed in-row. */
+object GramLoopImpl {
+  /** a < b in UTF-8 byte order — Spark's UTF8String/string ordering
+    * (= code-point order), which the old `min(gname)` aggregate used;
+    * java.lang.String.compareTo (UTF-16 code-unit order) disagrees
+    * above the BMP. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val lim = math.min(x.length, y.length)
+    while (i < lim) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  def compute(arr: ArrayData, n: Int): InternalRow = {
+    val len = arr.numElements()
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val nPos = len - n + 1
+    val m = new java.util.HashMap[String, Integer](nPos * 2)
+    var maxRep = 0
+    i = 0
+    while (i < nPos) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val c: Int = m.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > maxRep) maxRep = c
+      i += 1
+    }
+    var best: String = null
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue == maxRep && (best == null || utf8Lt(e.getKey, best)))
+        best = e.getKey
+    }
+    new GenericInternalRow(Array[Any](
+      nPos.toLong, maxRep.toLong, UTF8String.fromString(best)))
+  }
+}
+
+/** Per-document n-gram LOOP statistics
+  * (struct<n_positions,max_rep:LONG, loop_gram:STRING>) for
+  * [[graft.operators.TextAnalysis.gramLoopScore]] (q211).
+  *
+  * The q94 lesson applied to the loop-score family: the statistics
+  * are PER-DOCUMENT, so the previous corpus-wide (doc, gram) hash
+  * aggregate (3 rows per token into two exchanges, then an
+  * argmax-join back through the planted text to recover the gram
+  * string) was never necessary — one JIT'd O(len·n) pass inside the
+  * row computes all three values and the query becomes scan →
+  * project, zero exchanges except the report sort. Grams are the
+  * TRUE strings (no fingerprint-collision caveat — they never leave
+  * the row); per-row state is O(distinct grams of ONE document),
+  * bounded by upstream chunking at corpus scale. */
+case class GramLoopStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        if (n >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires n >= 1, got $n")
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> input, got ${dt.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_positions", LongType, nullable = false),
+    StructField("max_rep", LongType, nullable = false),
+    StructField("loop_gram", StringType, nullable = true)))
+
+  override def prettyName: String = "gram_loop_stats"
+
+  override def nullSafeEval(arr: Any): Any =
+    GramLoopImpl.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramLoopImpl.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramLoopStats = copy(child = newChild)
+}
+
+/** Loop body of [[MinhashSignature]] (plain object — static forwarder
+  * guaranteed for Janino). One O(len·(md5 + k)) pass per document:
+  * for every n-token window, md5 over the UTF-8 bytes of the
+  * space-joined shingle (identical bytes to Spark's
+  * `md5(concat_ws(" ", slice(toks, i, n)))` — concat_ws skips nulls,
+  * mirrored here), split the digest into the two big-endian 32-bit
+  * halves h1/h2 (= `conv(substring(hex, 1|9, 8), 16, 10)`), and fold
+  * the k Kirsch–Mitzenmacher permutations (h1 + i·h2) mod 2³² into
+  * running minima. The mod-2³² is a power-of-two mask, and the
+  * per-permutation value accumulates by adding h2 — no multiply. */
+object MinhashSigImpl {
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SP = Array[Byte](' '.toByte)
+
+  def compute(arr: ArrayData, n: Int, k: Int): ArrayData = {
+    val md = mdTl.get()
+    val len = arr.numElements()
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      toks(i) =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val nPos = len - n + 1
+    i = 0
+    while (i < nPos) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val t = toks(i + j)
+        if (t != null) {
+          if (!first) md.update(SP)
+          md.update(t)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var p = 0
+      var v = h1 // h1 + p·h2, accumulated; max < 2^36 — no overflow
+      while (p < k) {
+        val m = v & 0xffffffffL // pmod(·, 2^32) for non-negative v
+        if (m < mins(p)) mins(p) = m
+        v += h2
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** Per-document MinHash signature (ARRAY<LONG> of length k) for
+  * [[graft.operators.Dedup.minhashSignatures]] — the feeder of the
+  * whole near-dup family (q20/q42/q85/q112/q199/q222/q224, the
+  * Minhash ledger behind q170/q177/q183).
+  *
+  * The per-doc MIN aggregate is per-document state, so the previous
+  * explode(window) → md5-hex → conv-parse → 16-min hash aggregate
+  * (one corpus-wide exchange of per-doc partials, plus a hex
+  * format/parse round trip per shingle) collapses into one JIT'd
+  * in-row pass over the document's own windows: the signature frame
+  * becomes scan → project. Values are bit-identical (same md5 bytes,
+  * same big-endian halves, same mod-2³² arithmetic — DedupSpec and
+  * the q20/q42 oracles re-gate it). */
+case class MinhashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        if (n >= 1 && k >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires n >= 1 and k >= 1, got n=$n k=$k")
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING> input, got ${dt.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(arr: Any): Any =
+    MinhashSigImpl.compute(arr.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashSigImpl.compute($c, $n, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSignature = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for [[NfcNormalize]]. */
   def nfc_normalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+
+  /** Column API for [[MinhashSignature]]. */
+  def minhash_signature(c: Column, n: Int, k: Int): Column =
+    GraftBridge.column(MinhashSignature(GraftBridge.expression(c), n, k))
+
+  /** Column API for [[GramLoopStats]]. */
+  def gram_loop_stats(c: Column, n: Int): Column =
+    GraftBridge.column(GramLoopStats(GraftBridge.expression(c), n))
 
   /** Column API for [[RollingTokenHash]]. */
   def rolling_token_hash(c: Column): Column =

@@ -97,27 +97,6 @@ object Dedup {
   /** Input-split underflow guard — see [[Spread]]. */
   private def spread(df: DataFrame): DataFrame = Spread(df)
 
-  /** Exploded (doc_id, shingle STRING) window stream, codegen'd (the
-    * [[windowFingerprints]] rationale — no interpreted transform
-    * lambda — but carrying the string because the consumer hashes it
-    * with md5, which the DuckDB oracles replay). NOT distinct: the
-    * only consumer is [[minhashSignatures]], whose per-doc MIN is
-    * duplicate-insensitive, so the old per-doc array_distinct
-    * changed nothing. Honest perf note: unlike the xxhash64 family,
-    * this path measured only ~5% faster in an sf1 A/B — it is
-    * md5-bound (one md5 per window row + k min-aggregates), so the
-    * lambda was never its bottleneck; the rewrite is codegen hygiene,
-    * not a headline win. */
-  private def shingleIndex(documents: DataFrame, n: Int): DataFrame =
-    spread(documents)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
-          .as("i"))
-      .select(col("doc_id"), concat_ws(" ",
-        slice(col("toks"), col("i"), lit(n))).as("shingle"))
-
   /** Inverted index that also carries the per-document distinct-shingle
     * count on every exploded row. Slightly wider shuffle rows, but it
     * removes the separate `sizes` aggregate + two re-joins the old plan
@@ -371,27 +350,31 @@ object Dedup {
   }
 
   /** MinHash signature columns mh0..mh{k-1} via Kirsch–Mitzenmacher
-    * double hashing: ONE md5 per (doc, shingle) row yields two 32-bit
+    * double hashing: ONE md5 per (doc, shingle) yields two 32-bit
     * halves (h1, h2), and permutation i hashes as (h1 + i·h2) mod 2³²
     * — a valid minwise family (K-M '06 shows pairwise combinations
     * preserve the guarantees) at 1/k of the per-row hash work of k
     * keyed md5s. All arithmetic stays < 2³⁶ (ANSI-safe longs) and is
-    * reproducible in any engine with md5 + hex parsing. One groupBy
-    * produces all k mins (map-side partials, no extra shuffles). */
+    * reproducible in any engine with md5 + hex parsing.
+    *
+    * The per-doc MIN fold runs as the native codegen expression
+    * [[graft.functions.MinhashSignature]] — per-document state, so
+    * the old explode → md5-hex → conv-parse → 16-min hash aggregate
+    * (one exchange of per-doc partials + a hex format/parse round
+    * trip per shingle) collapses to scan → project with bit-identical
+    * values (same md5 bytes, same big-endian halves, same mod-2³²).
+    * Callers must feed unique doc_ids (every caller does — planted
+    * twins mint fresh ids): the old groupBy would have collapsed
+    * duplicate ids, this form emits one row per input row. */
   def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
-    val h = md5(col("shingle"))
-    val halves = shingleIndex(documents, 3).select(
-      col("doc_id"),
-      conv(substring(h, 1, 8), 16, 10).cast("long").as("__h1"),
-      conv(substring(h, 9, 8), 16, 10).cast("long").as("__h2"))
-    val m = lit(4294967296L) // 2^32
-    halves
-      .groupBy("doc_id")
-      .agg(
-        min(pmod(col("__h1"), m)).as("mh0"),
-        (1 until k).map(i =>
-          min(pmod(col("__h1") + lit(i.toLong) * col("__h2"), m))
-            .as(s"mh$i")): _*)
+    val sig = spread(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions
+          .minhash_signature(col("__toks"), 3, k).as("__mh"))
+    sig.select(col("doc_id") +: (0 until k).map(i =>
+      element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
   }
 
   /** q20 — MinHash+LSH near-dup pairs: band the k-component signature

@@ -1578,13 +1578,14 @@ object TextAnalysis {
     * flag class is non-vacuous at every scale and the oracle
     * reproduces it.
     *
-    * Scale: one doc-keyed hash-agg over (doc_id, fingerprint) —
-    * longs only, the codegen'd positional window stream of the q207
-    * shape — then a per-doc max join; the argmax gram STRINGS are
-    * rebuilt only for the tied candidates (≥1 per doc) by re-slicing
-    * the text at a remembered first-occurrence position via one
-    * doc_id equi-join (linear, co-partitionable — never a
-    * corpus-shingle-volume string shuffle). */
+    * Scale: the statistics are PER-DOCUMENT, so the problem contains
+    * no cross-row aggregation — the native codegen expression
+    * [[graft.functions.GramLoopStats]] computes window count, max
+    * repetition, and the UTF-8-min argmax gram in one JIT'd O(len·n)
+    * pass inside each row, and the query is scan → project with zero
+    * exchanges before the report sort (the q94 GramRepetitionStats
+    * precedent; the prior (doc, gram) hash-aggregate + argmax-join
+    * chain paid two corpus-wide exchanges and a text re-join). */
   def gramLoopScore(
       documents: DataFrame, n: Int = 4, plantMod: Int = 31,
       flagRep: Long = 3L): DataFrame = {
@@ -1594,33 +1595,25 @@ object TextAnalysis {
       when(pmod(col("doc_id"), lit(plantMod)) === 0,
         concat_ws(" ", col("text"), block, block, block))
         .otherwise(col("text")).as("text"))
-    val posStream = planted
+    // per-document statistics → per-row native expression (the q94
+    // GramRepetitionStats precedent): the previous (doc, gram) hash
+    // aggregate + argmax-join chain paid two corpus-wide exchanges and
+    // a join back through the planted text to recover the gram string;
+    // gram_loop_stats computes window count, max repetition, and the
+    // UTF-8-min gram among argmax ties in one O(len·n) pass inside the
+    // row — scan → project, no exchange before the report sort. Grams
+    // compare as TRUE strings (the old path grouped on xxhash64
+    // fingerprints and recovered strings afterwards; the oracle always
+    // computed on true strings, so values are unchanged).
+    planted
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (n - 1)))
-          .as("i"))
-      .select(col("doc_id"), col("i"),
-        xxhash64(concat_ws(" ",
-          slice(col("toks"), col("i"), lit(n)))).as("g"))
-    val counts = posStream.groupBy("doc_id", "g")
-      .agg(count(lit(1)).as("c"), min(col("i")).as("p0"))
-    val tot = counts.groupBy("doc_id")
-      .agg(sum("c").as("n_positions"), max("c").as("max_rep"))
-    val cand = counts.join(tot, "doc_id")
-      .filter(col("c") === col("max_rep"))
-      .select(col("doc_id"), col("p0"),
-        col("n_positions"), col("max_rep"))
-    // rebuild only the tied argmax candidates' strings by re-slicing
-    // the planted text at their first occurrence (any occurrence of
-    // a window yields the same string, so min-string over candidates
-    // is exactly the old min-gname)
-    planted.join(cand, "doc_id")
-      .select(col("doc_id"), col("n_positions"), col("max_rep"),
-        concat_ws(" ", slice(split(col("text"), " "),
-          col("p0"), lit(n))).as("gname"))
-      .groupBy("doc_id", "n_positions", "max_rep")
-      .agg(min("gname").as("loop_gram"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.gram_loop_stats(col("toks"), n)
+          .as("s"))
+      .select(col("doc_id"), col("s.n_positions").as("n_positions"),
+        col("s.max_rep").as("max_rep"),
+        col("s.loop_gram").as("loop_gram"))
       .select(col("doc_id"), col("n_positions"), col("max_rep"),
         col("loop_gram"),
         round(col("max_rep").cast("double")
