@@ -266,17 +266,20 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sg"), b * rows).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
+    // cos is a pure function of the pair, so computing it BEFORE the
+    // multi-band dedup means the distinct exchange carries (id, id,
+    // cos) — 24 bytes — instead of the two 64-double vectors (~1 KB)
+    // per candidate row (guide-§2.3 "project before the exchange";
+    // duplicate band collisions recompute one dot product each, far
+    // cheaper than shuffling their payloads)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
-      .select(col("vec_i"), col("vec_j"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6)
           .as("cos"))
+      .distinct()
       .filter(col("cos") >= minCos)
       .orderBy("vec_i", "vec_j")
   }
@@ -533,17 +536,20 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bkey")))
+    // cos is a pure function of the pair, so computing it BEFORE the
+    // multi-band dedup means the distinct exchange carries (id, id,
+    // cos) — 24 bytes — instead of the two 64-double vectors (~1 KB)
+    // per candidate row (guide-§2.3 "project before the exchange";
+    // duplicate band collisions recompute one dot product each, far
+    // cheaper than shuffling their payloads)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
-      .select(col("vec_i"), col("vec_j"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6)
           .as("cos"))
+      .distinct()
       .filter(col("cos") >= minCos)
       .orderBy("vec_i", "vec_j")
   }
@@ -616,17 +622,20 @@ object Similarity {
         bandKey(col("v"), dim, b, rows)): _*))
         .as(Seq("band", "bkey")))
       .localCheckpoint(true)
+    // cos is a pure function of the pair, so computing it BEFORE the
+    // multi-band dedup means the distinct exchange carries (id, id,
+    // cos) — 24 bytes — instead of the two 64-double vectors (~1 KB)
+    // per candidate row (guide-§2.3 "project before the exchange";
+    // duplicate band collisions recompute one dot product each, far
+    // cheaper than shuffling their payloads)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
-      .select(col("vec_i"), col("vec_j"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6)
           .as("cos"))
+      .distinct()
       .filter(col("cos") >= minCos)
       .orderBy("vec_i", "vec_j")
   }
