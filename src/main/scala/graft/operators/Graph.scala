@@ -279,6 +279,12 @@ object Graph {
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .checkpointAudited
+      // dist re-checkpoints each hop DELIBERATELY: the lazy-union
+      // alternative (union of the checkpointed hop frames) was
+      // measured SLOWER at sf0.1 (2.7 → 3.9 s focused) — each hop's
+      // anti-join side becomes a union of k × |parts| partitions and
+      // the per-hop task count grows quadratically, costing more than
+      // the one re-materialization job it saves
       dist = dist.unionByName(next).checkpointAudited
       frontier = next.select("node")
     }
