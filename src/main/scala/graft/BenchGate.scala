@@ -29,9 +29,12 @@ object BenchGate {
   }
 
   /** Per-query gate baselines (seconds at sf0.1) from the `queries`
-    * map. Empty when the file is absent → gate off (the documented
-    * posture for bare worktree A/B sessions, which carry no baseline
-    * file so both trees run gate-symmetric). */
+    * map. Empty when the file is absent → gate off. NOTE (round-14
+    * advice, corrected): `baseline_rows.json` is TRACKED, so any fresh
+    * worktree of a post-round-14 tree carries it and runs gated — an
+    * A/B against an older tree is gate-ASYMMETRIC unless both
+    * worktrees delete the file first (or point this loader elsewhere);
+    * symmetric A/B protocol = `rm baseline_rows.json` in both trees. */
   def loadQueryBaseline(
       path: String = DefaultPath): Map[String, Double] =
     root(path).fold(Map.empty[String, Double]) { r =>

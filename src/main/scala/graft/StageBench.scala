@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * clocks their stages record while the REAL pipeline runs; q224 is
   * one lazy composed plan (no driver-side stage boundaries to clock),
   * so its breakdown materializes each ingredient operator separately
-  * over the SAME planted frame and then the composed manifest — the
-  * ingredient timings sum to ≈ the composed total because the
-  * manifest recomputes each flag frame.
+  * over the SAME planted frame and then the composed manifest. Since
+  * round 15 the manifest runs the minhash+star pipeline ONCE for both
+  * the component and canonical flags (Curation.scala), so the
+  * ingredient timings OVERSTATE the composed total by roughly one
+  * near_dup_components run — they remain per-operator budgets, not a
+  * sum-to-total decomposition.
   *
   * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.StageBench [--check]`
   * — prints one JSON line per pipeline: `{"stage_bench":"q177",
@@ -198,7 +201,7 @@ object StageBench {
         val mTotal = measured.groupBy(_._1)
           .map { case (p, rs) => p -> rs.map(_._3).sum }
         val bTotal = budgets.map { case (p, b) => p -> b.values.sum }
-        val failures = measured.toSeq.flatMap { case (pipe, st, sec) =>
+        val perStage = measured.toSeq.flatMap { case (pipe, st, sec) =>
           budgets.get(pipe).flatMap { b =>
             b.get(st) match {
               case Some(bud) =>
@@ -215,6 +218,21 @@ object StageBench {
             }
           }
         }
+        // Fourth clause — pipeline-TOTAL tripwire (round-14 advice):
+        // the share clause above cannot fire for a stage whose budget
+        // share exceeds 0.8, and a correlated regression from a shared
+        // feeder that inflates every stage proportionally keeps shares
+        // fixed and reads as weather. A total >1.5x its budget sum AND
+        // >2 s over it is caught regardless of how the excess is
+        // distributed (2 s absolute slack: the round-13 ambient band
+        // multiplies sub-second pipelines without meaning anything).
+        val totalFails = bTotal.toSeq.flatMap { case (pipe, budSum) =>
+          mTotal.get(pipe).filter(t =>
+              t > 1.5 * budSum && t > budSum + 2.0)
+            .map(t =>
+              f"""{"stage_check":"FAIL","pipeline":"$pipe","stage":"__TOTAL__","sec":$t%.3f,"budget":$budSum%.3f,"ratio":${t / budSum}%.2f,"reason":"pipeline total over budget sum"}""")
+        }
+        val failures = perStage ++ totalFails
         failures.foreach(println)
         if (failures.isEmpty)
           println(s"""{"stage_check":"OK","n_stages":${measured.size}}""")

@@ -36,6 +36,16 @@ if "--json-out" in sys.argv:
         out = json.load(open(path))
     except FileNotFoundError:
         out = {}
+    # A FILTERED bench run (SPARK_GRAFT_BENCH_FILTER / an ml_* run)
+    # must not silently wipe the other ~237 gate rows and disarm the
+    # sweep-outlier gate (round-14 advice). Refuse shrinking re-cuts
+    # unless forced.
+    if (len(d["queries"]) < len(out.get("queries", {}))
+            and "--force" not in sys.argv):
+        sys.exit(f"refusing: input has {len(d['queries'])} query rows "
+                 f"but {path} holds {len(out['queries'])} — a filtered "
+                 "run would wipe the other gate rows (pass --force to "
+                 "override)")
     out["queries"] = {k: round(v, 3) for k, v in sorted(d["queries"].items())}
     json.dump(out, open(path, "w"), indent=1)
     print(f"(wrote {len(d['queries'])} gate rows to {path})",

@@ -45,7 +45,12 @@ tools/planted_sf1_check.sh
 step "4/5 per-stage budget tripwire (StageBench --check, sf0.1)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   java "${AO[@]}" -Xmx8g -Dspark.ui.enabled=false -cp "$CP" \
-  graft.StageBench --check 2>/dev/null | grep -E "stage_(bench|check)"
+  graft.StageBench --check 2>/dev/null | grep -E "stage_(bench|check)" \
+  | tee /tmp/checklist_stage.txt
+# the SKIP path ({"stage_check":"SKIP",...}) exits 0 and matches the
+# grep above — demand the explicit OK so the tripwire can't silently
+# no-op (round-14 advice)
+grep -q '"stage_check":"OK"' /tmp/checklist_stage.txt
 
 step "5/5 sf1 oracle spot-replay (ledger/increment/shards/manifest)"
 rm -rf /tmp/checklist_sf1
